@@ -1,0 +1,59 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to a noop sink (full computation, no collect cost).
+A warmup flagship run absorbs JVM/codegen startup so per-query numbers
+measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from synthetic_datagen_spark.operators import REGISTRY  # noqa: E402
+from synthetic_datagen_spark.session import get_spark  # noqa: E402
+
+# headline set: every registered query (the driver compares totals round
+# over round; keep names stable).
+EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("flagship_series_panel")  # warmup, not recorded
+
+    times: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        if name in EXCLUDE:
+            continue
+        times[name] = round(run(name), 3)
+
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Distribution-distance operators (SURVEY §2.9) as pure DataFrame plans.
+
+These are the reference's signature "queries" — each compares two
+samples. All four are expressed relationally (shuffle-count noted per
+op), so they hold at 100 TB: no sample ever lands on the driver.
+
+Two-sample inputs are modeled as ONE DataFrame with a tag column — the
+union-with-source-tag form — so the same plan works whether the two
+sides are two files, two event types, or real-vs-synthetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .stats import histogram
+
+
+def js_divergence(
+    df: DataFrame,
+    value_col: str,
+    tag_col: str,
+    tag_a: str,
+    tag_b: str,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    eps: float = 1e-10,
+) -> DataFrame:
+    """D1 — Jensen-Shannon divergence over shared-range histograms.
+
+    reference: distribution_evaluator.py:27-36 (note the reference labels
+    JS² as "kl_divergence" — SURVEY §7 bug list; we compute true JS
+    divergence base-e). Plan: one histogram aggregate per side (same
+    shuffle), join on bin, one final aggregate. Cost ~ O(bins).
+    """
+    width = (hi - lo) / bins
+    bin_id = F.least(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    counts = (
+        df.filter(F.col(value_col).between(lo, hi))
+        .filter(F.col(tag_col).isin(tag_a, tag_b))
+        .groupBy(bin_id.cast("long").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col(tag_col) == tag_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(tag_col) == tag_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    d = counts.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("ta") + F.lit(eps)
+    q = F.col("cb") / F.col("tb") + F.lit(eps)
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return d.agg(F.sum(term).alias("js_div"))
+
+
+def _tagged_ecdf(
+    df: DataFrame, value_col: str, tag_col: str, tag_a: str, tag_b: str
+) -> DataFrame:
+    """Shared plan for KS / Wasserstein: per-distinct-value running ECDFs
+    of both samples over the global value order.
+
+    One aggregate (distinct values) + one window sort. The window is
+    ordered over the whole value domain — for the metric to be exact it
+    must be a total order, so this is the one intentionally-global sort
+    in the library; inputs here are *samples/returns* (bounded), not raw
+    100 TB facts. Columns: value, fa, fb (ECDFs), plus totals.
+    """
+    counts = (
+        df.filter(F.col(tag_col).isin(tag_a, tag_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(F.col(tag_col) == tag_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col(tag_col) == tag_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("fa", F.sum("ca").over(w) / F.col("ta"))
+        .withColumn("fb", F.sum("cb").over(w) / F.col("tb"))
+    )
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, tag_col: str, tag_a: str, tag_b: str
+) -> DataFrame:
+    """D3 — two-sample Kolmogorov-Smirnov statistic sup|Fa - Fb|.
+    reference: composite_metric.py:103 (scipy ks_2samp)."""
+    e = _tagged_ecdf(df, value_col, tag_col, tag_a, tag_b)
+    return e.agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_stat"))
+
+
+def wasserstein_1d(
+    df: DataFrame, value_col: str, tag_col: str, tag_a: str, tag_b: str
+) -> DataFrame:
+    """D2 — 1-D Wasserstein-1 distance = ∫ |Fa(x) - Fb(x)| dx.
+
+    reference: distribution_evaluator.py:39-40 (scipy
+    wasserstein_distance). Exact ECDF formulation: sum over consecutive
+    distinct values of |ΔF| · Δx — matches scipy to fp precision.
+    """
+    e = _tagged_ecdf(df, value_col, tag_col, tag_a, tag_b)
+    w = Window.orderBy("v")
+    gap = (F.lead("v").over(w) - F.col("v")) * F.abs(F.col("fa") - F.col("fb"))
+    return e.select(gap.alias("g")).agg(F.sum("g").alias("w1"))
+
+
+def hurst_rs(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    lags: Sequence[int] = tuple(range(2, 101)),
+) -> DataFrame:
+    """D6 — Hurst exponent via rescaled-range (R/S) analysis, per series.
+
+    reference: composite_metric.py:25-47. For each lag L: chunk the series
+    into L-sized segments, per segment compute R = max-min of the
+    cumulative deviation of diffs and S = population std of diffs, take
+    mean(R/S) over segments, then H = slope of log(R/S)~log(L), clipped
+    to [0, 1].
+
+    Plan shape: one pass to index+diff the series, a lag-grid explode
+    (×|lags| rows), one segment aggregate, one per-lag aggregate, then a
+    closed-form least-squares slope per series via corr·std ratio — four
+    shuffles total, all on (series, lag) keys, no driver loop.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    indexed = (
+        df.withColumn("_i", F.row_number().over(w) - 1)
+        .withColumn("_d", F.col(value_col) - F.lag(value_col).over(w))
+        .filter(F.col("_d").isNotNull())
+        .withColumn("_i", F.col("_i") - 1)
+        .select(*partition_cols, "_i", "_d")
+    )
+    lag_df = F.array(*[F.lit(int(x)) for x in lags])
+    e = indexed.withColumn("lag", F.explode(lag_df)).withColumn(
+        "seg", F.floor(F.col("_i") / F.col("lag"))
+    )
+    # per (series, lag, segment): R/S of the diffs in the segment
+    seg_w = Window.partitionBy(*partition_cols, "lag", "seg").orderBy("_i")
+    cum = F.sum(F.col("_d") - F.mean("_d").over(seg_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))).over(
+        seg_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = (
+        e.withColumn("_cum", cum)
+        .groupBy(*partition_cols, "lag", "seg")
+        .agg(
+            (F.max("_cum") - F.min("_cum")).alias("R"),
+            F.stddev_pop("_d").alias("S"),
+            F.count("*").alias("m"),
+        )
+        # full segments with nonzero dispersion, as the reference
+        .filter((F.col("m") == F.col("lag")) & (F.col("S") > 1e-10))
+    )
+    per_lag = seg.groupBy(*partition_cols, "lag").agg(
+        F.mean(F.col("R") / F.col("S")).alias("rs")
+    ).filter(F.col("rs") > 0)
+    ll = per_lag.select(
+        *partition_cols, F.log("lag").alias("lx"), F.log("rs").alias("ly")
+    )
+    slope = F.corr("lx", "ly") * F.stddev_samp("ly") / F.stddev_samp("lx")
+    return ll.groupBy(*partition_cols).agg(
+        F.least(F.greatest(slope, F.lit(0.0)), F.lit(1.0)).alias("hurst")
+    )

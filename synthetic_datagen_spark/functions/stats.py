@@ -1,0 +1,168 @@
+"""Aggregation operators (SURVEY §2.4): moments, histograms, quantile
+discretization, state frequencies, transition matrices.
+
+All of these are single-shuffle hash aggregates (partial + final), so
+they scale linearly: at 100 TB each is one map-side-combined pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def moments(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    population: bool = True,
+) -> DataFrame:
+    """A1/A2 — mean/std/var/min/max/skewness/kurtosis (+count).
+
+    reference: distribution_evaluator.py:96-99 uses numpy std (population,
+    ddof=0) → ``population=True`` default; Spark's skewness/kurtosis are
+    the population g1 / excess-g2 conventions, same as scipy defaults
+    (reference adds 3 for raw kurtosis — callers can do that).
+    """
+    std = F.stddev_pop(value_col) if population else F.stddev_samp(value_col)
+    var = F.var_pop(value_col) if population else F.var_samp(value_col)
+    aggs = [
+        F.count(value_col).alias("n"),
+        F.mean(value_col).alias("mean"),
+        std.alias("std"),
+        var.alias("var"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.skewness(value_col).alias("skew"),
+        F.kurtosis(value_col).alias("kurt"),
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+    group_cols: Sequence[str] = (),
+    density: bool = False,
+) -> DataFrame:
+    """A3 — fixed-range histogram; the building block of the KL/JS metric.
+
+    reference: distribution_evaluator.py:27-36 (np.histogram(bins=100,
+    range=shared, density=True)). numpy puts x == hi into the LAST bin
+    (closed right edge on the final bin) — mirrored via ``least``.
+    One groupBy = one shuffle of at most ``bins`` rows per group.
+    """
+    width = (hi - lo) / bins
+    bin_id = F.least(
+        F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("long")
+    d = (
+        df.filter(F.col(value_col).between(lo, hi))
+        .withColumn("bin", bin_id)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if density:
+        w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+        d = d.withColumn(
+            "density", F.col("cnt") / (F.sum("cnt").over(w) * F.lit(width))
+        )
+    return d
+
+
+def quantile_edges(
+    df: DataFrame, value_col: str, n_bins: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """A4 — exact quantile bin edges (linear interpolation, np.quantile
+    parity). reference: grasynda_generator.py:77-82.
+
+    Uses exact ``percentile`` (not approx) for oracle parity; the approx
+    path (`percentile_approx`) is the 100 TB route.
+    """
+    probs = [i / n_bins for i in range(n_bins + 1)]
+    arr = F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    return (
+        df.groupBy(*group_cols)
+        .agg(arr.alias("edges"))
+        .select(
+            *group_cols,
+            F.posexplode("edges").alias("edge_idx", "edge"),
+        )
+    )
+
+
+def digitize(
+    value: Column, edges: Sequence[float], right: bool = False
+) -> Column:
+    """A5 — np.digitize as a when-chain over broadcast edges.
+    reference: grasynda_generator.py:84. Returns the numpy convention:
+    index of the first edge greater than x (left-closed bins)."""
+    expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        cond = value < F.lit(edges[i]) if not right else value <= F.lit(edges[i])
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def state_frequency(df: DataFrame, state_col: str, group_cols: Sequence[str] = ()) -> DataFrame:
+    """A6 — normalized state frequencies (np.bincount / total).
+    reference: grasynda_generator.py:113-115."""
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    return (
+        df.groupBy(*group_cols, state_col)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("freq", F.col("cnt") / F.sum("cnt").over(w))
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    state_col: str,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[str],
+    laplace: float = 0.0,
+) -> DataFrame:
+    """A7 — (state, next_state) transition matrix, row-normalized.
+
+    reference: grasynda_generator.py:87-94; Laplace smoothing variant
+    regime_gan.py:103-108. Output long-form (state, next_state, cnt, prob)
+    — pivot to wide on the driver only for tiny K.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    pairs = (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(state_col).alias("state"), F.col("_next").alias("next_state"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    row_w = Window.partitionBy("state")
+    row_tot = F.sum("cnt").over(row_w)
+    if laplace > 0.0:
+        n_states = F.count("*").over(row_w)  # states observed in this row
+        prob = (F.col("cnt") + F.lit(laplace)) / (row_tot + F.lit(laplace) * n_states)
+    else:
+        prob = F.col("cnt") / row_tot
+    return pairs.withColumn("prob", prob)
+
+
+def zscore_params(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Normalization-params table (J4) — one tiny row of mean/std per col,
+    meant for a broadcast join. reference: augmentation_evaluator.py:250-274."""
+    aggs = []
+    for c in cols:
+        aggs += [F.mean(c).alias(f"{c}_mean"), F.stddev_samp(c).alias(f"{c}_std")]
+    return df.agg(*aggs)
+
+
+def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Apply z-score normalization via a broadcast crossJoin of the params
+    row — no collect, stays a narrow plan after the tiny join."""
+    params = F.broadcast(zscore_params(df, cols))
+    out = df.crossJoin(params)
+    for c in cols:
+        out = out.withColumn(c, (F.col(c) - F.col(f"{c}_mean")) / F.col(f"{c}_std"))
+    return out.drop(*[f"{c}_mean" for c in cols], *[f"{c}_std" for c in cols])

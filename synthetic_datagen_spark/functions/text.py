@@ -1,0 +1,97 @@
+"""Text-analysis operators for the training-data pipeline surface
+(driver brief): token counting, quality scoring, language-ID heuristic,
+document fingerprinting, shingling.
+
+All column-expression based (JVM-side, codegen) — no Python UDFs in the
+hot path. Shingles/minhash explode rows but stay vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic. Public common-word lists.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "im", "für"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — size(split(trim(text), '\\s+'))."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (quality-score component)."""
+    n = F.length(text)
+    p = n - F.length(F.regexp_replace(text, r"[\.,;:!\?\'\"\(\)\[\]\-]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens for one language's seed list."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    total = F.size(toks)
+    return F.when(total > 0, hits.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality score in [0,1]: length sweet-spot,
+    moderate punctuation, presence of stopword-like short tokens.
+    Mirrors the length/punct/stopword ratio recipe from the brief."""
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))  # saturate at 200 chars
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * punct_ratio(text))
+    sw = stopword_ratio(text, "en")
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    return (0.5 * len_score + 0.3 * punct_pen + 0.2 * sw_score)
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit ratios as columns
+    plus the argmax language. Pure expressions — one narrow projection."""
+    out = df
+    for lang in STOPWORDS:
+        out = out.withColumn(f"score_{lang}", stopword_ratio(F.col(text_col), lang))
+    # argmax over the struct of (score, lang) pairs
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in STOPWORDS]
+    )
+    best = F.array_max(pairs)
+    return out.withColumn("pred_lang", best["l"]).withColumn("pred_score", best["s"])
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint — normalized-text MD5 (stable across engines,
+    unlike xxhash/cityhash which differ per engine)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingle array via sequence+transform — JVM-side, no UDF.
+    Returns empty array for texts shorter than k."""
+    t = F.lower(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.substring(t, i, k))
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array (for n-gram Jaccard dedup)."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(-1)))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,168 @@
+"""Vector/embedding operators: cosine similarity, brute-force kNN,
+LSH-bucketed approximate kNN, embedding near-duplicate detection.
+
+Dot products run as JVM higher-order functions (`zip_with` +
+`aggregate`) — vectorized, codegen'd, no Python in the loop. The
+brute-force path is the exactness baseline; the LSH path is the 100 TB
+route (bucket join prunes the candidate space by orders of magnitude).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Plan: broadcast the (small) query set against the corpus — a
+    broadcast-nested-loop scoring pass, then a per-query top-k via
+    window row_number. At 100 TB the corpus side stays partitioned;
+    only queries broadcast. Ties broken by neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH, derived from
+    a splitmix-style integer hash so they are engine-independent."""
+    planes = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            # map top 53 bits to (-1, 1)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucketed_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN: sign-LSH bucket join, then exact rescoring
+    within buckets. The scale path — candidate pairs shrink from |Q|·|C|
+    to the bucket-collision set; the bucket join is a plain shuffled
+    equi-join, and planes broadcast as literals.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def sig(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(p) for p in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for plane in planes
+        ]
+        out = F.lit(0)
+        for b in bits:
+            out = out * 2 + b
+        return out
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        _as_double(F.col(q_vec)).alias("qv"),
+    ).withColumn("bucket", sig(F.col("qv")))
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        _as_double(F.col(c_vec)).alias("cv"),
+    ).withColumn("bucket", sig(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Brute-force O(n²/2) pair scan — correct baseline; compose with
+    `lsh_bucketed_knn`'s bucketing to prune at scale.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

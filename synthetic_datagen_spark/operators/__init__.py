@@ -1,0 +1,9 @@
+"""Named query catalog — importing this package registers every query."""
+
+from .base import REGISTRY, QuerySpec, register  # noqa: F401
+
+from . import flagship  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import window_queries  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,276 @@
+"""Relational operator queries over the star schema (SURVEY §2.3, §2.6,
+§2.7): joins (broadcast-hash for dims, shuffle for facts, semi/anti),
+top-k, union+dedup, keep-first dedup.
+
+Oracle-parity note: every money aggregate is computed in DECIMAL on both
+sides. Double sums are order-dependent (Spark's partial aggregation and
+DuckDB's will sum in different orders); decimal addition is exact and
+associative, so both engines produce bit-identical results, which the
+driver's value-hash requires. The final cast back to DOUBLE is then
+deterministic too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources import Catalog
+from .base import register
+
+# exact decimal views of the double money columns; values are < 10^6 so
+# DECIMAL(12,2) holds them; products stay well under precision 38.
+def _dec(c: str, scale: int = 2, prec: int = 12) -> F.Column:
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+_DISC_PRICE = "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-style pricing summary: multi-aggregate scan→hash-agg "
+    "(partial+final, map-side combine). The A12 SQL-summary analog.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (1 - disc)
+    charge = disc_price * (1 + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    oracle=f"""
+SELECT o.o_orderkey,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-style: broadcast dim join + fact join + top-k. customer "
+    "broadcasts (dim); orders⋈lineitem is the one shuffle join.",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.dim("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.table("orders")
+    li = cat.table("lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_nation_revenue",
+    oracle=f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    doc="TPC-H Q5-style snowflake rollup: three chained broadcast-hash "
+    "joins (supplier→nation→region all dims) — zero shuffle joins; the "
+    "only shuffle is the final aggregation.",
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    s, n, r = cat.dim("supplier"), cat.dim("nation"), cat.dim("region")
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+    doc="Left-semi join (EXISTS). Spark plans a broadcast left-semi "
+    "when the right side is small, else shuffle-hash semi.",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+    doc="Left-anti join (NOT EXISTS) — the dedup-against-set primitive.",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "top_orders_by_totalprice",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    doc="O3/O5 top-k: TakeOrderedAndProject — no global sort, each "
+    "partition keeps k rows then the driver merges k·p rows.",
+)
+def top_orders_by_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "dedup_first_event_per_user",
+    oracle="""
+SELECT user_id, event_type AS first_event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="P3 keep-first dedup by key: row_number()=1 per (user) in event-"
+    "time order — the exact keep-first semantics of the reference's "
+    "duplicate-timestamp drop (app/data_processor.py:27-34).",
+)
+def dedup_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_event_type"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "union_dedup_events",
+    oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_ids
+FROM (
+  SELECT event_id FROM events
+  UNION ALL
+  SELECT event_id FROM events
+) u
+""",
+    doc="U1/U2 union + dedup counts — the multi-source append path "
+    "(reference: app/data_processor.py:27-34).",
+)
+def union_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").select("event_id")
+    u = ev.unionByName(ev)
+    return u.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_ids"),
+    )
+
+
+@register(
+    "orders_customer_nation_enrich",
+    oracle="""
+SELECT n.n_name AS nation, o.o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, o.o_orderstatus
+""",
+    doc="Fact→dim→dim enrichment with two broadcast joins and one agg.",
+)
+def orders_customer_nation_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c, n = cat.dim("customer"), cat.dim("nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )

@@ -1,0 +1,300 @@
+"""Time-series window queries over the `events` table (SURVEY §2.5).
+
+`events` plays the reference's typical_price role with event_type as the
+series key — so every window is partitioned (series-parallel), which is
+exactly the discipline that survives 100 TB: the global-order windows of
+the reference's single series become per-series windows here.
+
+Parity notes: running window sums/maxes evaluate left-to-right in frame
+order on both engines → bit-identical; `ln`/`exp` may differ in the last
+ulp between libms → rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import timeseries as TS
+from ..sources import Catalog
+from .base import register
+
+_SERIES = ["event_type"]
+_ORDER = ["ts", "event_id"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table("events")
+
+
+@register(
+    "w1_log_returns",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS log_ret
+  FROM events
+)
+SELECT event_id, event_type, ROUND(log_ret, 6) AS log_ret
+FROM r WHERE log_ret IS NOT NULL
+""",
+    doc="W1 log-returns per series (reference: app/data_processor.py:44-47) "
+    "with the P5 clip-before-log guard (regime_hmm_garch.py:67).",
+)
+def w1_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    return d.filter(F.col("log_ret").isNotNull()).select(
+        "event_id", "event_type", F.round("log_ret", 6).alias("log_ret")
+    )
+
+
+@register(
+    "w2_price_reconstruction",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, ts,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER w AS log_ret,
+         FIRST_VALUE(value) OVER w AS p0
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id, event_type,
+       ROUND(EXP(SUM(COALESCE(log_ret, 0.0)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + LN(p0)), 6) AS price
+FROM r
+""",
+    doc="W2 price reconstruction exp(cumsum(log_ret)+log(p0)) — the "
+    "multiplicative chain as a log-space prefix sum "
+    "(reference: app/data_processor.py:50-54). Round-trips W1 exactly.",
+)
+def w2_price_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = TS.series_window(_SERIES, _ORDER)
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    d = d.withColumn("p0", F.first("value").over(w))
+    d = TS.reconstruct_prices(d, "log_ret", "p0", _SERIES, _ORDER, out_col="price")
+    return d.select("event_id", "event_type", F.round("price", 6).alias("price"))
+
+
+@register(
+    "w4_rolling_volatility",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, ts,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS log_ret
+  FROM events
+)
+SELECT event_id, event_type,
+       ROUND(STDDEV_SAMP(log_ret) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS vol20
+FROM r
+QUALIFY COUNT(log_ret) OVER (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 5
+""",
+    doc="W4 rolling std of returns (20-row trailing frame, min_periods=5) "
+    "— reference: regime_hmm_garch.py:68-70 (pandas rolling std, ddof=1).",
+)
+def w4_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    d = TS.rolling_std(d, "log_ret", 20, _SERIES, _ORDER, out_col="vol20", min_periods=5)
+    return d.filter(F.col("vol20").isNotNull()).select(
+        "event_id", "event_type", F.round("vol20", 6).alias("vol20")
+    )
+
+
+@register(
+    "w6_autocorrelation_panel",
+    oracle="""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS log_ret
+  FROM events
+), lagged AS (
+  SELECT event_type, log_ret,
+         LAG(log_ret, 1)  OVER w AS l1,
+         LAG(log_ret, 5)  OVER w AS l5,
+         LAG(log_ret, 10) OVER w AS l10,
+         LAG(log_ret, 24) OVER w AS l24
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       ROUND(CORR(log_ret, l1), 6)  AS ac1,
+       ROUND(CORR(log_ret, l5), 6)  AS ac5,
+       ROUND(CORR(log_ret, l10), 6) AS ac10,
+       ROUND(CORR(log_ret, l24), 6) AS ac24
+FROM lagged
+GROUP BY event_type
+""",
+    doc="W6/J1 lag-k autocorrelation panel, k∈{1,5,10,24} — corr-with-lag, "
+    "no self-join (reference: distribution_evaluator.py:43-46,101-103).",
+)
+def w6_autocorrelation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = TS.series_window(_SERIES, _ORDER)
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    aggs = [
+        F.round(F.corr("log_ret", f"l{k}"), 6).alias(f"ac{k}") for k in (1, 5, 10, 24)
+    ]
+    return (
+        d.select(
+            "event_type",
+            "log_ret",
+            *[F.lag("log_ret", k).over(w).alias(f"l{k}") for k in (1, 5, 10, 24)],
+        )
+        .groupBy("event_type")
+        .agg(*aggs)
+    )
+
+
+@register(
+    "w7_volatility_clustering",
+    oracle="""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+         ABS(LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS abs_ret
+  FROM events
+), lagged AS (
+  SELECT event_type, abs_ret,
+         LAG(abs_ret) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS abs_ret_l1
+  FROM r
+)
+SELECT event_type, ROUND(CORR(abs_ret, abs_ret_l1), 6) AS vol_cluster
+FROM lagged
+GROUP BY event_type
+""",
+    doc="W7 volatility clustering = lag-1 autocorr of |returns| "
+    "(reference: composite_metric.py:59-63).",
+)
+def w7_volatility_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    out = TS.volatility_clustering(d, "log_ret", _SERIES, _ORDER, out_col="vc")
+    return out.select("event_type", F.round("vc", 6).alias("vol_cluster"))
+
+
+@register(
+    "w8_leverage_effect",
+    oracle="""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS log_ret
+  FROM events
+), led AS (
+  SELECT event_type, log_ret,
+         ABS(LEAD(log_ret) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS abs_lead
+  FROM r
+)
+SELECT event_type, ROUND(CORR(log_ret, abs_lead), 6) AS leverage
+FROM led
+GROUP BY event_type
+""",
+    doc="W8 leverage effect corr(r_t, |r_{t+1}|) "
+    "(reference: evaluate_all_generators.py:77-82).",
+)
+def w8_leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    out = TS.leverage_effect(d, "log_ret", 1, _SERIES, _ORDER, out_col="lev")
+    return out.select("event_type", F.round("lev", 6).alias("leverage"))
+
+
+@register(
+    "w9_max_drawdown",
+    oracle="""
+WITH peaks AS (
+  SELECT event_type,
+         (value - MAX(value) OVER w) / MAX(value) OVER w AS dd
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, ROUND(MIN(dd), 6) AS max_drawdown
+FROM peaks
+GROUP BY event_type
+""",
+    doc="W9 running-max drawdown min((p-peak)/peak) "
+    "(reference: evaluate_all_generators.py:110-113).",
+)
+def w9_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TS.max_drawdown(_events(spark, sf_dir), "value", _SERIES, _ORDER, out_col="mdd")
+    return out.select("event_type", F.round("mdd", 6).alias("max_drawdown"))
+
+
+@register(
+    "w15_chrono_split_counts",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pr
+  FROM events
+)
+SELECT event_type,
+       SUM(CASE WHEN pr <= 0.85 THEN 1 ELSE 0 END) AS n_train,
+       SUM(CASE WHEN pr > 0.85 THEN 1 ELSE 0 END) AS n_val
+FROM ranked
+GROUP BY event_type
+""",
+    doc="W15 chronological 85/15 train-val split sizes per series "
+    "(reference: timegan_generator.py:103-109).",
+)
+def w15_chrono_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, val = TS.chrono_split(_events(spark, sf_dir), 0.85, _SERIES, _ORDER)
+    t = train.groupBy("event_type").agg(F.count("*").alias("n_train"))
+    v = val.groupBy("event_type").agg(F.count("*").alias("n_val"))
+    return t.join(v, "event_type", "outer").fillna(0, ["n_train", "n_val"])
+
+
+@register(
+    "hourly_rollup",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling-window rollup (batch form of the streaming hypertable "
+    "rollup): hash-agg on (hour, type); decimal sums for exactness.",
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(12,2)")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(dec).cast("double") / F.count("*"), 6).alias("avg_value"),
+            F.sum(dec).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "cyclical_time_features",
+    oracle="""
+SELECT event_id,
+       ROUND(SIN(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS hour_sin,
+       ROUND(COS(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS hour_cos,
+       ROUND(SIN(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) AS dow_sin,
+       ROUND(COS(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) AS dow_cos,
+       ROUND(SIN(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) AS month_sin,
+       ROUND(COS(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) AS month_cos
+FROM events
+""",
+    doc="Temporal feature matrix — sin/cos cyclical encodings with the "
+    "reference's trading-week dow period of 5 "
+    "(reference: app/data_processor.py:70-92).",
+)
+def cyclical_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.cyclical_time_features(_events(spark, sf_dir), "ts")
+    cols = ["hour_sin", "hour_cos", "dow_sin", "dow_cos", "month_sin", "month_cos"]
+    return d.select("event_id", *[F.round(c, 6).alias(c) for c in cols])

@@ -1,0 +1,115 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every REGISTRY query on Spark and its oracle SQL on DuckDB at the
+given sf dir, then compares: row count, column names, and exact values
+on rows sorted by all columns. Reports the first mismatching cell per
+query so fp-parity issues are easy to chase.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from synthetic_datagen_spark.operators import REGISTRY  # noqa: E402
+from synthetic_datagen_spark.schemas import TABLES  # noqa: E402
+from synthetic_datagen_spark.session import get_spark  # noqa: E402
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf
+    return a == b
+
+
+def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if sc != dc:
+        return [f"schema mismatch: spark={sc} duck={dc}"]
+    if len(spark_pd) != len(duck_pd):
+        errs.append(f"rowcount mismatch: spark={len(spark_pd)} duck={len(duck_pd)}")
+    a, b = canon(spark_pd), canon(duck_pd)
+    n = min(len(a), len(b))
+    bad = 0
+    for i in range(n):
+        for c in a.columns:
+            if not cells_equal(a[c].iloc[i], b[c].iloc[i]):
+                if bad < 3:
+                    errs.append(f"row {i} col {c}: spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}")
+                bad += 1
+    if bad:
+        errs.append(f"{bad} mismatched cells total")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    failed = []
+    for name, spec in sorted(REGISTRY.items()):
+        if only and name not in only:
+            continue
+        if spec.oracle is None:
+            df = spec.build(spark, sf_dir)
+            n = df.count()
+            print(f"[rows-only] {name}: {n} rows")
+            continue
+        try:
+            spark_pd = spec.build(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        try:
+            duck_pd = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        errs = compare(name, spark_pd, duck_pd)
+        if errs:
+            print(f"[FAIL] {name}:")
+            for e in errs:
+                print(f"    {e}")
+            failed.append(name)
+        else:
+            print(f"[ok] {name}: {len(spark_pd)} rows")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
