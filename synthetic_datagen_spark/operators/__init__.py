@@ -2,6 +2,8 @@
 
 from .base import REGISTRY, QuerySpec, register  # noqa: F401
 
+from . import agg_queries  # noqa: F401,E402
+from . import distribution_queries  # noqa: F401,E402
 from . import flagship  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402

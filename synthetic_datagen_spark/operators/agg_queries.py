@@ -1,0 +1,259 @@
+"""Aggregation queries (SURVEY §2.4): moment panels, histograms,
+quantile discretization, state frequencies, transition matrices, SQL
+summary views, rollup/cube.
+
+Parity notes: skew/kurtosis built-ins differ across engines (Spark uses
+population g1/excess-g2, DuckDB uses sample-corrected) — both sides here
+compute them explicitly from centered moments (two-pass: mean join, then
+centered aggregates; no catastrophic cancellation, so rounded values
+agree). Counts and count-ratios are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import stats as ST
+from ..sources import Catalog
+from .base import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table("events")
+
+
+@register(
+    "a1_moment_panel",
+    oracle="""
+WITH mu AS (
+  SELECT event_type, AVG(value) AS m, COUNT(*) AS n,
+         MIN(value) AS min_value, MAX(value) AS max_value
+  FROM events GROUP BY event_type
+), cent AS (
+  SELECT e.event_type,
+         AVG((e.value - mu.m) * (e.value - mu.m)) AS m2,
+         AVG((e.value - mu.m) * (e.value - mu.m) * (e.value - mu.m)) AS m3,
+         AVG((e.value - mu.m) * (e.value - mu.m) * (e.value - mu.m) * (e.value - mu.m)) AS m4
+  FROM events e JOIN mu ON e.event_type = mu.event_type
+  GROUP BY e.event_type
+)
+SELECT mu.event_type, mu.n,
+       ROUND(mu.m, 6) AS mean_value,
+       ROUND(SQRT(cent.m2), 6) AS std_pop,
+       ROUND(cent.m3 / POW(cent.m2, 1.5), 6) AS skew,
+       ROUND(cent.m4 / (cent.m2 * cent.m2), 6) AS kurt_raw,
+       ROUND(mu.min_value, 6) AS min_value,
+       ROUND(mu.max_value, 6) AS max_value
+FROM mu JOIN cent ON mu.event_type = cent.event_type
+""",
+    doc="A1/A2 moment panel: mean/std/skew/raw-kurtosis per series "
+    "(reference: distribution_evaluator.py:96-99, composite_metric.py:127-130; "
+    "numpy population ddof=0 convention, raw kurtosis = excess + 3).",
+)
+def a1_moment_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    mu = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.count("*").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    cd = F.col("value") - F.col("m")
+    cent = (
+        ev.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg(cd * cd).alias("m2"),
+            F.avg(cd * cd * cd).alias("m3"),
+            F.avg(cd * cd * cd * cd).alias("m4"),
+        )
+    )
+    return (
+        mu.join(cent, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.round("m", 6).alias("mean_value"),
+            F.round(F.sqrt("m2"), 6).alias("std_pop"),
+            F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skew"),
+            F.round(F.col("m4") / (F.col("m2") * F.col("m2")), 6).alias("kurt_raw"),
+            F.round("min_v", 6).alias("min_value"),
+            F.round("max_v", 6).alias("max_value"),
+        )
+    )
+
+
+@register(
+    "a3_histogram_100",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR((value - 0.0) / 5.0) AS BIGINT), 99) AS bin
+  FROM events WHERE value BETWEEN 0.0 AND 500.0
+)
+SELECT bin, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / (SUM(COUNT(*)) OVER () * 5.0), 6) AS density
+FROM b GROUP BY bin
+""",
+    doc="A3 fixed-range 100-bin histogram with density normalization — "
+    "the KL/JS building block (reference: distribution_evaluator.py:27-36). "
+    "numpy closed-right-edge on the last bin mirrored via LEAST.",
+)
+def a3_histogram_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = ST.histogram(_events(spark, sf_dir), "value", 0.0, 500.0, bins=100, density=True)
+    return h.select("bin", "cnt", F.round("density", 6).alias("density"))
+
+
+@register(
+    "a4_quantile_edges",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS qs
+  FROM events GROUP BY event_type
+)
+SELECT event_type, edge_idx, ROUND(qs[edge_idx + 1], 6) AS edge
+FROM q CROSS JOIN (SELECT UNNEST(generate_series(0, 10)) AS edge_idx) i
+""",
+    doc="A4 exact decile edges per series — np.quantile linear "
+    "interpolation parity via Spark's exact `percentile` "
+    "(reference: grasynda_generator.py:77-82).",
+)
+def a4_quantile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ST.quantile_edges(_events(spark, sf_dir), "value", 10, ["event_type"])
+    return e.select("event_type", "edge_idx", F.round("edge", 6).alias("edge"))
+
+
+@register(
+    "a5_state_frequency",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN value < 10 THEN 0 WHEN value < 50 THEN 1
+              WHEN value < 100 THEN 2 WHEN value < 200 THEN 3 ELSE 4 END AS state
+  FROM events
+)
+SELECT state, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS freq
+FROM s GROUP BY state
+""",
+    doc="A5+A6 digitize into value states + normalized frequencies "
+    "(reference: grasynda_generator.py:84,113-115).",
+)
+def a5_state_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    state = ST.digitize(F.col("value"), [10.0, 50.0, 100.0, 200.0])
+    d = ev.withColumn("state", state)
+    f = ST.state_frequency(d, "state")
+    return f.select("state", "cnt", F.round("freq", 6).alias("freq"))
+
+
+@register(
+    "a7_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS state,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+  FROM events
+)
+SELECT state, next_state, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY state) AS DOUBLE), 6) AS prob
+FROM seq WHERE next_state IS NOT NULL
+GROUP BY state, next_state
+""",
+    doc="A7 row-stochastic transition matrix over per-user event "
+    "sequences (reference: grasynda_generator.py:87-94) — lead + "
+    "count + windowed row-normalize, long form.",
+)
+def a7_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = ST.transition_counts(
+        _events(spark, sf_dir), "event_type", ["user_id"], ["ts", "event_id"]
+    )
+    return t.select("state", "next_state", "cnt", F.round("prob", 6).alias("prob"))
+
+
+@register(
+    "a12_generator_summary",
+    oracle="""
+SELECT source AS generator, lang,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 3) AS avg_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source, lang
+ORDER BY generator, lang
+""",
+    doc="A12 the reference's SQLite OLAP summary view as Spark SQL "
+    "(reference: evaluate_all_generators.py:245-281) — GROUP BY + "
+    "ROUND(AVG) + ORDER BY, verbatim relational surface.",
+)
+def a12_generator_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        docs.groupBy(F.col("source").alias("generator"), "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("generator", "lang")
+    )
+
+
+@register(
+    "a14_distinct_states",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+FROM events GROUP BY event_type
+""",
+    doc="A14/U3 distinct counts — Spark plans these as two-phase "
+    "(expand + partial distinct) aggregates.",
+)
+def a14_distinct_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        )
+    )
+
+
+@register(
+    "rollup_region_status_revenue",
+    oracle="""
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(o.o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, o.o_orderstatus)
+""",
+    doc="ROLLUP hierarchy aggregate (engine SQL surface beyond the "
+    "reference, SURVEY §2.4 note) — Spark Expand + single hash agg.",
+)
+def rollup_region_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders")
+    c, n, r = cat.dim("customer"), cat.dim("nation"), cat.dim("region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_value",
+        )
+    )
