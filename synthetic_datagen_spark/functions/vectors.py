@@ -91,21 +91,23 @@ def lsh_bucketed_knn(
     corpus: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 12,
+    n_tables: int = 4,
+    n_planes: int = 6,
     seed: int = 42,
     q_id: str = "vec_id",
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate kNN: sign-LSH bucket join, then exact rescoring
-    within buckets. The scale path — candidate pairs shrink from |Q|·|C|
-    to the bucket-collision set; the bucket join is a plain shuffled
-    equi-join, and planes broadcast as literals.
+    """Approximate kNN: multi-table sign-LSH bucket join + exact
+    rescoring within buckets. The scale path — candidates shrink from
+    |Q|·|C| to the union of per-table bucket collisions; each table is
+    ``n_planes`` hyperplanes (2^n_planes buckets), and more tables raise
+    recall. The bucket join is a plain equi-join on (table, bucket);
+    planes ship as plan literals (engine-independent splitmix PRNG).
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
 
-    def sig(vec: Column) -> Column:
+    def sig(vec: Column, planes: list[list[float]]) -> Column:
         bits = [
             F.when(
                 F.aggregate(
@@ -127,18 +129,33 @@ def lsh_bucketed_knn(
             out = out * 2 + b
         return out
 
-    q = queries.select(
-        F.col(q_id).alias("query_id"),
-        _as_double(F.col(q_vec)).alias("qv"),
-    ).withColumn("bucket", sig(F.col("qv")))
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"),
-        _as_double(F.col(c_vec)).alias("cv"),
-    ).withColumn("bucket", sig(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, src_id: str, src_vec: str) -> DataFrame:
+        d = df.select(
+            F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
+        )
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sig(F.col(vec_alias), random_hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return d.select(id_alias, vec_alias, F.explode(tables).alias("tb")).select(
+            id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    q = with_buckets(queries, "query_id", "qv", q_id, q_vec)
+    c = with_buckets(corpus, "neighbor_id", "cv", c_id, c_vec)
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -6,6 +6,8 @@ from . import agg_queries  # noqa: F401,E402
 from . import distribution_queries  # noqa: F401,E402
 from . import flagship  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import text_queries  # noqa: F401,E402
+from . import vector_queries  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,317 @@
+"""Text-analysis & deduplication queries over `documents` (driver brief:
+LLM training-data pipeline operators).
+
+Scale shape: everything is explode→groupBy→join on content keys
+(shingles / fingerprints / band signatures) — the classic MinHash-LSH
+layout where the candidate set, not the n² pair space, drives cost.
+Hashes are MD5-derived so Spark and DuckDB agree bit-for-bit (engine
+hash() builtins differ and are never used for parity paths).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions import text as TX
+from ..sources import Catalog
+from .base import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table("documents")
+
+
+@register(
+    "text_quality_stats",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[\.,;:!\?''"\(\)\[\]\-]', '', 'g'))) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio,
+         n_chars
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
+       ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM d GROUP BY lang
+""",
+    doc="Token counting + punctuation-ratio quality stats per language "
+    "— whitespace tokenizer, pure column expressions (no UDF).",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        "n_chars",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count("*").cast("double"), 6).alias("avg_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def _sw_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        f"CASE WHEN toks = [''] THEN 0.0 ELSE "
+        f"len(list_filter(toks, t -> list_contains([{words}], t))) / CAST(len(toks) AS DOUBLE) END"
+    )
+
+
+@register(
+    "lang_id_accuracy",
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {_sw_sql('en')} AS score_en, {_sw_sql('es')} AS score_es,
+         {_sw_sql('de')} AS score_de, {_sw_sql('fr')} AS score_fr,
+         {_sw_sql('zh')} AS score_zh
+  FROM t
+), unp AS (
+  SELECT doc_id, lang, cand, score
+  FROM scores UNPIVOT (score FOR cand IN (score_en AS 'en', score_es AS 'es',
+                                          score_de AS 'de', score_fr AS 'fr', score_zh AS 'zh'))
+), best AS (
+  SELECT doc_id, lang, cand AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+  FROM unp
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+       ROUND(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM best WHERE rn = 1
+GROUP BY lang
+""",
+    doc="Language-ID n-gram/stopword heuristic scored against the "
+    "labeled lang column — per-language accuracy panel. Argmax with "
+    "(score, lang) tie-break, identical on both engines.",
+)
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TX.lang_scores(_docs(spark, sf_dir))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)).alias("n_correct"),
+        F.round(
+            F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 1
+""",
+    doc="Exact dedup via normalized-text MD5 fingerprint: groupBy hash, "
+    "keep-first (min id). One shuffle on the 16-byte key — at 100 TB "
+    "this is the standard first dedup pass before MinHash.",
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(text)-4, 0)),"
+    " i -> substr(lower(text), i, 5)))"
+)
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS sh
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
+""",
+    doc="Near-dup detection by exact character-5-shingle Jaccard ≥ 0.8: "
+    "explode distinct shingles → self-join on shingle → count common → "
+    "Jaccard. The candidate space is shingle collisions, not n² pairs.",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct(TX.shingles(F.col("text"), 5))).alias("sh")
+    )
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")).cast("double")
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_BANDS, _ROWS = 4, 3  # b bands × r minhashes: P(candidate) = 1-(1-J^r)^b
+
+
+def _minhash_band_sql(band: int) -> str:
+    # band signature = concat of r independent minhashes; the hash
+    # family is md5 with a per-function prefix — engine-portable.
+    parts = [
+        f"list_min(list_transform(shs, s -> md5('{band * _ROWS + r}|' || s)))"
+        for r in range(_ROWS)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH shingled AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shs FROM documents
+  WHERE length(text) >= 5
+), sigs AS (
+  SELECT doc_id,
+         {_minhash_band_sql(0)} AS b0, {_minhash_band_sql(1)} AS b1,
+         {_minhash_band_sql(2)} AS b2, {_minhash_band_sql(3)} AS b3
+  FROM shingled
+), bands AS (
+  SELECT doc_id, 0 AS band, b0 AS sig FROM sigs
+  UNION ALL SELECT doc_id, 1, b1 FROM sigs
+  UNION ALL SELECT doc_id, 2, b2 FROM sigs
+  UNION ALL SELECT doc_id, 3, b3 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b FROM cand
+""",
+    doc="MinHash-LSH near-dup candidates: 4 bands × 3 minhashes "
+    "(md5 hash family), bucket-join on (band, signature), distinct "
+    "pairs — P(candidate) = 1-(1-J^3)^4, so J≈1 dups always collide "
+    "while random-overlap pairs are pruned. The 100 TB dedup path; "
+    "verify candidates with dedup_shingle_jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
+    shs = F.array_distinct(TX.shingles(F.col("text"), 5))
+
+    def minhash(i: int):
+        return F.array_min(
+            F.transform(shs, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    def sig(band: int):
+        return F.concat(*[minhash(band * _ROWS + r) for r in range(_ROWS)])
+    sigs = docs.select(
+        "doc_id", *[sig(b).alias(f"b{b}") for b in range(4)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
+                for b in range(4)
+            ])
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _simhash_expr(toks: Column) -> Column:
+    """32-bit SimHash: per-token 32-bit MD5-prefix hash; signature bit b
+    is the sign of sum over tokens of ±1 on that bit."""
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    hashes = F.transform(toks, h)
+    bits = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for b in range(32)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+@register(
+    "dedup_simhash",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(u.t), 1, 8))::BIGINT AS h
+  FROM t, UNNEST(toks) AS u(t)
+), bit_votes AS (
+  SELECT doc_id, b.b AS bit,
+         CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS v
+  FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id, SUM(v * (1::BIGINT << (31 - bit))) AS simhash
+FROM bit_votes GROUP BY doc_id
+""",
+    doc="SimHash document signatures (32-bit, token-level, MD5-derived "
+    "hash family): near-dups are signatures within small Hamming "
+    "distance — bucketable by signature prefix at scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select("doc_id", _simhash_expr(toks).alias("simhash"))

@@ -1,0 +1,93 @@
+"""Similarity-search queries over `embeddings` (driver brief: ANN over
+an array<float> column).
+
+Brute-force cosine top-k is the exactness baseline (oracle-checked);
+the sign-LSH bucketed variant is the 100 TB path (rows-only — its
+hyperplanes are engine-internal literals; recall vs brute force is
+asserted in tests/test_vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import vectors as V
+from ..sources import Catalog
+from .base import register
+
+_K = 5
+_NQ = 10  # vec_id < 10 are the query vectors
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).table("embeddings")
+
+
+@register(
+    "knn_brute_force",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NQ}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q.embedding', b='c.embedding')}
+           / (sqrt({_DOT.format(a='q.embedding', b='q.embedding')})
+              * sqrt({_DOT.format(a='c.embedding', b='c.embedding')})) AS cos_sim
+  FROM embeddings c, q
+  WHERE c.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+""",
+    doc="Exact top-5 cosine kNN for 10 query vectors: broadcast the "
+    "query set, score the corpus with JVM higher-order functions "
+    "(zip_with+aggregate — no Python), per-query window top-k.",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ)
+    out = V.brute_force_knn(q, emb, _K)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+         / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+            * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+         / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+            * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.35
+""",
+    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.35): the exact "
+    "O(n²/2) pair scan baseline for embedding dedup; compose with the "
+    "LSH bucketer to prune at scale.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.embedding_near_dups(_emb(spark, sf_dir), 0.35)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle=None,  # hyperplanes are engine literals; recall tested vs brute force
+    doc="Approximate kNN via 12-plane sign-LSH bucketing + exact "
+    "rescoring inside buckets — the scale path (candidates from bucket "
+    "collisions instead of the full corpus).",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ)
+    return V.lsh_bucketed_knn(q, emb, _K, dim=64, n_tables=4, n_planes=6, seed=42)

@@ -1,0 +1,42 @@
+"""Dedup-operator semantics: MinHash-LSH candidates must cover the true
+near-duplicate pairs found by exact shingle Jaccard."""
+
+from __future__ import annotations
+
+from synthetic_datagen_spark.operators import REGISTRY
+
+
+def test_minhash_candidates_cover_true_near_dups(spark, sf_smoke):
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_shingle_jaccard"].build(spark, sf_smoke).collect()
+    }
+    cand_pairs = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_minhash_lsh"].build(spark, sf_smoke).collect()
+    }
+    assert true_pairs, "fixture should contain near-duplicate documents"
+    missed = true_pairs - cand_pairs
+    assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_exact_dedup_groups_consistent(spark, sf_smoke):
+    fp = REGISTRY["dedup_exact_fingerprint"].build(spark, sf_smoke).collect()
+    total = sum(r.n_copies for r in fp)
+    from synthetic_datagen_spark.sources import Catalog
+
+    assert total == Catalog(spark, sf_smoke).table("documents").count()
+    for r in fp:
+        assert r.n_copies >= 1
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
+    sim = {r.doc_id: r.simhash for r in REGISTRY["dedup_simhash"].build(spark, sf_smoke).collect()}
+    true_pairs = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in REGISTRY["dedup_shingle_jaccard"].build(spark, sf_smoke).collect()
+    ]
+    close = [p for p in true_pairs if p[2] >= 0.95 and p[0] in sim and p[1] in sim]
+    for a, b, _ in close:
+        ham = bin(sim[a] ^ sim[b]).count("1")
+        assert ham <= 10, f"docs {a},{b} jaccard>=0.95 but hamming {ham}"

@@ -1,0 +1,38 @@
+"""Vector-operator tests: LSH recall vs brute force, cosine sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from synthetic_datagen_spark.functions import vectors as V
+from synthetic_datagen_spark.sources import Catalog
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = V.brute_force_knn(q, emb, 5).select("query_id", "neighbor_id")
+    lsh = V.lsh_bucketed_knn(q, emb, 5, dim=64, n_tables=8, n_planes=5, seed=42)
+    hits = bf.join(lsh.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    recall = hits / bf.count()
+    assert recall >= 0.4, f"LSH recall {recall} too low"
+
+
+def test_lsh_deterministic_across_partitioning(spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = V.lsh_bucketed_knn(q, emb, 5, dim=64).collect()
+    b = V.lsh_bucketed_knn(q.repartition(7), emb.repartition(13), 5, dim=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cosine_self_similarity(spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).table("embeddings").limit(20)
+    d = emb.select(
+        V.cosine(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("embedding", lambda x: x.cast("double")),
+        ).alias("c")
+    )
+    bad = d.filter(F.abs(F.col("c") - 1.0) > 1e-12).count()
+    assert bad == 0
