@@ -1,0 +1,135 @@
+"""G4 — block bootstrap generator, Spark-first (SURVEY §2.10).
+
+reference: sdg_plugins/generator/block_bootstrap_generator.py:50-103 —
+sample contiguous price blocks from the training series, rescale each
+block so its first price continues the previous block's last price
+(ratio chaining), concatenate, truncate.
+
+Spark design (NOT a port):
+  * fit(): one windowed pass marks each training row with
+    (block_id, pos) — the blocks table stays distributed.
+  * generate(): `spark.range(n_series × n_slots)` picks a block per
+    slot via the hash-derived seed (partition-independent), joins the
+    blocks table on block_id, and rewrites the reference's sequential
+    multiplicative chain  scale_i = Π_j<i  last_j / first_j  as a
+    log-space prefix sum — a running window aggregate, fully parallel
+    within each generated series.  No applyInPandas, no driver loop:
+    generation is ~4 narrow stages + 1 join + 1 window.
+  * determinism: block choice = splitmix64(seed, series_id, slot); no
+    rand(), no partition sensitivity (tests vary shuffle partitions).
+
+At 100 TB: blocks table partitions by block_id (the join key), the
+slot table is tiny, and the window partitions by generated series —
+both axes scale with cluster width.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .seeds import seed_col
+
+
+class BlockBootstrapGenerator:
+    """Training-free block-bootstrap sampler.
+
+    Parameters mirror the reference (block_size default 30 ≈ one
+    trading week of 4 h bars, block_bootstrap_generator.py:12).
+    """
+
+    def __init__(self, block_size: int = 30):
+        self.block_size = block_size
+        self.blocks: DataFrame | None = None
+        self.n_blocks: int | None = None
+
+    # ---------------------------------------------------------- fit --
+    def fit(
+        self,
+        df: DataFrame,
+        value_col: str,
+        order_cols: list[str],
+        series_col: str | None = None,
+    ) -> "BlockBootstrapGenerator":
+        """Index the training series into non-overlapping blocks.
+
+        With a series column, blocks from all series pool together
+        (block ids are global), matching the reference's single pool.
+        """
+        part = [series_col] if series_col else []
+        w = Window.partitionBy(*part).orderBy(*order_cols) if part else Window.orderBy(*order_cols)
+        d = df.select(
+            *( [series_col] if series_col else [] ),
+            F.col(value_col).alias("price"),
+            (F.row_number().over(w) - 1).alias("_i"),
+        )
+        d = d.withColumn("local_block", F.floor(F.col("_i") / self.block_size)).withColumn(
+            "pos", F.col("_i") % self.block_size
+        )
+        # keep only full blocks; assign dense global block ids
+        sizes = d.groupBy(*(part + ["local_block"])).agg(F.count("*").alias("m"))
+        full = sizes.filter(F.col("m") == self.block_size).drop("m")
+        ids = full.withColumn(
+            "block_id",
+            F.row_number().over(Window.orderBy(*(part + ["local_block"]))) - 1,
+        )
+        self.blocks = (
+            d.join(F.broadcast(ids), part + ["local_block"])
+            .select("block_id", "pos", "price")
+            .persist()
+        )
+        self.n_blocks = self.blocks.select(F.countDistinct("block_id")).first()[0]
+        return self
+
+    # ----------------------------------------------------- generate --
+    def generate(self, spark, seed: int, n_samples: int, n_series: int = 1) -> DataFrame:
+        """Seed-deterministic synthetic series.
+
+        Returns (series_id, t, price); same (seed, params) ⇒ identical
+        rows under any partitioning; different seed ⇒ different draws
+        (reference contract tests/test_plugins.py:74-83).
+        """
+        if self.blocks is None or not self.n_blocks:
+            raise RuntimeError("fit() first")
+        n_slots = math.ceil(n_samples / self.block_size)
+        slots = (
+            spark.range(n_series * n_slots)
+            .select(
+                (F.col("id") / n_slots).cast("long").alias("series_id"),
+                (F.col("id") % n_slots).alias("slot"),
+            )
+            .withColumn(
+                "block_id",
+                F.pmod(seed_col(seed, F.col("series_id"), F.col("slot")), F.lit(self.n_blocks)),
+            )
+        )
+        picked = slots.join(self.blocks, "block_id")
+        sw = Window.partitionBy("series_id").orderBy("slot", "pos")
+        # per-(series,slot) first/last prices for the ratio chain
+        bw = Window.partitionBy("series_id", "slot")
+        d = (
+            picked.withColumn("first_p", F.min(F.struct("pos", "price")).over(bw)["price"])
+            .withColumn("last_p", F.max(F.struct("pos", "price")).over(bw)["price"])
+        )
+        # scale_i = Π_{j<i} last_j/first_j  →  exp(Σ log ratio) over
+        # preceding slots; implemented as running sum minus own term.
+        log_ratio = F.log(F.col("last_p")) - F.log(F.col("first_p"))
+        slot_w = (
+            Window.partitionBy("series_id")
+            .orderBy("slot", "pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # running sum of per-row "slot-start marker × log_ratio" gives the
+        # chain up to and including the current slot; subtract the
+        # current slot's own contribution to get strictly-preceding.
+        marker = F.when(F.col("pos") == 0, log_ratio).otherwise(F.lit(0.0))
+        d = d.withColumn("chain", F.sum(marker).over(slot_w) - log_ratio)
+        # output price: block price re-anchored at its own first price,
+        # then chained: p·(first_0/first_i)·Π_{j<i}(last_j/first_j)
+        first0 = F.first("first_p").over(sw.rowsBetween(Window.unboundedPreceding, 0))
+        d = d.withColumn("t", F.row_number().over(sw) - 1).filter(F.col("t") < n_samples)
+        out_price = F.exp(
+            F.log("price") - F.log("first_p") + F.col("chain") + F.log(first0)
+        )
+        return d.select("series_id", "t", out_price.alias("price"))

@@ -5,6 +5,7 @@ from .base import REGISTRY, QuerySpec, register  # noqa: F401
 from . import agg_queries  # noqa: F401,E402
 from . import distribution_queries  # noqa: F401,E402
 from . import flagship  # noqa: F401,E402
+from . import generator_queries  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import vector_queries  # noqa: F401,E402
