@@ -1,0 +1,13 @@
+from .distribution import DistributionEvaluator, spectral_distance
+from .composite import composite_score, DEFAULT_WEIGHTS
+from .tolerance import tolerance_panel
+from .predictive import PredictiveEvaluator
+
+__all__ = [
+    "DistributionEvaluator",
+    "spectral_distance",
+    "composite_score",
+    "DEFAULT_WEIGHTS",
+    "tolerance_panel",
+    "PredictiveEvaluator",
+]

@@ -1,0 +1,144 @@
+"""DistributionEvaluator (SURVEY §2.9) — the reference's evaluate-mode
+metric battery as one Spark job graph.
+
+reference: sdg_plugins/evaluator/distribution_evaluator.py:74-116 and
+examples/scripts/composite_metric.py:66-153. Two input series → metric
+dict: distribution distances (D1-D3), autocorrelation panel (W6/W7),
+Hurst (D6), spectral distance (D5), moment ratios (D7).
+
+Everything except the FFT runs as DataFrame aggregates over a
+union-with-tag frame; the FFT (D5) is a per-series numpy kernel behind
+applyInPandas (series are bounded samples, never raw fact tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from ..functions import distances as D
+from ..functions import timeseries as TS
+
+
+def spectral_distance(
+    df: DataFrame,
+    value_col: str,
+    tag_col: str,
+    tag_a: str,
+    tag_b: str,
+    order_cols: list[str],
+) -> float:
+    """D5 — RMSE between normalized FFT power spectra
+    (reference: composite_metric.py:50-56). One grouped-map task per
+    side computes its spectrum; the RMSE joins two tiny arrays."""
+    schema = T.StructType(
+        [
+            T.StructField("tag", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("p", T.DoubleType()),
+        ]
+    )
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf.sort_values("_ord")[value_col].to_numpy(dtype=np.float64)
+        if len(x) < 4:
+            return pd.DataFrame(columns=["tag", "k", "p"])
+        pw = np.abs(np.fft.rfft(x - x.mean())) ** 2
+        tot = pw.sum()
+        pw = pw / tot if tot > 0 else pw
+        return pd.DataFrame(
+            {"tag": pdf["_tag"].iloc[0], "k": np.arange(len(pw)), "p": pw}
+        )
+
+    w = Window.partitionBy(tag_col).orderBy(*order_cols)
+    d = (
+        df.filter(F.col(tag_col).isin(tag_a, tag_b))
+        .withColumn("_ord", F.row_number().over(w))
+        .withColumnRenamed(tag_col, "_tag")
+        .select("_tag", "_ord", value_col)
+    )
+    spec = d.groupBy("_tag").applyInPandas(spectrum, schema)
+    a = spec.filter(F.col("tag") == tag_a).select("k", F.col("p").alias("pa"))
+    b = spec.filter(F.col("tag") == tag_b).select("k", F.col("p").alias("pb"))
+    j = a.join(b, "k", "inner")  # truncate to common spectrum length
+    row = j.agg(F.sqrt(F.avg(F.pow(F.col("pa") - F.col("pb"), 2))).alias("sd")).first()
+    return float(row["sd"]) if row["sd"] is not None else float("nan")
+
+
+class DistributionEvaluator:
+    """Compute the full metric panel between two tagged series."""
+
+    def __init__(self, bins: int = 100, acf_lags: tuple[int, ...] = (1, 5, 10, 24)):
+        self.bins = bins
+        self.acf_lags = acf_lags
+
+    def evaluate(
+        self,
+        df: DataFrame,
+        value_col: str,
+        tag_col: str,
+        tag_real: str,
+        tag_syn: str,
+        order_cols: list[str],
+    ) -> dict[str, float]:
+        out: dict[str, float] = {}
+        rng = df.filter(F.col(tag_col).isin(tag_real, tag_syn)).agg(
+            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+        ).first()
+        lo, hi = float(rng["lo"]), float(rng["hi"])
+        if hi <= lo:
+            hi = lo + 1.0
+
+        out["js_div"] = float(
+            D.js_divergence(df, value_col, tag_col, tag_real, tag_syn, lo, hi, self.bins)
+            .first()["js_div"]
+        )
+        out["wasserstein"] = float(
+            D.wasserstein_1d(df, value_col, tag_col, tag_real, tag_syn).first()["w1"]
+        )
+        out["ks_stat"] = float(
+            D.ks_statistic(df, value_col, tag_col, tag_real, tag_syn).first()["ks_stat"]
+        )
+
+        # returns-based panel
+        r = TS.log_returns(df, value_col, [tag_col], order_cols, out_col="_r")
+        w = Window.partitionBy(tag_col).orderBy(*order_cols)
+        lag_cols = [F.lag("_r", k).over(w).alias(f"_l{k}") for k in self.acf_lags]
+        panel = (
+            r.select(
+                tag_col,
+                "_r",
+                F.abs("_r").alias("_a"),
+                F.lag(F.abs("_r")).over(w).alias("_al"),
+                *lag_cols,
+            )
+            .groupBy(tag_col)
+            .agg(
+                F.stddev_pop("_r").alias("std"),
+                F.mean("_r").alias("mean"),
+                *[F.corr("_r", f"_l{k}").alias(f"ac{k}") for k in self.acf_lags],
+                F.corr("_a", "_al").alias("vol_cluster"),
+            )
+        )
+        rows = {row[tag_col]: row for row in panel.collect()}
+        ra, rb = rows[tag_real], rows[tag_syn]
+        out["std_ratio"] = (rb["std"] / ra["std"]) if ra["std"] else float("nan")
+        for k in self.acf_lags:
+            a_, b_ = ra[f"ac{k}"], rb[f"ac{k}"]
+            out[f"ac{k}_diff"] = abs((b_ or 0.0) - (a_ or 0.0))
+        out["vol_cluster_diff"] = abs((rb["vol_cluster"] or 0.0) - (ra["vol_cluster"] or 0.0))
+
+        hurst = {
+            row[tag_col]: row["hurst"]
+            for row in D.hurst_rs(df, value_col, [tag_col], order_cols)
+            .filter(F.col(tag_col).isin(tag_real, tag_syn))
+            .collect()
+        }
+        out["hurst_diff"] = abs(hurst.get(tag_syn, 0.5) - hurst.get(tag_real, 0.5))
+        out["spectral_dist"] = spectral_distance(
+            df, value_col, tag_col, tag_real, tag_syn, order_cols
+        )
+        return out

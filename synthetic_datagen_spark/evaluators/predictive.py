@@ -1,0 +1,112 @@
+"""M10/M11 — predictive-utility A/B evaluation (THE metric).
+
+reference: sdg_plugins/evaluator/predictive_evaluator.py:169-287 —
+train a predictor on real data (baseline), retrain on synthetic+real
+(augmented), compare val/test MAE: does the synthetic data *help* a
+downstream model?
+
+Spark-first split of labor (SURVEY §3.3):
+  * supervised X/y windows (W10) build distributedly;
+  * the predictor is ridge regression via the closed-form normal
+    equations — X'X and X'y are computed as *distributed Spark
+    aggregates* (a (W+1)² matrix of sums), so no training row ever
+    reaches the driver; only the (W+1)² Gram matrix does. The reference
+    uses a 32-unit LSTM (predictive_evaluator.py:75-135); TF is not a
+    dependency here, and for the A/B *protocol* the predictor family is
+    pluggable by design (the reference itself swaps predictors via
+    subprocess — :370-394).
+  * MAE/deltas are Spark aggregates (avg(abs(pred-y))).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _xy(df: DataFrame, window: int, horizon: int, value_col: str,
+        partition_cols: list[str], order_cols: list[str]) -> DataFrame:
+    from ..functions import timeseries as TS
+
+    d = TS.supervised_windows(df, value_col, window, horizon, partition_cols, order_cols)
+    return d.select(F.col("x"), F.col("y"))
+
+
+def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed X'X, X'y over (x: array<double>, y) with intercept."""
+    # append 1.0 for the intercept; aggregate outer products via
+    # explode-free expression: sum over rows of x_i * x_j as a matrix of
+    # aggregate expressions (W+1 ≤ ~33 → (W+1)² ≤ ~1.1k sums, one pass).
+    n = window + 1
+    xi = [F.element_at("x", i + 1) for i in range(window)] + [F.lit(1.0)]
+    aggs = []
+    for i in range(n):
+        for j in range(i, n):
+            aggs.append(F.sum(xi[i] * xi[j]).alias(f"g_{i}_{j}"))
+    for i in range(n):
+        aggs.append(F.sum(xi[i] * F.col("y")).alias(f"b_{i}"))
+    aggs.append(F.count("*").alias("m"))
+    row = df.agg(*aggs).first()
+    G = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i, n):
+            G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
+    b = np.array([row[f"b_{i}"] for i in range(n)])
+    return G, b, int(row["m"])
+
+
+class PredictiveEvaluator:
+    def __init__(self, window: int = 16, horizon: int = 1, ridge: float = 1e-3):
+        self.window = window
+        self.horizon = horizon
+        self.ridge = ridge
+
+    def _fit(self, train: DataFrame) -> np.ndarray:
+        G, b, m = _gram(train, self.window)
+        lam = self.ridge * max(m, 1)
+        return np.linalg.solve(G + lam * np.eye(len(b)), b)
+
+    def _mae(self, df: DataFrame, w: np.ndarray) -> float:
+        pred = F.lit(float(w[-1]))
+        for i in range(self.window):
+            pred = pred + F.element_at("x", i + 1) * float(w[i])
+        return float(df.agg(F.avg(F.abs(pred - F.col("y")))).first()[0])
+
+    def evaluate(
+        self,
+        real_train: DataFrame,
+        synthetic: DataFrame,
+        val: DataFrame,
+        test: DataFrame,
+        value_col: str,
+        partition_cols: list[str],
+        order_cols: list[str],
+    ) -> dict[str, float]:
+        """Full A/B protocol → metric dict with the reference's keys
+        (baseline/augmented MAE on val+test, deltas, pct, verdict)."""
+        mk = lambda d: _xy(d, self.window, self.horizon, value_col, partition_cols, order_cols)  # noqa: E731
+        xy_real = mk(real_train).persist()
+        xy_val = mk(val).persist()
+        xy_test = mk(test).persist()
+        xy_aug = mk(synthetic).unionByName(xy_real).persist()  # J2 union
+
+        w_base = self._fit(xy_real)
+        w_aug = self._fit(xy_aug)
+        out = {
+            "baseline_val_mae": self._mae(xy_val, w_base),
+            "baseline_test_mae": self._mae(xy_test, w_base),
+            "augmented_val_mae": self._mae(xy_val, w_aug),
+            "augmented_test_mae": self._mae(xy_test, w_aug),
+        }
+        out["delta_val_mae"] = out["augmented_val_mae"] - out["baseline_val_mae"]
+        out["delta_test_mae"] = out["augmented_test_mae"] - out["baseline_test_mae"]
+        out["pct_val"] = (
+            100.0 * out["delta_val_mae"] / out["baseline_val_mae"]
+            if out["baseline_val_mae"]
+            else 0.0
+        )
+        out["helps"] = float(out["delta_val_mae"] < 0 and out["delta_test_mae"] < 0)
+        for d in (xy_real, xy_val, xy_test, xy_aug):
+            d.unpersist()
+        return out

@@ -1,0 +1,148 @@
+"""Scalar-function & set-operation queries (SURVEY §2.8, §2.7):
+JSON extraction (events.props), string functions, math normalization,
+intersect/except — the engine SQL surface beyond the reference's own
+operator set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import stats as ST
+from ..sources import Catalog
+from .base import register
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    doc="JSON property extraction from the events.props column "
+    "(get_json_object → JVM-side JsonPath, no UDF) + integer aggregates.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "string_functions_panel",
+    oracle="""
+SELECT upper(c_mktsegment) AS segment,
+       COUNT(*) AS n,
+       MIN(length(c_name)) AS min_name_len,
+       MAX(length(c_name)) AS max_name_len,
+       SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS names_with_1
+FROM customer
+GROUP BY upper(c_mktsegment)
+""",
+    doc="String-function surface: upper/length/LIKE predicates over a "
+    "dimension scan.",
+)
+def string_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer")
+    return c.groupBy(F.upper("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.min(F.length("c_name")).alias("min_name_len"),
+        F.max(F.length("c_name")).alias("max_name_len"),
+        F.sum(F.when(F.col("c_name").like("%1%"), 1).otherwise(0)).alias("names_with_1"),
+    )
+
+
+@register(
+    "intersect_except_users",
+    oracle="""
+SELECT 'both' AS which, COUNT(*) AS n FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'purchase_only', COUNT(*) FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+""",
+    doc="U-extension set ops: INTERSECT / EXCEPT (Spark intersect / "
+    "exceptAll-distinct) — planned as left-semi/anti aggregates.",
+)
+def intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    e = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = p.intersect(e).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("which"), "n"
+    )
+    only = p.subtract(e).agg(F.count("*").alias("n")).select(
+        F.lit("purchase_only").alias("which"), "n"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "zscore_normalization",
+    oracle="""
+WITH params AS (
+  SELECT AVG(value) AS mu, STDDEV_SAMP(value) AS sd FROM events
+)
+SELECT event_id, ROUND((value - mu) / sd, 6) AS value_z
+FROM events, params
+""",
+    doc="Z-score normalization via a broadcast stats row — the J4 "
+    "normalization-params lookup (reference: "
+    "augmentation_evaluator.py:250-274); no collect, one tiny crossJoin.",
+)
+def zscore_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").select("event_id", "value")
+    z = ST.zscore(ev, ["value"])
+    return z.select("event_id", F.round("value", 6).alias("value_z"))
+
+
+@register(
+    "minmax_scaling",
+    oracle="""
+WITH params AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+SELECT event_id, ROUND((value - lo) / (hi - lo), 6) AS value_01
+FROM events, params
+""",
+    doc="Min-max scaling to [0,1] (reference: timegan_generator.py:90-96) "
+    "— broadcast range row + column arithmetic.",
+)
+def minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").select("event_id", "value")
+    params = F.broadcast(ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    return ev.crossJoin(params).select(
+        "event_id",
+        F.round((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias(
+            "value_01"
+        ),
+    )
+
+
+@register(
+    "approx_quantiles_scale_path",
+    oracle=None,  # approx sketch: engine-specific by design; exact twin is a4
+    doc="percentile_approx deciles per series — the 100 TB quantile path "
+    "(single-pass sketch, mergeable across partitions); exactness twin "
+    "is a4_quantile_edges.",
+)
+def approx_quantiles_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    probs = F.array(*[F.lit(i / 10) for i in range(11)])
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, 10000).alias("edges")
+    )
