@@ -257,3 +257,67 @@ def rollup_region_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "a8_per_regime_stats",
+    oracle="""
+WITH s AS (
+  SELECT event_type, ts, event_id, value,
+         NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS state
+  FROM events
+), l AS (
+  SELECT event_type, state, value,
+         LAG(value) OVER (PARTITION BY event_type, state ORDER BY ts, event_id) AS pv
+  FROM s
+)
+SELECT event_type, state,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 6) AS mean_v,
+       ROUND(STDDEV_SAMP(value), 6) AS std_v,
+       ROUND(CORR(value, pv), 6) AS ar1
+FROM l
+GROUP BY event_type, state
+""",
+    doc="A8 per-regime aggregates: quartile-state labeling then per-state "
+    "count/mean/std/AR(1) — the lag is taken *within* the state partition, "
+    "matching the reference's select-then-shift semantics "
+    "(regime_hmm_garch.py:96-127, regime_conditional.py:108-132).",
+)
+def a8_per_regime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    ws = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = ev.withColumn("state", F.ntile(4).over(ws))
+    wl = Window.partitionBy("event_type", "state").orderBy("ts", "event_id")
+    d = d.withColumn("pv", F.lag("value").over(wl))
+    return d.groupBy("event_type", "state").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+        F.round(F.corr("value", "pv"), 6).alias("ar1"),
+    )
+
+
+@register(
+    "a9_price_quantity_correlation",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(CORR(l_quantity, l_discount), 6) AS corr_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="A9 Pearson correlation as a grouped aggregate over the fact table "
+    "(reference: composite_metric.py:19-22 and ~20 call sites) — "
+    "co-moment streaming agg, partial+final, no shuffle beyond the groupBy.",
+)
+def a9_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+    )

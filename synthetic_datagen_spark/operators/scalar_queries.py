@@ -146,3 +146,46 @@ def approx_quantiles_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.percentile_approx("value", probs, 10000).alias("edges")
     )
+
+
+@register(
+    "p_filters_panel",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id, GREATEST(value, 1e-10) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(value)
+)
+SELECT event_type, event_id, rn, ROUND(v, 6) AS clipped
+FROM r WHERE rn BETWEEN 11 AND 20
+""",
+    doc="P4+P5+P7 filter panel: NaN/Inf row mask (regime_hmm_garch.py:73-74), "
+    "clip-before-log floor (P5, regime_hmm_garch.py:67), and contiguous "
+    "segment slice rows 11..20 per series (P7, regime_gan.py:47-51). "
+    "All predicates are Catalyst-pushable scan filters.",
+)
+def p_filters_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    inf = float("inf")
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.col("value") != inf)
+            & (F.col("value") != -inf)
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_type",
+        "event_id",
+        F.greatest(F.col("value"), F.lit(1e-10)).alias("v"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return d.filter(F.col("rn").between(11, 20)).select(
+        "event_type", "event_id", "rn", F.round("v", 6).alias("clipped")
+    )

@@ -315,3 +315,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return d.select("doc_id", _simhash_expr(toks).alias("simhash"))
+
+
+@register(
+    "token_count_panel",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)) AS ws_tokens,
+       SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS bpe_tokens,
+       SUM(CAST(length(text) AS BIGINT)) AS n_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="Token counting for the training-data pipeline: whitespace tokens "
+    "and a BPE-ish pre-tokenizer regex (letter runs / digit runs / single "
+    "punctuation), all JVM-side regexp — no UDF. Exact-integer outputs.",
+)
+def token_count_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        F.sum(bpe.cast("long")).alias("bpe_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+    )
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_min(list_transform(range(1, length(norm) - 2),
+            i -> ord(substr(norm, i, 1)) * 29791
+               + ord(substr(norm, i + 1, 1)) * 961
+               + ord(substr(norm, i + 2, 1)) * 31
+               + ord(substr(norm, i + 3, 1)))) AS BIGINT) AS fp
+FROM n WHERE length(norm) >= 4
+""",
+    doc="Document fingerprinting via polynomial rolling hash (winnowing-"
+    "lite): min over all 4-gram base-31 hashes of the ascii-normalized "
+    "text. Pure higher-order-function expressions (sequence/transform/"
+    "array_min) — stays in whole-stage codegen, no UDF, engine-portable "
+    "hash (unlike xxhash64/md5 which differ across engines for ints).",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "").alias("norm"),
+    ).filter(F.length("norm") >= 4)
+    fp = F.expr(
+        "array_min(transform(sequence(1, length(norm) - 3),"
+        " i -> ascii(substr(norm, i, 1)) * 29791"
+        "    + ascii(substr(norm, i + 1, 1)) * 961"
+        "    + ascii(substr(norm, i + 2, 1)) * 31"
+        "    + ascii(substr(norm, i + 3, 1))))"
+    )
+    return d.select("doc_id", fp.cast("long").alias("fp"))

@@ -298,3 +298,174 @@ def cyclical_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS.cyclical_time_features(_events(spark, sf_dir), "ts")
     cols = ["hour_sin", "hour_cos", "dow_sin", "dow_cos", "month_sin", "month_cos"]
     return d.select("event_id", *[F.round(c, 6).alias(c) for c in cols])
+
+
+@register(
+    "w3_sliding_window_stats",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(value) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s,
+         FIRST_VALUE(value) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wf
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, rn - 8 AS window_id,
+       ROUND(wf, 6) AS win_first,
+       ROUND(value, 6) AS win_last,
+       ROUND(s / 8.0, 6) AS win_mean
+FROM r WHERE rn >= 8
+""",
+    doc="W3 overlapping sliding windows (W=8): the reference's (N-W+1, W) "
+    "matrix (app/data_processor.py:59-65) as long-form (series, window_id, "
+    "array) rows; stats computed JVM-side from the array via F.aggregate / "
+    "element_at so the collect_list path itself is exercised.",
+)
+def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.sliding_windows(_events(spark, sf_dir), "value", 8, _SERIES, _ORDER)
+    vec = F.col("window_vec")
+    win_sum = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)
+    return d.select(
+        "event_type",
+        "window_id",
+        F.round(F.element_at(vec, 1), 6).alias("win_first"),
+        F.round(F.element_at(vec, -1), 6).alias("win_last"),
+        F.round(win_sum / 8.0, 6).alias("win_mean"),
+    )
+
+
+@register(
+    "w5_volatility_ratio",
+    oracle="""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+         LN(GREATEST(value, 1e-10))
+           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS log_ret
+  FROM events
+), v AS (
+  SELECT event_type, ts, event_id,
+         STDDEV_SAMP(log_ret) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vs,
+         COUNT(log_ret)       OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ns,
+         STDDEV_SAMP(log_ret) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vl,
+         COUNT(log_ret)       OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS nl
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id, event_type,
+       ROUND(CASE WHEN vl > 1e-10 THEN vs / vl ELSE 1.0 END, 6) AS vol_ratio
+FROM v WHERE ns >= 5 AND nl >= 20
+""",
+    doc="W5 short/long volatility ratio with divide-by-zero guard "
+    "(reference: regime_hmm_garch.py:70, regime_bootstrap_hybrid.py:45); "
+    "5- vs 20-row rolling stds on full windows only.",
+)
+def w5_volatility_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.log_returns(_events(spark, sf_dir), "value", _SERIES, _ORDER)
+    d = TS.rolling_std(d, "log_ret", 5, _SERIES, _ORDER, out_col="vs", min_periods=5)
+    d = TS.rolling_std(d, "log_ret", 20, _SERIES, _ORDER, out_col="vl", min_periods=20)
+    return (
+        d.filter(F.col("vs").isNotNull() & F.col("vl").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(TS.vol_ratio("vs", "vl"), 6).alias("vol_ratio"),
+        )
+    )
+
+
+@register(
+    "w10_supervised_xy",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(value) OVER (w ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS s,
+         LEAD(value, 4) OVER w AS y
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, rn - 8 AS window_id,
+       ROUND(value, 6) AS x_last,
+       ROUND(s / 8.0, 6) AS x_mean,
+       ROUND(y, 6) AS y
+FROM r WHERE rn >= 8 AND y IS NOT NULL
+""",
+    doc="W10 supervised (X, y) windowing: 8-row input window, horizon-4 "
+    "target via lead (reference: predictive_evaluator.py:54-72).",
+)
+def w10_supervised_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = TS.supervised_windows(_events(spark, sf_dir), "value", 8, 4, _SERIES, _ORDER)
+    vec = F.col("x")
+    return d.select(
+        "event_type",
+        "window_id",
+        F.round(F.element_at(vec, -1), 6).alias("x_last"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x) / 8.0, 6).alias("x_mean"),
+        F.round("y", 6).alias("y"),
+    )
+
+
+@register(
+    "w11_window_zero_mean",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1) / 16) AS BIGINT) AS block_id
+  FROM events
+)
+SELECT event_id, event_type, block_id,
+       ROUND(value - AVG(value) OVER (PARTITION BY event_type, block_id), 6) AS centered
+FROM r
+""",
+    doc="W11 per-window zero-mean correction: subtract the block mean from "
+    "each element (reference: typical_price_generator.py:147-149) — "
+    "tumbling 16-row blocks per series, mean via partitioned window agg.",
+)
+def w11_window_zero_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = TS.series_window(_SERIES, _ORDER)
+    d = _events(spark, sf_dir).withColumn(
+        "block_id", F.floor((F.row_number().over(w) - 1) / 16).cast("long")
+    )
+    wb = Window.partitionBy("event_type", "block_id")
+    return d.select(
+        "event_id",
+        "event_type",
+        "block_id",
+        F.round(F.col("value") - F.avg("value").over(wb), 6).alias("centered"),
+    )
+
+
+@register(
+    "w12_block_smoothing",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, value,
+         (ROW_NUMBER() OVER w - 1) % 16 AS pos,
+         LAG(value) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_id, event_type,
+       ROUND(CASE WHEN pos = 0 AND prev IS NOT NULL
+                  THEN 0.7 * value + 0.3 * prev ELSE value END, 6) AS smoothed
+FROM r
+""",
+    doc="W12 block-boundary smoothing: blend each block's first element "
+    "with the previous block's last, b[0] = (1-λ)·b[0] + λ·prev, λ=0.3 "
+    "(reference: regime_bootstrap_hybrid.py:171-180).",
+)
+def w12_block_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = TS.series_window(_SERIES, _ORDER)
+    d = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.row_number().over(w) - 1) % 16).alias("pos"),
+        F.lag("value").over(w).alias("prev"),
+    )
+    smoothed = F.when(
+        (F.col("pos") == 0) & F.col("prev").isNotNull(),
+        0.7 * F.col("value") + 0.3 * F.col("prev"),
+    ).otherwise(F.col("value"))
+    return d.select("event_id", "event_type", F.round(smoothed, 6).alias("smoothed"))
