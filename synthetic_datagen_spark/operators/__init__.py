@@ -7,6 +7,7 @@ from . import distribution_queries  # noqa: F401,E402
 from . import evaluator_queries  # noqa: F401,E402
 from . import flagship  # noqa: F401,E402
 from . import generator_queries  # noqa: F401,E402
+from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalar_queries  # noqa: F401,E402

@@ -1,0 +1,108 @@
+"""Multimodal-column queries (driver brief: image/audio/video as opaque
+binary columns with typed metadata; decode/resize/frame-sample as
+Arrow-batched Pandas UDFs). The media table derives deterministically
+from documents.parquet — see synthetic_datagen_spark/multimodal/media.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..multimodal import decode_features, frame_sample, media_table, resize_stub
+from .base import register
+
+
+@register(
+    "multimodal_metadata_panel",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(doc_id % 640 + 16 AS INT) AS width,
+         CAST(doc_id % 480 + 16 AS INT) AS height
+  FROM documents
+)
+SELECT modality,
+       COUNT(*) AS n_media,
+       SUM(CAST(n_bytes AS BIGINT)) AS total_bytes,
+       MIN(n_bytes) AS min_bytes,
+       MAX(n_bytes) AS max_bytes,
+       MIN(width) AS min_width,
+       MAX(height) AS max_height
+FROM m
+GROUP BY modality
+""",
+    doc="Multimodal metadata panel: binary payload sizes + typed header "
+    "fields aggregated per modality. Payload bytes never leave the JVM "
+    "(octet_length on BinaryType); Parquet column pruning drops the "
+    "payload column entirely for this projection at scale.",
+)
+def multimodal_metadata_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_table(spark, sf_dir)
+    return m.groupBy("modality").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
+        F.min(F.octet_length("payload")).alias("min_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.min("meta.width").alias("min_width"),
+        F.max("meta.height").alias("max_height"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # blob-byte decode: not SQL-expressible in DuckDB
+    doc="Decode + feature-extract via mapInPandas (stubbed codec, real "
+    "Arrow-batch plumbing): per-media 16-dim feature vector; emits "
+    "rounded summary stats so output is schema-stable.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = decode_features(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("f_sum"),
+    )
+
+
+@register(
+    "multimodal_frame_stats",
+    oracle=None,  # blob-byte frame split: not SQL-expressible in DuckDB
+    doc="Video frame sampling via mapInPandas (every 2nd 64-byte frame), "
+    "aggregated to per-video frame counts + mean frame intensity.",
+)
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = frame_sample(media_table(spark, sf_dir), every=2)
+    return fr.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled_frames"),
+        F.round(F.avg("frame_mean"), 6).alias("avg_intensity"),
+    )
+
+
+@register(
+    "multimodal_resize_roundtrip",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS modality
+  FROM documents
+)
+SELECT modality, COUNT(*) AS n, CAST(32 * 32 AS BIGINT) AS payload_bytes
+FROM m
+GROUP BY modality
+""",
+    doc="Resize stub: payload truncated/zero-padded to 32x32 bytes and "
+    "metadata rewritten JVM-side (binary substr/rpad, no UDF); checks "
+    "every resized payload is exactly the target size.",
+)
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = resize_stub(media_table(spark, sf_dir), 32, 32)
+    return r.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.max(F.octet_length("payload")).cast("long").alias("payload_bytes"),
+    )

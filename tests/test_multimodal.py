@@ -1,0 +1,69 @@
+"""Multimodal binary-column plumbing: schema, determinism, batch shape.
+The codec is a documented stub (_fake_decode); these tests pin the
+Spark-side contract a real decoder would inherit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from synthetic_datagen_spark.multimodal import (
+    FEATURE_SCHEMA,
+    decode_features,
+    frame_sample,
+    media_table,
+    resize_stub,
+)
+from synthetic_datagen_spark.multimodal.media import FRAME_SIZE, _fake_decode
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return media_table(spark, SF).cache()
+
+
+def test_media_schema_and_modalities(media):
+    assert [f.name for f in media.schema.fields] == ["media_id", "modality", "payload", "meta"]
+    mods = {r.modality for r in media.select("modality").distinct().collect()}
+    assert mods == {"image", "audio", "video"}
+
+
+def test_decode_features_deterministic(spark, media):
+    a = decode_features(media).orderBy("media_id").limit(20).collect()
+    b = decode_features(media.repartition(7)).orderBy("media_id").limit(20).collect()
+    assert [r.feature for r in a] == [r.feature for r in b]
+    assert decode_features(media).schema == FEATURE_SCHEMA
+    for r in a:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # normalized histogram
+
+
+def test_fake_decode_contract():
+    v = _fake_decode(b"hello world")
+    assert v.shape == (16,) and abs(v.sum() - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        _fake_decode(b"")
+
+
+def test_resize_fixes_payload_size(media):
+    r = resize_stub(media, 8, 8)
+    sizes = {len(row.payload) for row in r.select("payload").limit(50).collect()}
+    assert sizes == {64}
+    meta = r.select("meta.width", "meta.height").first()
+    assert (meta[0], meta[1]) == (8, 8)
+
+
+def test_frame_sample_counts(media):
+    fr = frame_sample(media, every=2)
+    row = fr.limit(1).collect()
+    if row:  # at least the stride/size contract holds
+        assert row[0].frame_bytes == FRAME_SIZE
+        assert row[0].frame_idx % 2 == 0
+    # every video with >= FRAME_SIZE bytes yields ceil(n_frames/2) samples
+    import pyspark.sql.functions as F
+
+    vid = media.filter((F.col("modality") == "video") & (F.octet_length("payload") >= FRAME_SIZE))
+    n_vids = vid.count()
+    assert fr.select("media_id").distinct().count() == n_vids
