@@ -37,3 +37,82 @@ def g7_regime_garch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gen.generate(spark, seed=42, n_samples=150, n_series=3)
     feats.unpersist()
     return out
+
+
+@register(
+    "g8_regime_hybrid_generate",
+    oracle=None,
+    doc="G8/G9 regime-segmented block bootstrap: GMM regime labels → "
+    "gaps-and-islands per-regime block pools (distributed, capped) → "
+    "per-series applyInPandas walk with Markov regime path, block "
+    "sampling, and W12 boundary blending (reference: "
+    "regime_bootstrap_hybrid.py:49-191).",
+)
+def g8_regime_hybrid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..regime.hybrid import RegimeBootstrapHybrid
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
+        "series", F.lit(0)
+    )
+    feats = feats.persist()
+    model = RegimeModel(n_regimes=3, seed=42).fit(feats, ["series"])
+    hyb = RegimeBootstrapHybrid(model, min_block=4, lam=0.3).fit(["series"])
+    out = hyb.generate(spark, seed=42, n_samples=150, n_series=3)
+    feats.unpersist()
+    return out
+
+
+@register(
+    "m14_ga_block_search",
+    oracle=None,
+    doc="M14 GA hyperparameter search (pop 8 × 3 gens, tournament-3, "
+    "two-point crossover, elitism): GA loop on the driver, each "
+    "generation's fitness evaluated as ONE Spark grouped-map stage "
+    "(reference: ga_optimizer.py:232-513; subprocess isolation replaced "
+    "by Spark task retry). Emits the per-generation convergence trace.",
+)
+def m14_ga_block_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions import timeseries as TS
+    from ..optimize import GAOptimizer, Gene, moment_match_fitness
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    rets_df = TS.log_returns(ev, "value", [], ["ts", "event_id"])
+    panel = rets_df.agg(
+        F.mean("log_ret").alias("mean"), F.stddev_pop("log_ret").alias("std")
+    ).first()
+    ac1 = TS.lag_autocorr(rets_df, "log_ret", 1, [], ["ts", "event_id"]).first()[0]
+    pool = np.array(
+        [r[0] for r in rets_df.select("log_ret").dropna().orderBy("ts", "event_id").limit(4000).collect()]
+    )
+    fitness = moment_match_fitness(
+        pool,
+        {"mean": panel["mean"], "std": panel["std"], "ac1": float(ac1 or 0.0)},
+        n_samples=256,
+        n_seeds=2,
+    )
+    ga = GAOptimizer(
+        genes=[Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+        fitness=fitness,
+        pop_size=8,
+        n_gens=3,
+        seed=42,
+    )
+    res = ga.optimize(spark)
+    rows = [
+        (h["gen"], round(h["best"], 6), round(h["mean"], 6), round(res["score"], 6))
+        for h in res["history"]
+    ]
+    return spark.createDataFrame(rows, "gen INT, gen_best DOUBLE, gen_mean DOUBLE, overall_best DOUBLE")

@@ -1,0 +1,6 @@
+"""GA / sweep optimizers with Spark-parallel fitness fan-out (SURVEY
+§2.11 M14-M16)."""
+
+from .ga import Gene, GAOptimizer, moment_match_fitness
+
+__all__ = ["Gene", "GAOptimizer", "moment_match_fitness"]

@@ -1,0 +1,109 @@
+"""G8 hybrid generator + M14 GA optimizer: determinism, convergence,
+pool construction invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from synthetic_datagen_spark.functions import timeseries as TS
+from synthetic_datagen_spark.optimize import GAOptimizer, Gene, moment_match_fitness
+from synthetic_datagen_spark.regime import RegimeModel, regime_features
+from synthetic_datagen_spark.regime.hybrid import RegimeBootstrapHybrid
+from synthetic_datagen_spark.sources import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def hybrid(spark):
+    ev = (
+        Catalog(spark, SF)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
+        "series", F.lit(0)
+    ).persist()
+    model = RegimeModel(n_regimes=3, seed=42).fit(feats, ["series"])
+    return RegimeBootstrapHybrid(model, min_block=4, lam=0.3).fit(["series"])
+
+
+def test_hybrid_pools_nonempty(hybrid):
+    assert hybrid.pools
+    for blocks in hybrid.pools.values():
+        for b in blocks:
+            assert len(b) >= 4
+
+
+def test_hybrid_seed_determinism(spark, hybrid):
+    a = hybrid.generate(spark, seed=7, n_samples=60, n_series=2).orderBy("series_id", "t").collect()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = hybrid.generate(spark, seed=7, n_samples=60, n_series=2).orderBy("series_id", "t").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    c = hybrid.generate(spark, seed=8, n_samples=60, n_series=2).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert [r.price for r in a] != [r.price for r in c]
+    assert len(a) == 120 and all(np.isfinite(r.price) for r in a)
+
+
+def test_hybrid_crossfade_variant(spark, hybrid):
+    hybrid2 = RegimeBootstrapHybrid(hybrid.model, min_block=4, smoothing="crossfade", overlap=3)
+    hybrid2.pools = hybrid.pools
+    out = hybrid2.generate(spark, seed=7, n_samples=40, n_series=1).collect()
+    assert len(out) == 40
+
+
+def _toy_fitness_factory():
+    """Deterministic driver-side fitness: distance to (20, 0.5)."""
+
+    def fitness(spark, cands, gen):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "cand_id": cands["cand_id"],
+                "score": (cands["block_size"] - 20) ** 2 / 400 + (cands["lam"] - 0.5) ** 2,
+            }
+        )
+
+    return fitness
+
+
+def test_ga_converges_and_deterministic(spark):
+    def run():
+        ga = GAOptimizer(
+            genes=[Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+            fitness=_toy_fitness_factory(),
+            pop_size=12,
+            n_gens=6,
+            seed=42,
+        )
+        return ga.optimize(spark)
+
+    r1, r2 = run(), run()
+    assert r1["best"] == r2["best"] and r1["score"] == r2["score"]
+    assert r1["score"] <= r1["history"][0]["best"]  # no regression over gens
+    assert abs(r1["best"]["block_size"] - 20) <= 8
+    assert abs(r1["best"]["lam"] - 0.5) <= 0.3
+
+
+def test_ga_spark_fanout_fitness(spark):
+    rng = np.random.default_rng(0)
+    pool = rng.normal(0.0, 0.01, 2000)
+    fitness = moment_match_fitness(
+        pool, {"mean": 0.0, "std": 0.01, "ac1": 0.0}, n_samples=128, n_seeds=2
+    )
+    ga = GAOptimizer(
+        genes=[Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+        fitness=fitness,
+        pop_size=6,
+        n_gens=2,
+        seed=42,
+    )
+    res = ga.optimize(spark)
+    assert np.isfinite(res["score"]) and res["best"] is not None
