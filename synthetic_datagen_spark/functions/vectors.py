@@ -50,9 +50,16 @@ def brute_force_knn(
     """
     q = queries.select(
         F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    # norms computed ONCE per row and materialized at the exchange /
+    # broadcast boundary — never per pair (same arithmetic as the
+    # oracle: dot / (|q|·|c|), so parity is exact).
+    c = (
+        corpus.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+        .repartition(32)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -60,7 +67,7 @@ def brute_force_knn(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -176,10 +183,24 @@ def embedding_near_dups(
     Brute-force O(n²/2) pair scan — correct baseline; compose with
     `lsh_bucketed_knn`'s bucketing to prune at scale.
     """
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    # Per-row norms are computed once and materialized at the exchange
+    # (stream side) / broadcast (build side) — the O(n²) inner loop does
+    # a single dot per pair instead of dot + two norm re-aggregations.
+    # Arithmetic matches the oracle exactly: dot / (|a|·|b|).
+    a = (
+        df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+        .withColumn("na", l2_norm(F.col("va")))
+        .repartition(32)
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -21,6 +21,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Catalog(spark, sf_dir).table("documents")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across cores for per-doc-heavy compute.
+
+    The parquet file is tiny (one row-group → one input split), so
+    hash-heavy stages (minhash, shingling, simhash) would otherwise run
+    on a single task. A cheap round-robin repartition puts every core to
+    work; at 100 TB the file splits natively and this becomes a no-op
+    cost-wise (still one narrow exchange of the text column).
+    """
+    return Catalog(spark, sf_dir).table("documents").repartition(32)
+
+
 @register(
     "text_quality_stats",
     oracle=r"""
@@ -141,53 +153,6 @@ _SHINGLE_SQL = (
 )
 
 
-@register(
-    "dedup_shingle_jaccard",
-    oracle=f"""
-WITH g AS (
-  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS sh
-  FROM documents
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       ROUND(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.8
-""",
-    doc="Near-dup detection by exact character-5-shingle Jaccard ≥ 0.8: "
-    "explode distinct shingles → self-join on shingle → count common → "
-    "Jaccard. The candidate space is shingle collisions, not n² pairs.",
-)
-def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.array_distinct(TX.shingles(F.col("text"), 5))).alias("sh")
-    )
-    sizes = d.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = d.alias("a")
-    b = d.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
-    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")).cast("double")
-    return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(jac >= 0.8)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-    )
-
-
 _BANDS, _ROWS = 4, 3  # b bands × r minhashes: P(candidate) = 1-(1-J^r)^b
 
 
@@ -230,25 +195,36 @@ SELECT id_a, id_b FROM cand
     "verify candidates with dedup_shingle_jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).filter(F.length("text") >= 5)
-    shs = F.array_distinct(TX.shingles(F.col("text"), 5))
+    return _lsh_candidates(spark, sf_dir)
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) MinHash-LSH candidate pairs, distinct.
+
+    Shingle array materialized ONCE per doc (the 12 minhash transforms
+    share it instead of re-shingling), docs pre-spread across cores
+    (_docs_wide), bucket-join shuffles only (band, 96-byte sig) pairs.
+    """
+    docs = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
+    shingled = docs.select(
+        "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
+    )
 
     def minhash(i: int):
         return F.array_min(
-            F.transform(shs, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            F.transform("shs", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
         )
 
     def sig(band: int):
         return F.concat(*[minhash(band * _ROWS + r) for r in range(_ROWS)])
-    sigs = docs.select(
-        "doc_id", *[sig(b).alias(f"b{b}") for b in range(4)]
-    )
+
+    sigs = shingled.select("doc_id", *[sig(b).alias(f"b{b}") for b in range(_BANDS)])
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
-                for b in range(4)
+                for b in range(_BANDS)
             ])
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -262,6 +238,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+_LSH_CAND_SQL = f"""
+shingled AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS shs FROM documents
+  WHERE length(text) >= 5
+), sigs AS (
+  SELECT doc_id,
+         {{bands}}
+  FROM shingled
+), bands AS (
+  {{unions}}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+""".format(
+    bands=", ".join(f"{_minhash_band_sql(b)} AS b{b}" for b in range(_BANDS)),
+    unions="\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, b{b} AS sig FROM sigs" for b in range(_BANDS)
+    ),
+)
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+WITH {_LSH_CAND_SQL}
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(sa.shs, sb.shs))
+         / CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN shingled sa ON sa.doc_id = id_a
+JOIN shingled sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.shs, sb.shs))
+         / CAST(len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) >= 0.8
+""",
+    doc="Exact character-5-shingle Jaccard ≥ 0.8 computed ONLY over the "
+    "MinHash-LSH candidate pairs (the verify stage of the scale dedup "
+    "pipeline): candidates from band collisions, then array_intersect "
+    "on the two shingle sets. Candidate generation is deterministic "
+    "(md5 hash family, identical in both engines) so the oracle sees "
+    "the same pairs. An all-pairs shingle self-join is quadratic in "
+    "hot shingles and melts at scale — this formulation shuffles only "
+    "band signatures + candidate pairs.",
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidates(spark, sf_dir)
+    shingled = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5).select(
+        "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
+    )
+    sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    d = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = common / (F.size("shs_a") + F.size("shs_b") - common).cast("double")
+    return (
+        d.filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -312,7 +348,7 @@ FROM bit_votes GROUP BY doc_id
     "distance — bucketable by signature prefix at scale.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return d.select("doc_id", _simhash_expr(toks).alias("simhash"))
 
@@ -367,7 +403,7 @@ FROM n WHERE length(norm) >= 4
     "hash (unlike xxhash64/md5 which differ across engines for ints).",
 )
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_wide(spark, sf_dir)
     d = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "").alias("norm"),
