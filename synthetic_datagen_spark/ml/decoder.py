@@ -1,0 +1,165 @@
+"""G1/G2/G3 generation chain + M1-M4 trainer stubs.
+
+Generate path (reference: typical_price_generator.py:88-159):
+  G1  seeded latent sampling      — per-window rng(splitmix64(seed, wid))
+  G2  decoder inference (batch)   — broadcast weights → mapInPandas matmul
+  G3  windowed reconstruction     — zero-mean per window, seeded anchor
+                                    price from the training pool, cumsum
+                                    rebuild, concat windows, truncate
+
+`LinearDecoder` is the deterministic stand-in model: weights derive
+from a splitmix stream of the model seed, so generation is fully
+reproducible with no training. A trained Keras/torch decoder drops into
+the same `generate` plan — only `_decode_batch` changes.
+
+Trainers (M1-M4) are stubs: the reference's gradient loops are
+driver-side TF (vae_gan_trainer.py:220-309, timegan_generator.py:
+321-551) and TF/torch are not available here. `fit()` raises
+NotImplementedError after materializing the Spark-side training
+windows, so the dataflow contract is executable and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+from ..generators.seeds import derive_seed
+from .prep import prepare_training_windows
+
+
+def _splitmix_matrix(seed: int, rows: int, cols: int) -> np.ndarray:
+    """Deterministic engine-independent weight matrix in (-1, 1)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    out = np.empty(rows * cols)
+    for i in range(rows * cols):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out[i] = (state >> 11) / float(1 << 53) * 2.0 - 1.0
+    return out.reshape(rows, cols)
+
+
+class LinearDecoder:
+    """z ∈ R^latent_dim → window ∈ R^window_rows, scaled to return-like
+    magnitudes. Stands in for the VAE/TimeGAN decoder stack (G2/G11)."""
+
+    def __init__(self, latent_dim: int = 16, window_rows: int = 32, model_seed: int = 7,
+                 out_scale: float = 2e-3):
+        self.latent_dim = latent_dim
+        self.window_rows = window_rows
+        self.w = _splitmix_matrix(model_seed, latent_dim, window_rows) * out_scale
+
+    def decode(self, z: np.ndarray) -> np.ndarray:
+        return z @ self.w
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        spark: SparkSession,
+        anchor_pool: np.ndarray,
+        seed: int,
+        n_samples: int,
+        n_series: int = 1,
+    ) -> DataFrame:
+        """G1→G2→G3: returns (series_id, t, price).
+
+        One task per (series, window) grid chunk: `spark.range` over
+        window ids, grouped-map decode per partition batch. Anchors are
+        sampled from the broadcast training-price pool with the
+        per-window seed (reference: typical_price_generator.py:151-184).
+        """
+        W = self.window_rows
+        n_windows = int(np.ceil(n_samples / W))
+        weights = self.w
+        pool = np.asarray(anchor_pool, dtype=np.float64)
+        latent = self.latent_dim
+
+        schema = T.StructType(
+            [
+                T.StructField("series_id", T.LongType()),
+                T.StructField("t", T.LongType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+
+        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                frames = []
+                for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
+                    rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
+                    z = rng.standard_normal(latent)
+                    rets = z @ weights                      # G2 decode
+                    rets = rets - rets.mean()               # W11 zero-mean
+                    anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
+                    prices = anchor * np.exp(np.cumsum(rets))
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "series_id": np.full(W, sid, dtype=np.int64),
+                                "t": int(wid) * W + np.arange(W, dtype=np.int64),
+                                "price": prices,
+                            }
+                        )
+                    )
+                yield pd.concat(frames) if frames else pd.DataFrame(
+                    {"series_id": [], "t": [], "price": []}
+                )
+
+        grid = (
+            spark.range(n_series * n_windows)
+            .select(
+                (F.col("id") / n_windows).cast("long").alias("series_id"),
+                (F.col("id") % n_windows).alias("window_id"),
+            )
+            .repartition(32, "series_id", "window_id")
+        )
+        out = grid.mapInPandas(decode_batches, schema)
+        return out.filter(F.col("t") < n_samples)
+
+
+class _StubTrainer:
+    """Shared shape of the M1-M4 trainer stubs: Spark data prep runs for
+    real; the gradient loop needs TF/torch (absent here) and raises."""
+
+    name = "stub"
+
+    def __init__(self, window_rows: int = 32, use_returns: bool = True):
+        self.window_rows = window_rows
+        self.use_returns = use_returns
+        self.windows: DataFrame | None = None
+
+    def prepare(self, sources: list[DataFrame], value_col: str, ts_col: str) -> DataFrame:
+        self.windows = prepare_training_windows(
+            sources, value_col, ts_col, self.window_rows, self.use_returns
+        )
+        return self.windows
+
+    def fit(self) -> None:
+        if self.windows is None:
+            raise RuntimeError("prepare() first")
+        try:
+            import tensorflow  # noqa: F401
+        except ImportError as e:  # pragma: no cover - always taken here
+            raise NotImplementedError(
+                f"{self.name} training requires TensorFlow (driver-side "
+                "gradient loop, reference vae_gan_trainer.py:220-309); "
+                "not available in this environment. The Spark data-prep "
+                "half is `prepare()`; inference is LinearDecoder/"
+                "broadcast-model mapInPandas."
+            ) from e
+
+
+class VaeGanTrainer(_StubTrainer):
+    """M1 (reference: vae_gan_trainer.py:33-316)."""
+
+    name = "vae-gan"
+
+
+class TimeGanTrainer(_StubTrainer):
+    """M4 (reference: timegan_generator.py:67-186,321-551)."""
+
+    name = "timegan"

@@ -11,6 +11,7 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import scalar_queries  # noqa: F401,E402
+from . import source_queries  # noqa: F401,E402
 from . import text_queries  # noqa: F401,E402
 from . import vector_queries  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402

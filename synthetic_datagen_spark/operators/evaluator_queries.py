@@ -56,3 +56,84 @@ def m11_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, float(v)) for k, v in out.items()], ["metric", "value"]
     )
+
+
+@register(
+    "d4_adf_stationarity",
+    oracle=None,  # OLS solve + τ-quantile interpolation: not SQL
+    doc="D4 ADF stationarity panel per series: the ADF(1) regression as "
+    "ten distributed sum-of-product aggregates (one pass) + a 3×3 solve "
+    "per series on the driver; p-value from asymptotic τ_μ quantiles "
+    "(reference wraps statsmodels adfuller, distribution_evaluator.py:"
+    "49-54 — same −1.0 degenerate sentinel).",
+)
+def d4_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluators.stationarity import adf_panel
+
+    ev = Catalog(spark, sf_dir).table("events")
+    d = TS.log_returns(ev, "value", ["event_type"], ["ts", "event_id"]).filter(
+        F.col("log_ret").isNotNull()
+    )
+    rows = adf_panel(d, "log_ret", ["event_type"], ["ts", "event_id"])
+    return spark.createDataFrame(
+        [
+            (r["event_type"], round(r["adf_stat"], 6), round(r["p_value"], 3), r["n"])
+            for r in sorted(rows, key=lambda x: x["event_type"])
+        ],
+        "event_type STRING, adf_stat DOUBLE, p_value DOUBLE, n BIGINT",
+    )
+
+
+@register(
+    "d5_spectral_distance",
+    oracle=None,  # FFT kernel: not SQL-expressible
+    doc="D5 spectral distance between two series: per-side normalized "
+    "FFT power spectrum via one grouped-map task each, RMSE join "
+    "(reference: composite_metric.py:50-56).",
+)
+def d5_spectral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluators.distribution import spectral_distance
+
+    ev = Catalog(spark, sf_dir).table("events")
+    v = spectral_distance(ev, "value", "event_type", "purchase", "click", ["ts", "event_id"])
+    return spark.createDataFrame([("spectral_distance", float(round(v, 6)))], ["metric", "value"])
+
+
+@register(
+    "d9_tolerance_panel",
+    oracle=None,  # multi-seed generate→evaluate orchestration
+    doc="D9/A11 multi-seed tolerance analysis: block-bootstrap generate "
+    "per seed → moment panel per seed → across-seed mean/std/min/max/"
+    "range, max relative deviation and the DOIN margin "
+    "min(2·max_rel_dev, 0.5) (reference: measure_tolerance.py:304-336).",
+)
+def d9_tolerance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..evaluators.tolerance import tolerance_panel
+    from ..generators import BlockBootstrapGenerator
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    gen = BlockBootstrapGenerator(block_size=25).fit(ev, "value", ["ts", "event_id"])
+
+    def metrics(seed: int) -> dict[str, float]:
+        syn = gen.generate(spark, seed=seed, n_samples=400, n_series=1)
+        r = TS.log_returns(syn, "price", ["series_id"], ["t"])
+        row = r.agg(
+            F.mean("log_ret").alias("mean"),
+            F.stddev_pop("log_ret").alias("std"),
+            F.min("price").alias("min_p"),
+            F.max("price").alias("max_p"),
+        ).first()
+        return {
+            "ret_mean": row["mean"] or 0.0,
+            "ret_std": row["std"] or 0.0,
+            "price_range": (row["max_p"] or 0.0) - (row["min_p"] or 0.0),
+        }
+
+    out = tolerance_panel(spark, metrics, seeds=[11, 22, 33])
+    cols = [c for c in out.columns if c != "metric"]
+    return out.select("metric", *[F.round(c, 6).alias(c) for c in cols])

@@ -44,3 +44,29 @@ def g5_grasynda(spark: SparkSession, sf_dir: str) -> DataFrame:
         _train_series(spark, sf_dir), "value", ["ts", "event_id"]
     )
     return gen.generate(spark, seed=42, n_samples=200, n_series=4)
+
+
+@register(
+    "g1_g3_latent_decode_generate",
+    oracle=None,  # seeded-rng generation: rows-only + determinism tests
+    doc="G1→G2→G3 deep-generator inference chain with the stand-in "
+    "linear decoder: per-window seeded latent sampling, broadcast-"
+    "weights mapInPandas decode, zero-mean + seeded anchor-price window "
+    "reconstruction (reference: typical_price_generator.py:88-159). A "
+    "trained Keras decoder drops into the same plan.",
+)
+def g1_g3_latent_decode_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml import LinearDecoder
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "view")
+        .select("value")
+        .limit(2000)
+    )
+    pool = np.array([r[0] for r in ev.collect()], dtype=float)
+    dec = LinearDecoder(latent_dim=16, window_rows=32, model_seed=7)
+    return dec.generate(spark, pool, seed=42, n_samples=256, n_series=4)

@@ -1,0 +1,86 @@
+"""Source/sink queries (SURVEY §2.1): CSV round-trip with union+dedup
+(S1-S3), and the SQL-view OLAP surface (S8)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..sources import Catalog
+from ..sources.csv_io import load_multiple_csv, save_csv
+from .base import register
+
+_EVENTS_CSV = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "s2_csv_union_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="S1-S3 CSV round-trip: events split into two OVERLAPPING CSV "
+    "extracts (S3 sink), re-read with explicit schema (S1, no "
+    "inferSchema), unioned + time-sorted + keep-first deduped on the "
+    "key (S2, reference data_processor.py:27-34) — recovering exactly "
+    "the original table, verified by per-type counts/sums against the "
+    "parquet truth.",
+)
+def s2_csv_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    base = f"/tmp/spark_graft_csv/{os.path.basename(sf_dir.rstrip('/'))}"
+    # two overlapping halves — the dedup has real work to do
+    save_csv(ev.filter(F.col("event_id") % 3 != 0), f"{base}/a")
+    save_csv(ev.filter(F.col("event_id") % 3 != 1), f"{base}/b")
+    back = load_multiple_csv(
+        spark, [f"{base}/a", f"{base}/b"], schema=_EVENTS_CSV, ts_col="event_id"
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+    )
+
+
+@register(
+    "s8_sql_view_summary",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 3) AS avg_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="S8 SQL-view OLAP surface (reference: evaluate_all_generators.py:"
+    "236-281 SQLite views): temp views registered over the tables, a "
+    "summary CREATE VIEW with GROUP BY/AVG/ROUND, queried via "
+    "spark.sql — the one place the reference literally runs SQL.",
+)
+def s8_sql_view_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.table("orders").createOrReplaceTempView("v_orders")
+    cat.table("customer").createOrReplaceTempView("v_customer")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW v_segment_summary AS
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 3) AS avg_price
+        FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+    return spark.sql("SELECT * FROM v_segment_summary")

@@ -1,0 +1,147 @@
+"""ML decode chain (G1-G3), trainer stubs (M1/M4), ADF panel (D4),
+CSV round-trip (S1-S3), stateful streaming running stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from synthetic_datagen_spark.evaluators.stationarity import adf_panel
+from synthetic_datagen_spark.ml import LinearDecoder, TimeGanTrainer, VaeGanTrainer
+from synthetic_datagen_spark.sources import Catalog
+from synthetic_datagen_spark.sources.csv_io import (
+    SchemaError,
+    load_csv,
+    load_multiple_csv,
+    save_csv,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- G1-G3 --
+def test_decoder_generate_deterministic(spark):
+    pool = np.linspace(50.0, 150.0, 100)
+    dec = LinearDecoder(latent_dim=8, window_rows=16, model_seed=7)
+    a = dec.generate(spark, pool, seed=3, n_samples=64, n_series=2).orderBy("series_id", "t").collect()
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = dec.generate(spark, pool, seed=3, n_samples=64, n_series=2).orderBy("series_id", "t").collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    c = dec.generate(spark, pool, seed=4, n_samples=64, n_series=2).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert [r.price for r in a] != [r.price for r in c]
+    assert len(a) == 128
+    assert all(r.price > 0 and np.isfinite(r.price) for r in a)
+
+
+def test_trainer_stub_contract(spark):
+    ev = Catalog(spark, SF).table("events").filter(F.col("event_type") == "click")
+    src = ev.select(F.col("ts"), F.col("value"))
+    for trainer in (VaeGanTrainer(window_rows=16), TimeGanTrainer(window_rows=16)):
+        w = trainer.prepare([src], "value", "ts")
+        assert w.columns == ["window_id", "window_vec"]
+        assert w.count() > 0
+        assert len(w.first()["window_vec"]) == 16
+        with pytest.raises(NotImplementedError):
+            trainer.fit()
+
+
+# --------------------------------------------------------------- D4 --
+def test_adf_stationary_vs_random_walk(spark):
+    rng = np.random.default_rng(42)
+    n = 2000
+    stationary = rng.normal(0, 1, n)  # white noise: strongly stationary
+    walk = np.cumsum(rng.normal(0, 1, n))  # unit root
+    rows = [("s", i, float(stationary[i])) for i in range(n)] + [
+        ("w", i, float(walk[i])) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "series STRING, idx LONG, y DOUBLE")
+    out = {r["series"]: r for r in adf_panel(df, "y", ["series"], ["idx"])}
+    assert out["s"]["adf_stat"] < -10  # white noise rejects unit root hard
+    assert out["s"]["p_value"] <= 0.01
+    assert out["w"]["adf_stat"] > -3.0  # random walk fails to reject
+    assert out["w"]["p_value"] > 0.05
+
+
+def test_adf_short_series_sentinel(spark):
+    df = spark.createDataFrame([("s", i, float(i)) for i in range(5)], "series STRING, idx LONG, y DOUBLE")
+    out = adf_panel(df, "y", ["series"], ["idx"])
+    assert out[0]["adf_stat"] == -1.0 and out[0]["p_value"] == -1.0
+
+
+# ------------------------------------------------------------ S1-S3 --
+def test_csv_roundtrip_union_dedup(spark, tmp_path):
+    ev = (
+        Catalog(spark, SF)
+        .table("events")
+        .select("event_id", "event_type", "value")
+        .limit(200)
+    )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    save_csv(ev.filter(F.col("event_id") % 2 == 0), a)
+    save_csv(ev, b)  # full overlap with half of a
+    back = load_multiple_csv(spark, [a, b], schema=schema, ts_col="event_id")
+    assert back.count() == ev.count()
+    # keep-first: rows present in `a` must carry a's values (same here),
+    # and every original id survives exactly once
+    assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_csv_schema_validation(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    p = str(tmp_path / "x")
+    save_csv(
+        Catalog(spark, SF).table("events").select("event_id").limit(5), p
+    )
+    with pytest.raises(SchemaError):
+        load_csv(
+            spark,
+            p,
+            schema=T.StructType([T.StructField("event_id", T.LongType())]),
+            required=["missing_col"],
+        )
+
+
+# -------------------------------------------------- stateful stream --
+def test_stream_running_stats(spark, tmp_path):
+    from synthetic_datagen_spark.streaming import read_events_stream
+    from synthetic_datagen_spark.streaming.stateful import stream_running_stats
+
+    src = str(tmp_path / "stream_src")
+    ev = Catalog(spark, SF).table("events").limit(500)
+    ev.write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    q = (
+        stream_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.event_type: r for r in spark.sql("SELECT * FROM running_stats").collect()}
+    truth = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("mean"), F.stddev_samp("value").alias("std"))
+        .collect()
+    }
+    assert set(out) == set(truth)
+    for t, row in truth.items():
+        assert out[t].n == row.n
+        assert abs(out[t].mean - row.mean) < 1e-9
+        assert abs(out[t].std - (row.std or 0.0)) < 1e-9
