@@ -153,17 +153,33 @@ _SHINGLE_SQL = (
 )
 
 
-_BANDS, _ROWS = 4, 3  # b bands × r minhashes: P(candidate) = 1-(1-J^r)^b
+_BANDS, _ROWS = 6, 5  # b bands × r minhashes: P(candidate) = 1-(1-J^r)^b
+_MH_P = 2147483647  # 2^31-1: affine-permutation modulus (fits 63-bit products)
+
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th affine permutation — splitmix
+    stream, identical literals on the Spark and DuckDB sides."""
+    state = (0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF
+    out = []
+    for _ in range(2):
+        state = (state * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        out.append(state % (1 << 29))
+    return out[0] | 1, out[1]  # odd multiplier
 
 
 def _minhash_band_sql(band: int) -> str:
-    # band signature = concat of r independent minhashes; the hash
-    # family is md5 with a per-function prefix — engine-portable.
-    parts = [
-        f"list_min(list_transform(shs, s -> md5('{band * _ROWS + r}|' || s)))"
-        for r in range(_ROWS)
-    ]
-    return " || ".join(parts)
+    # band signature = '|'-joined r affine minhashes over the per-shingle
+    # 32-bit md5-prefix integers (xs): min((a*x+b) mod p). ONE md5 per
+    # shingle total — the b·r permutations are integer arithmetic.
+    parts = []
+    for r in range(_ROWS):
+        a, b = _mh_coeffs(band * _ROWS + r)
+        parts.append(f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {_MH_P}))")
+    return "concat_ws('|', " + ", ".join(parts) + ")"
+
+
+_XS_SQL = "list_transform(shs, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)"
 
 
 @register(
@@ -172,53 +188,61 @@ def _minhash_band_sql(band: int) -> str:
 WITH shingled AS (
   SELECT doc_id, {_SHINGLE_SQL} AS shs FROM documents
   WHERE length(text) >= 5
+), hashed AS (
+  SELECT doc_id, {_XS_SQL} AS xs FROM shingled
 ), sigs AS (
   SELECT doc_id,
-         {_minhash_band_sql(0)} AS b0, {_minhash_band_sql(1)} AS b1,
-         {_minhash_band_sql(2)} AS b2, {_minhash_band_sql(3)} AS b3
-  FROM shingled
+         {", ".join(f"{_minhash_band_sql(b)} AS b{b}" for b in range(_BANDS))}
+  FROM hashed
 ), bands AS (
-  SELECT doc_id, 0 AS band, b0 AS sig FROM sigs
-  UNION ALL SELECT doc_id, 1, b1 FROM sigs
-  UNION ALL SELECT doc_id, 2, b2 FROM sigs
-  UNION ALL SELECT doc_id, 3, b3 FROM sigs
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, b{b} AS sig FROM sigs" for b in range(_BANDS))}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b FROM cand
 """,
-    doc="MinHash-LSH near-dup candidates: 4 bands × 3 minhashes "
-    "(md5 hash family), bucket-join on (band, signature), distinct "
-    "pairs — P(candidate) = 1-(1-J^3)^4, so J≈1 dups always collide "
-    "while random-overlap pairs are pruned. The 100 TB dedup path; "
-    "verify candidates with dedup_shingle_jaccard.",
+    doc="MinHash-LSH near-dup candidates: 6 bands × 5 minhashes from ONE "
+    "md5 per shingle + affine permutations (a·x+b mod 2^31-1, Broder-"
+    "style universal hashing — integer arithmetic identical in both "
+    "engines). P(candidate) = 1-(1-J^5)^6: 99%+ recall at J≥0.9 while "
+    "a ~0.18 background Jaccard collides at <0.1% — the r=5 selectivity "
+    "is what keeps candidate volume linear at 100 TB. Verify candidates "
+    "with dedup_shingle_jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(spark, sf_dir)
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b) MinHash-LSH candidate pairs, distinct.
-
-    Shingle array materialized ONCE per doc (the 12 minhash transforms
-    share it instead of re-shingling), docs pre-spread across cores
-    (_docs_wide), bucket-join shuffles only (band, 96-byte sig) pairs.
-    """
+    """(id_a, id_b) MinHash-LSH candidate pairs, distinct."""
     docs = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
     shingled = docs.select(
         "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
     )
+    return _lsh_candidates_from(shingled)
+
+
+def _lsh_candidates_from(shingled: DataFrame) -> DataFrame:
+    # xs: per-shingle 32-bit ints, hashed ONCE; minhashes are affine
+    hashed = shingled.select(
+        "doc_id",
+        F.transform(
+            "shs", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("xs"),
+    )
 
     def minhash(i: int):
-        return F.array_min(
-            F.transform("shs", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
+        a, b = _mh_coeffs(i)
+        return F.array_min(F.transform("xs", lambda x: (x * a + b) % _MH_P))
 
     def sig(band: int):
-        return F.concat(*[minhash(band * _ROWS + r) for r in range(_ROWS)])
+        return F.concat_ws(
+            "|",
+            *[minhash(band * _ROWS + r).cast("string") for r in range(_ROWS)],
+        )
 
-    sigs = shingled.select("doc_id", *[sig(b).alias(f"b{b}") for b in range(_BANDS)])
+    sigs = hashed.select("doc_id", *[sig(b).alias(f"b{b}") for b in range(_BANDS)])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -245,22 +269,19 @@ _LSH_CAND_SQL = f"""
 shingled AS (
   SELECT doc_id, {_SHINGLE_SQL} AS shs FROM documents
   WHERE length(text) >= 5
+), hashed AS (
+  SELECT doc_id, {_XS_SQL} AS xs FROM shingled
 ), sigs AS (
   SELECT doc_id,
-         {{bands}}
-  FROM shingled
+         {", ".join(f"{_minhash_band_sql(b)} AS b{b}" for b in range(_BANDS))}
+  FROM hashed
 ), bands AS (
-  {{unions}}
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, b{b} AS sig FROM sigs" for b in range(_BANDS))}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
-""".format(
-    bands=", ".join(f"{_minhash_band_sql(b)} AS b{b}" for b in range(_BANDS)),
-    unions="\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, b{b} AS sig FROM sigs" for b in range(_BANDS)
-    ),
-)
+"""
 
 
 @register(
@@ -286,10 +307,16 @@ WHERE len(list_intersect(sa.shs, sb.shs))
     "band signatures + candidate pairs.",
 )
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _lsh_candidates(spark, sf_dir)
-    shingled = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5).select(
-        "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
+    # shingle arrays are needed three times (minhash sigs + both join
+    # sides); persist so shingling runs once — the md5 band signatures
+    # remain the dominant cost and run exactly once
+    shingled = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.length("text") >= 5)
+        .select("doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs"))
+        .persist()
     )
+    cand = _lsh_candidates_from(shingled)
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
     d = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")

@@ -45,8 +45,12 @@ class RegimeModel:
         d = va.transform(features)
         scaler = sc.fit(d)
         d = scaler.transform(d)
+        # 30 iters @ 1e-3 converges on every series we label (each EM
+        # iteration is a full distributed pass — halving iters halves
+        # the fit cost; labels are arg-max cluster ids, insensitive to
+        # the last 1e-3 of log-likelihood).
         gmm = GaussianMixture(k=self.n_regimes, seed=self.seed, featuresCol="_fs",
-                              predictionCol="regime", maxIter=60, tol=1e-4)
+                              predictionCol="regime", maxIter=30, tol=1e-3)
         model = gmm.fit(d)
         labeled = model.transform(d).drop("_fv", "_fs", "probability")
         labeled = labeled.persist()
