@@ -321,3 +321,43 @@ def a9_price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
     )
+
+
+@register(
+    "a13_metric_map_mean",
+    oracle="""
+WITH per_series AS (
+  SELECT event_type,
+         ROUND(AVG(value), 6) AS mean_v,
+         ROUND(STDDEV_POP(value), 6) AS std_v,
+         ROUND(MAX(value) - MIN(value), 6) AS range_v
+  FROM events GROUP BY event_type
+), exploded AS (
+  SELECT 'mean_v' AS metric, mean_v AS v FROM per_series
+  UNION ALL SELECT 'std_v', std_v FROM per_series
+  UNION ALL SELECT 'range_v', range_v FROM per_series
+)
+SELECT metric, ROUND(AVG(v), 6) AS mean_across_runs, COUNT(*) AS n_runs
+FROM exploded GROUP BY metric
+""",
+    doc="A13 grouped mean over a metric map: per-run metric dicts "
+    "(series as runs) exploded to (metric, value) rows, averaged per "
+    "key (reference: composite_metric.py:183-186) — map_entries + "
+    "explode + hash agg, no driver dict loop.",
+)
+def a13_metric_map_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.stddev_pop("value"), 6).alias("std_v"),
+        F.round(F.max("value") - F.min("value"), 6).alias("range_v"),
+    )
+    m = F.create_map(
+        F.lit("mean_v"), F.col("mean_v"),
+        F.lit("std_v"), F.col("std_v"),
+        F.lit("range_v"), F.col("range_v"),
+    )
+    kv = per.select(F.explode(m).alias("metric", "v"))
+    return kv.groupBy("metric").agg(
+        F.round(F.avg("v"), 6).alias("mean_across_runs"),
+        F.count("*").alias("n_runs"),
+    )

@@ -116,3 +116,83 @@ def m14_ga_block_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in res["history"]
     ]
     return spark.createDataFrame(rows, "gen INT, gen_best DOUBLE, gen_mean DOUBLE, overall_best DOUBLE")
+
+
+@register(
+    "m7_m8_segment_clusters",
+    oracle=None,
+    doc="M7+M8+J3 segmentation pipeline: per-series change-point "
+    "detection (binary segmentation on |log-return| mean shift, one "
+    "grouped-map task per series — PELT-lite; reference uses ruptures "
+    "PELT, regime_gan.py:36-69), per-segment feature aggregation, "
+    "MLlib KMeans segment clustering (M8 scale path for sklearn Ward), "
+    "and the J3 segment×label equi-join.",
+)
+def m7_m8_segment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..regime.segmentation import cluster_segments, detect_changepoints
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_type", "ts", "event_id", "value")
+    cps = detect_changepoints(ev, "value", ["event_type"], ["ts", "event_id"], min_size=50)
+    out = cluster_segments(
+        ev, cps, "value", ["event_type"], ["ts", "event_id"], k=3, seed=42
+    )
+    return out.select(
+        "event_type",
+        "seg_id",
+        "n",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("std_v", 6).alias("std_v"),
+        "cluster",
+    )
+
+
+@register(
+    "m16_random_sweep",
+    oracle=None,
+    doc="M16 random hyperparameter sweep with early-stop margin: "
+    "seed-deterministic config sampling, batched Spark grouped-map "
+    "fitness evaluation, driver-side early stop between batches "
+    "(reference: optimize_generator.py:17-50).",
+)
+def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions import timeseries as TS
+    from ..optimize import Gene, moment_match_fitness
+    from ..optimize.sweep import random_sweep
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "view")
+        .select("ts", "event_id", "value")
+    )
+    rets_df = TS.log_returns(ev, "value", [], ["ts", "event_id"])
+    panel = rets_df.agg(
+        F.mean("log_ret").alias("mean"), F.stddev_pop("log_ret").alias("std")
+    ).first()
+    ac1 = TS.lag_autocorr(rets_df, "log_ret", 1, [], ["ts", "event_id"]).first()[0]
+    pool = np.array(
+        [r[0] for r in rets_df.select("log_ret").dropna().orderBy("ts", "event_id").limit(4000).collect()]
+    )
+    fitness = moment_match_fitness(
+        pool,
+        {"mean": panel["mean"], "std": panel["std"], "ac1": float(ac1 or 0.0)},
+        n_samples=256,
+        n_seeds=2,
+    )
+    res = random_sweep(
+        spark,
+        [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+        fitness,
+        n_configs=12,
+        batch=6,
+        seed=42,
+    )
+    rows = [
+        (h["batch"], round(h["best"], 6), res["evaluated"], round(res["score"], 6))
+        for h in res["history"]
+    ]
+    return spark.createDataFrame(
+        rows, "batch INT, batch_best DOUBLE, n_evaluated INT, overall_best DOUBLE"
+    )

@@ -2,5 +2,6 @@
 §2.11 M14-M16)."""
 
 from .ga import Gene, GAOptimizer, moment_match_fitness
+from .sweep import random_sweep
 
-__all__ = ["Gene", "GAOptimizer", "moment_match_fitness"]
+__all__ = ["Gene", "GAOptimizer", "moment_match_fitness", "random_sweep"]

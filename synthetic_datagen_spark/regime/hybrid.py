@@ -158,7 +158,7 @@ class RegimeBootstrapHybrid:
                             st = stats.get(int(regs[i]), {"mu": 0.0, "sigma": 1e-3})
                             blk = st["mu"] + st["sigma"] * rng.standard_normal(need)
                         take = blk[: need - filled].copy()
-                        # W12/W13 stitch against the previous block's last value
+                        # W12/W13/W14 stitch against the previous block's last
                         if prev_last is not None and len(take):
                             if mode == "blend":
                                 take[0] = (1.0 - lam) * take[0] + lam * prev_last
@@ -166,6 +166,16 @@ class RegimeBootstrapHybrid:
                                 m = min(overlap, len(take))
                                 alpha = np.linspace(0.0, 1.0, m + 2)[1:-1][:m]
                                 take[:m] = alpha * take[:m] + (1 - alpha) * prev_last
+                            elif mode == "ar_bridge":
+                                # W14: AR(1) recursion walks from the prev
+                                # block's last return toward the block's own
+                                # values over `overlap` steps (reference:
+                                # optimize_generator_v3.py:148-201)
+                                m = min(overlap, len(take))
+                                cur = prev_last
+                                for bi in range(m):
+                                    cur = lam * cur + (1.0 - lam) * take[bi]
+                                    take[bi] = cur
                         rets[i + filled : i + filled + len(take)] = take
                         filled += len(take)
                         prev_last = float(take[-1]) if len(take) else prev_last

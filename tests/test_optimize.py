@@ -107,3 +107,57 @@ def test_ga_spark_fanout_fitness(spark):
     )
     res = ga.optimize(spark)
     assert np.isfinite(res["score"]) and res["best"] is not None
+
+
+def test_hybrid_ar_bridge_variant(spark, hybrid):
+    from synthetic_datagen_spark.regime.hybrid import RegimeBootstrapHybrid
+
+    h = RegimeBootstrapHybrid(hybrid.model, min_block=4, smoothing="ar_bridge", overlap=4, lam=0.5)
+    h.pools = hybrid.pools
+    a = h.generate(spark, seed=5, n_samples=50, n_series=1).orderBy("t").collect()
+    b = h.generate(spark, seed=5, n_samples=50, n_series=1).orderBy("t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert len(a) == 50 and all(np.isfinite(r.price) for r in a)
+
+
+def test_random_sweep_deterministic_and_bounded(spark):
+    from synthetic_datagen_spark.optimize import Gene, random_sweep
+
+    def run():
+        return random_sweep(
+            spark,
+            [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+            _toy_fitness_factory(),
+            n_configs=16,
+            batch=4,
+            patience_batches=2,
+            seed=7,
+        )
+
+    r1, r2 = run(), run()
+    assert r1["best"] == r2["best"] and r1["score"] == r2["score"]
+    assert r1["evaluated"] <= 16
+    assert r1["score"] <= min(h["best"] for h in r1["history"])
+
+
+def test_segmentation_finds_vol_shift(spark):
+    from synthetic_datagen_spark.regime.segmentation import (
+        cluster_segments,
+        detect_changepoints,
+    )
+
+    rng = np.random.default_rng(1)
+    # price series with a sharp volatility regime change at t=500
+    r1 = rng.normal(0, 0.001, 500)
+    r2 = rng.normal(0, 0.02, 500)
+    prices = 100 * np.exp(np.cumsum(np.concatenate([r1, r2])))
+    rows = [("s", i, float(prices[i])) for i in range(1000)]
+    df = spark.createDataFrame(rows, "series STRING, t LONG, value DOUBLE")
+    cps = detect_changepoints(df, "value", ["series"], ["t"], min_size=50)
+    segs = cps.groupBy("seg_id").agg(F.min("idx").alias("lo"), F.max("idx").alias("hi")).collect()
+    assert len(segs) >= 2  # the vol shift is detected
+    bounds = sorted(r.lo for r in segs if r.lo > 0)
+    assert any(abs(b - 500) < 60 for b in bounds)  # near the true break
+    out = cluster_segments(df, cps, "value", ["series"], ["t"], k=2, seed=42)
+    assert out.count() == len(segs)
+    assert out.select("cluster").distinct().count() >= 1
