@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the algebraic invariants the
+reference pins with unit tests (SURVEY §5.1): returns↔prices round-trip,
+window shape identities, seed-derivation stability, plus pure-kernel
+properties of the engine's own primitives."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from synthetic_datagen_spark.evaluators.stationarity import _tau_pvalue
+from synthetic_datagen_spark.generators.seeds import derive_seed
+from synthetic_datagen_spark.ml.decoder import _splitmix_matrix
+from synthetic_datagen_spark.optimize import Gene
+from synthetic_datagen_spark.regime.segmentation import _binseg
+
+prices = st.lists(
+    st.floats(min_value=1e-3, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=3,
+    max_size=200,
+)
+
+
+@given(prices)
+@settings(max_examples=200, deadline=None)
+def test_returns_price_roundtrip_numpy(ps):
+    """exp(cumsum(diff(log p))) · p0 == p — the reference's core identity
+    (test_data_processor.py:19-23, rtol 1e-12), numpy form of W1→W2."""
+    p = np.array(ps)
+    r = np.diff(np.log(p))
+    rebuilt = p[0] * np.exp(np.cumsum(r))
+    assert np.allclose(rebuilt, p[1:], rtol=1e-9)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_derive_seed_stable_and_spread(base, unit):
+    a = derive_seed(base, unit)
+    assert a == derive_seed(base, unit)  # pure
+    assert 0 <= a < 2**63
+    assert a != derive_seed(base, unit + 1)  # unit sensitivity
+    assert a != derive_seed(base + 1, unit)  # base sensitivity
+
+
+@given(
+    st.floats(min_value=-10, max_value=10, allow_nan=False),
+    st.floats(min_value=0.1, max_value=5.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_gene_clip_respects_bounds(v, span):
+    g = Gene("x", -1.0, -1.0 + span)
+    assert g.lo <= g.clip(v) <= g.hi
+    gi = Gene("k", 2, 10, "int")
+    c = gi.clip(v)
+    assert c == int(c) and 2 <= c <= 10
+
+
+@given(st.floats(min_value=-6, max_value=2, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_tau_pvalue_monotone(stat):
+    p = _tau_pvalue(stat)
+    assert 0.001 <= p <= 0.999
+    assert _tau_pvalue(stat + 0.1) >= p  # larger stat → weaker rejection
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_splitmix_matrix_range_and_determinism(seed):
+    m = _splitmix_matrix(seed, 4, 5)
+    assert m.shape == (4, 5)
+    assert np.all(np.abs(m) <= 1.0)
+    assert np.array_equal(m, _splitmix_matrix(seed, 4, 5))
+
+
+@given(
+    st.integers(min_value=3, max_value=40),
+    st.floats(min_value=0.5, max_value=3.0),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_binseg_detects_clear_mean_shift(n_half, shift, seed):
+    rng = np.random.default_rng(seed)
+    x = np.concatenate([rng.normal(0, 0.1, n_half * 10), rng.normal(shift + 1, 0.1, n_half * 10)])
+    bounds = _binseg(x, min_size=max(3, n_half), penalty=1.0)
+    assert bounds, "clear shift must be found"
+    assert any(abs(b - n_half * 10) <= max(3, n_half) for b in bounds)
+    # boundaries are interior, sorted, unique
+    assert bounds == sorted(set(bounds))
+    assert all(0 < b < len(x) for b in bounds)
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_binseg_constant_series_no_split(data):
+    n = data.draw(st.integers(min_value=10, max_value=300))
+    c = data.draw(st.floats(min_value=-5, max_value=5, allow_nan=False))
+    assert _binseg(np.full(n, c), min_size=5, penalty=1e-9) == []
+
+
+def test_window_shape_identity(spark):
+    """N rows, window W → N−W+1 full windows (reference
+    test_data_processor.py:26-31), checked on a Spark frame."""
+    from synthetic_datagen_spark.functions import timeseries as TS
+
+    n, w = 57, 8
+    df = spark.createDataFrame([("s", i, float(i)) for i in range(n)], "sid STRING, t LONG, v DOUBLE")
+    win = TS.sliding_windows(df, "v", w, ["sid"], ["t"])
+    rows = win.orderBy("window_id").collect()
+    assert len(rows) == n - w + 1
+    assert rows[0]["window_vec"] == [float(i) for i in range(w)]
+    assert rows[-1]["window_vec"] == [float(i) for i in range(n - w, n)]
