@@ -204,3 +204,87 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: KMeans coarse quantizer →
+    per-centroid inverted lists → each query probes its n_probe nearest
+    centroids and rescores exactly inside those lists.
+
+    The scale path complement to sign-LSH: candidate count ≈
+    |C|·n_probe/n_lists per query instead of |C|, and the list
+    assignment is ONE distributed KMeans transform.
+
+    Determinism contract: same seed + same input layout ⇒ identical
+    index. Across different partitionings the k-means|| init may choose
+    different centroids — as with FAISS, an IVF index is trained once
+    and persisted, then queried; it is not rebuilt per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    cv = c.withColumn("_fv", array_to_vector("cv"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_fv", predictionCol="list_id")
+    model = km.fit(cv)
+    lists = model.transform(cv).select("neighbor_id", "cv", "cn", "list_id")
+
+    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    # rank centroids per query by cosine, keep n_probe list ids — tiny
+    # (n_lists per query), computed as an exploded literal-array scan
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("list_id"),
+                F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
+            )
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    probes = (
+        q.select("query_id", "qv", "qn", F.explode(cent).alias("c"))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.col("c.list_id").alias("list_id"),
+            (dot(F.col("qv"), F.col("c.ctr")) / (F.col("qn") * l2_norm(F.col("c.ctr")))).alias("_sim"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("list_id"))
+    probed = (
+        probes.withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "qn", "list_id")
+    )
+    cand = lists.join(F.broadcast(probed), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

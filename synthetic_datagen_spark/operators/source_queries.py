@@ -84,3 +84,44 @@ def s8_sql_view_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM v_segment_summary")
+
+
+@register(
+    "stream_batch_parity_rollup",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming / batch parity: the watermarked tumbling "
+    "rollup (streaming/events_stream.py) executed with an availableNow "
+    "trigger over the events table must equal the batch GROUP BY "
+    "exactly — same expressions, same shuffle keys, only the source "
+    "differs (SURVEY §2.13).",
+)
+def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming import read_events_stream, stream_hourly_rollup
+
+    # FileStreamSource needs a directory; stage a normalized copy (this
+    # also converts the testdata's ns timestamps to Spark-native µs).
+    # count-only output so stream-vs-batch sum ordering cannot differ.
+    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, base)
+    q = (
+        stream_hourly_rollup(stream, watermark="0 seconds")
+        .select("hour_start", "event_type", "n_events")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros("hour_start").alias("hour_us"), "event_type", "n_events"
+    )

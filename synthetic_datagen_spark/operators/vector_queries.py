@@ -91,3 +91,18 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _NQ)
     return V.lsh_bucketed_knn(q, emb, _K, dim=64, n_tables=4, n_planes=6, seed=42)
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # KMeans index is engine-internal; recall tested vs brute force
+    doc="IVF approximate kNN: seed-pinned KMeans coarse quantizer over "
+    "the corpus (one MLlib fit), inverted lists per centroid, each "
+    "query probes its 4 nearest of 16 centroids and rescores exactly "
+    "inside the probed lists — candidates ≈ |C|·n_probe/n_lists per "
+    "query. The IVF scale path beside sign-LSH (knn_lsh_bucketed).",
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ)
+    return V.ivf_knn(q, emb, _K, n_lists=16, n_probe=4, seed=42)

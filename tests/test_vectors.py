@@ -36,3 +36,27 @@ def test_cosine_self_similarity(spark, sf_smoke):
     )
     bad = d.filter(F.abs(F.col("c") - 1.0) > 1e-12).count()
     assert bad == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke):
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = V.brute_force_knn(q, emb, 5).select("query_id", "neighbor_id")
+    ivf = V.ivf_knn(q, emb, 5, n_lists=8, n_probe=3, seed=42)
+    hits = bf.join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    recall = hits / bf.count()
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # every query still returns a full (or near-full) top-k
+    assert ivf.groupBy("query_id").count().agg(F.min("count")).first()[0] >= 3
+
+
+def test_ivf_deterministic_same_layout(spark, sf_smoke):
+    """Same input layout + seed ⇒ identical index and results. (Across
+    DIFFERENT partitionings the k-means|| init — like FAISS training —
+    may pick different centroids: real IVF indexes are built once and
+    persisted, not rebuilt per query; vectors.py documents this.)"""
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = V.ivf_knn(q, emb, 5, seed=42).collect()
+    b = V.ivf_knn(q, emb, 5, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
