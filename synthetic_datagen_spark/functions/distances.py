@@ -124,10 +124,18 @@ def hurst_rs(
     mean(R/S) over segments, then H = slope of log(R/S)~log(L), clipped
     to [0, 1].
 
-    Plan shape: one pass to index+diff the series, a lag-grid explode
-    (×|lags| rows), one segment aggregate, one per-lag aggregate, then a
-    closed-form least-squares slope per series via corr·std ratio — four
-    shuffles total, all on (series, lag) keys, no driver loop.
+    Plan shape: ONE ordered window pass over the raw series builds the
+    prefix sum P_i of diffs; after the lag-grid explode (×|lags| rows)
+    everything is hash aggregation — the segment cumulative deviation
+    never needs a per-(lag, segment) sort because
+
+        cum_k = Σ_{j∈seg, j≤k}(d_j − μ) = (P_k − k·μ) + const(seg)
+
+    so R = max_k(P_k − k·μ) − min_k(P_k − k·μ). μ comes from a first
+    hash agg, joins back broadcast (segment count ≈ n·Σ1/lag ≪ n·|lags|),
+    and a second hash agg takes the max/min. Sorting 100k rows once
+    instead of the 10M-row exploded frame is the difference between a
+    pipelined plan and a giant shuffle-sort at scale.
     """
     w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
     indexed = (
@@ -135,27 +143,36 @@ def hurst_rs(
         .withColumn("_d", F.col(value_col) - F.lag(value_col).over(w))
         .filter(F.col("_d").isNotNull())
         .withColumn("_i", F.col("_i") - 1)
-        .select(*partition_cols, "_i", "_d")
+        .withColumn(
+            "_p", F.sum("_d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .select(*partition_cols, "_i", "_d", "_p")
     )
     lag_df = F.array(*[F.lit(int(x)) for x in lags])
     e = indexed.withColumn("lag", F.explode(lag_df)).withColumn(
         "seg", F.floor(F.col("_i") / F.col("lag"))
     )
-    # per (series, lag, segment): R/S of the diffs in the segment
-    seg_w = Window.partitionBy(*partition_cols, "lag", "seg").orderBy("_i")
-    cum = F.sum(F.col("_d") - F.mean("_d").over(seg_w.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing))).over(
-        seg_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    seg = (
-        e.withColumn("_cum", cum)
-        .groupBy(*partition_cols, "lag", "seg")
+    keys = [*partition_cols, "lag", "seg"]
+    # hash agg 1: per-segment mean + dispersion from plain sums
+    mu = (
+        e.groupBy(*keys)
         .agg(
-            (F.max("_cum") - F.min("_cum")).alias("R"),
+            F.mean("_d").alias("_mu"),
             F.stddev_pop("_d").alias("S"),
             F.count("*").alias("m"),
         )
-        # full segments with nonzero dispersion, as the reference
         .filter((F.col("m") == F.col("lag")) & (F.col("S") > 1e-10))
+    )
+    # hash agg 2: R = max-min of (P_k − k·μ) — the segment constant cancels
+    dev = F.col("_p") - (F.col("_i") + 1) * F.col("_mu")
+    seg = (
+        e.join(F.broadcast(mu), keys)
+        .withColumn("_dev", dev)
+        .groupBy(*keys)
+        .agg(
+            (F.max("_dev") - F.min("_dev")).alias("R"),
+            F.first("S").alias("S"),
+        )
     )
     per_lag = seg.groupBy(*partition_cols, "lag").agg(
         F.mean(F.col("R") / F.col("S")).alias("rs")
