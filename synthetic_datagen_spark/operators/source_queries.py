@@ -125,3 +125,46 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.unix_micros("hour_start").alias("hour_us"), "event_type", "n_events"
     )
+
+
+@register(
+    "s9_external_process_pipe",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value * 2 AS DECIMAL(14,4))) AS DOUBLE), 4) AS sum_doubled
+FROM events
+GROUP BY event_type
+""",
+    doc="S9 external-process escape hatch (reference: predictive_"
+    "evaluator.py:370-394): every Arrow batch pipes through a subprocess "
+    "as CSV (here a python one-liner doubling `value`), one process per "
+    "batch across the cluster, Spark task retry as crash isolation. "
+    "Aggregates of the transformed stream match the in-engine oracle.",
+)
+def s9_external_process_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+
+    from ..sources.external import pipe_through_process
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_id", "event_type", "value")
+    script = (
+        "import sys, pandas as pd; d = pd.read_csv(sys.stdin); "
+        "d['value'] = d['value'] * 2; d.to_csv(sys.stdout, index=False)"
+    )
+    out = pipe_through_process(
+        ev.repartition(8),
+        [sys.executable, "-c", script],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        ),
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
+        ).alias("sum_doubled"),
+    )

@@ -145,3 +145,45 @@ def test_stream_running_stats(spark, tmp_path):
         assert out[t].n == row.n
         assert abs(out[t].mean - row.mean) < 1e-9
         assert abs(out[t].std - (row.std or 0.0)) < 1e-9
+
+
+# ---------------------------------------------------------- S9/M12 --
+def test_external_pipe_roundtrip(spark):
+    import sys
+
+    import pyspark.sql.types as T
+
+    from synthetic_datagen_spark.sources.external import pipe_through_process
+
+    ev = Catalog(spark, SF).table("events").select("event_id", "value").limit(100)
+    script = (
+        "import sys, pandas as pd; d = pd.read_csv(sys.stdin); "
+        "d['value'] = d['value'] + 1; d.to_csv(sys.stdout, index=False)"
+    )
+    out = pipe_through_process(
+        ev,
+        [sys.executable, "-c", script],
+        T.StructType(
+            [T.StructField("event_id", T.LongType()), T.StructField("value", T.DoubleType())]
+        ),
+    )
+    got = {r.event_id: r.value for r in out.collect()}
+    want = {r.event_id: r.value + 1 for r in ev.collect()}
+    assert got == want
+
+
+def test_json_memo_computes_once(tmp_path):
+    from synthetic_datagen_spark.evaluators.memo import json_memo
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return {"mae": 0.25}
+
+    p = str(tmp_path / "memo.json")
+    assert json_memo(p, "baseline|w=12", compute) == {"mae": 0.25}
+    assert json_memo(p, "baseline|w=12", compute) == {"mae": 0.25}
+    assert len(calls) == 1  # second call served from the memo
+    assert json_memo(p, "other-key", compute) == {"mae": 0.25}
+    assert len(calls) == 2
