@@ -92,53 +92,76 @@ class DistributionEvaluator:
         if hi <= lo:
             hi = lo + 1.0
 
-        out["js_div"] = float(
-            D.js_divergence(df, value_col, tag_col, tag_real, tag_syn, lo, hi, self.bins)
-            .first()["js_div"]
-        )
-        out["wasserstein"] = float(
-            D.wasserstein_1d(df, value_col, tag_col, tag_real, tag_syn).first()["w1"]
-        )
-        out["ks_stat"] = float(
-            D.ks_statistic(df, value_col, tag_col, tag_real, tag_syn).first()["ks_stat"]
-        )
+        # the six metric pipelines are independent Spark jobs — submit
+        # them concurrently from driver threads so the cluster overlaps
+        # their stages instead of running the panel serially (the same
+        # plans, so results are unchanged; the FIFO scheduler interleaves)
+        def _js():
+            return float(
+                D.js_divergence(df, value_col, tag_col, tag_real, tag_syn, lo, hi, self.bins)
+                .first()["js_div"]
+            )
 
-        # returns-based panel
-        r = TS.log_returns(df, value_col, [tag_col], order_cols, out_col="_r")
-        w = Window.partitionBy(tag_col).orderBy(*order_cols)
-        lag_cols = [F.lag("_r", k).over(w).alias(f"_l{k}") for k in self.acf_lags]
-        panel = (
-            r.select(
-                tag_col,
-                "_r",
-                F.abs("_r").alias("_a"),
-                F.lag(F.abs("_r")).over(w).alias("_al"),
-                *lag_cols,
+        def _w1():
+            return float(
+                D.wasserstein_1d(df, value_col, tag_col, tag_real, tag_syn).first()["w1"]
             )
-            .groupBy(tag_col)
-            .agg(
-                F.stddev_pop("_r").alias("std"),
-                F.mean("_r").alias("mean"),
-                *[F.corr("_r", f"_l{k}").alias(f"ac{k}") for k in self.acf_lags],
-                F.corr("_a", "_al").alias("vol_cluster"),
+
+        def _ks():
+            return float(
+                D.ks_statistic(df, value_col, tag_col, tag_real, tag_syn).first()["ks_stat"]
             )
-        )
-        rows = {row[tag_col]: row for row in panel.collect()}
+
+        def _panel():
+            r = TS.log_returns(df, value_col, [tag_col], order_cols, out_col="_r")
+            w = Window.partitionBy(tag_col).orderBy(*order_cols)
+            lag_cols = [F.lag("_r", k).over(w).alias(f"_l{k}") for k in self.acf_lags]
+            panel = (
+                r.select(
+                    tag_col,
+                    "_r",
+                    F.abs("_r").alias("_a"),
+                    F.lag(F.abs("_r")).over(w).alias("_al"),
+                    *lag_cols,
+                )
+                .groupBy(tag_col)
+                .agg(
+                    F.stddev_pop("_r").alias("std"),
+                    F.mean("_r").alias("mean"),
+                    *[F.corr("_r", f"_l{k}").alias(f"ac{k}") for k in self.acf_lags],
+                    F.corr("_a", "_al").alias("vol_cluster"),
+                )
+            )
+            return {row[tag_col]: row for row in panel.collect()}
+
+        def _hurst():
+            return {
+                row[tag_col]: row["hurst"]
+                for row in D.hurst_rs(df, value_col, [tag_col], order_cols)
+                .filter(F.col(tag_col).isin(tag_real, tag_syn))
+                .collect()
+            }
+
+        def _spec():
+            return spectral_distance(df, value_col, tag_col, tag_real, tag_syn, order_cols)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            f_js, f_w1, f_ks = pool.submit(_js), pool.submit(_w1), pool.submit(_ks)
+            f_panel, f_hurst, f_spec = pool.submit(_panel), pool.submit(_hurst), pool.submit(_spec)
+            out["js_div"] = f_js.result()
+            out["wasserstein"] = f_w1.result()
+            out["ks_stat"] = f_ks.result()
+            rows = f_panel.result()
+            hurst = f_hurst.result()
+            out["spectral_dist"] = f_spec.result()
+
         ra, rb = rows[tag_real], rows[tag_syn]
         out["std_ratio"] = (rb["std"] / ra["std"]) if ra["std"] else float("nan")
         for k in self.acf_lags:
             a_, b_ = ra[f"ac{k}"], rb[f"ac{k}"]
             out[f"ac{k}_diff"] = abs((b_ or 0.0) - (a_ or 0.0))
         out["vol_cluster_diff"] = abs((rb["vol_cluster"] or 0.0) - (ra["vol_cluster"] or 0.0))
-
-        hurst = {
-            row[tag_col]: row["hurst"]
-            for row in D.hurst_rs(df, value_col, [tag_col], order_cols)
-            .filter(F.col(tag_col).isin(tag_real, tag_syn))
-            .collect()
-        }
         out["hurst_diff"] = abs(hurst.get(tag_syn, 0.5) - hurst.get(tag_real, 0.5))
-        out["spectral_dist"] = spectral_distance(
-            df, value_col, tag_col, tag_real, tag_syn, order_cols
-        )
         return out

@@ -24,9 +24,14 @@ def tolerance_panel(
     the reference's seed loop; the aggregation is Spark.
     Returns (metric, mean, std, min, max, range, max_rel_dev, recommended_tolerance).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    # per-seed pipelines are independent Spark jobs — overlap them
+    with ThreadPoolExecutor(max_workers=min(8, len(seeds))) as pool:
+        results = list(pool.map(metric_fn, seeds))
     rows = []
-    for seed in seeds:
-        for k, v in metric_fn(seed).items():
+    for seed, metrics in zip(seeds, results):
+        for k, v in metrics.items():
             rows.append((int(seed), k, float(v)))
     df = spark.createDataFrame(rows, ["seed", "metric", "value"])
     agg = df.groupBy("metric").agg(
