@@ -5,12 +5,13 @@ a sequential σ² recursion (W16: σ²_t = ω + α r²_{t-1} + β σ²_{t-1})
 scores the Gaussian log-likelihood; ω is set from the unconditional
 variance ω = var·(1-α-β).
 
-Spark design: the grid × regimes cross product is a small DataFrame;
-each (regime, α, β) cell is one applyInPandas task running the numpy
-scan over that regime's return vector (broadcast once). 48 cells × K
-regimes all evaluate concurrently across executors; the argmax per
-regime is a window top-1 — the reference's driver loop becomes one
-shuffle-free fan-out + one tiny aggregation.
+Spark design: one grouped-map task per regime; inside the task the σ²
+recursion runs over ALL grid cells simultaneously as a (T × 45) numpy
+vector recursion — the per-step work is a length-45 vector op, so the
+whole grid costs one pass over the returns. Regimes parallelize across
+executors; the per-regime argmax happens in the task. (The alternative
+— one task per grid cell — shuffles the returns ×45; vectorizing the
+grid inside the regime task moves that ×45 into registers.)
 """
 
 from __future__ import annotations
@@ -37,6 +38,21 @@ def _loglik(r: np.ndarray, omega: float, alpha: float, beta: float) -> float:
     return float(-0.5 * np.sum(np.log(2 * np.pi * sig2) + r2 / sig2))
 
 
+def _loglik_grid(
+    r: np.ndarray, omegas: np.ndarray, alphas: np.ndarray, betas: np.ndarray
+) -> np.ndarray:
+    """Vectorized W16: σ² recursion for ALL grid cells at once — each
+    step is a length-|grid| vector op, so the full grid is one pass."""
+    n = len(r)
+    r2 = r * r
+    sig2 = np.full(len(alphas), max(r.var(), 1e-12))
+    ll = -0.5 * (np.log(2 * np.pi * sig2) + r2[0] / sig2)
+    for t in range(1, n):
+        sig2 = np.maximum(omegas + alphas * r2[t - 1] + betas * sig2, 1e-12)
+        ll += -0.5 * (np.log(2 * np.pi * sig2) + r2[t] / sig2)
+    return ll
+
+
 def fit_garch_grid(
     spark: SparkSession,
     regime_returns: DataFrame,
@@ -55,10 +71,9 @@ def fit_garch_grid(
         .filter(F.col("_rn") <= max_points_per_regime)
         .select("regime", "idx", "log_ret")
     )
-    grid = spark.createDataFrame(
-        [(a, b) for a in ALPHAS for b in BETAS if a + b < 0.999], ["alpha", "beta"]
-    )
-    cells = bounded.crossJoin(F.broadcast(grid))
+    grid = [(a, b) for a in ALPHAS for b in BETAS if a + b < 0.999]
+    g_alphas = np.array([a for a, _ in grid])
+    g_betas = np.array([b for _, b in grid])
 
     schema = T.StructType(
         [
@@ -73,29 +88,25 @@ def fit_garch_grid(
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("idx")
         r = pdf["log_ret"].to_numpy()
-        a = float(pdf["alpha"].iloc[0])
-        b = float(pdf["beta"].iloc[0])
         var = max(float(r.var()), 1e-12)
-        omega = var * (1.0 - a - b)
-        ll = _loglik(r - r.mean(), omega, a, b) if len(r) >= 5 else -np.inf
+        omegas = var * (1.0 - g_alphas - g_betas)
+        if len(r) >= 5:
+            ll = _loglik_grid(r - r.mean(), omegas, g_alphas, g_betas)
+        else:
+            ll = np.full(len(grid), -np.inf)
+        # argmax with the (alpha, beta) tie-break order of the grid
+        best = int(np.lexsort((g_betas, g_alphas, -ll))[0])
         return pd.DataFrame(
             {
                 "regime": [int(pdf["regime"].iloc[0])],
-                "alpha": [a],
-                "beta": [b],
-                "omega": [omega],
-                "loglik": [ll],
+                "alpha": [g_alphas[best]],
+                "beta": [g_betas[best]],
+                "omega": [omegas[best]],
+                "loglik": [float(ll[best])],
             }
         )
 
-    scored = cells.groupBy("regime", "alpha", "beta").applyInPandas(score, schema)
-    top = Window.partitionBy("regime").orderBy(F.desc("loglik"), "alpha", "beta")
-    best = (
-        scored.withColumn("_rk", F.row_number().over(top))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .collect()
-    )
+    best_rows = bounded.groupBy("regime").applyInPandas(score, schema).collect()
     return {
         int(r["regime"]): {
             "omega": r["omega"],
@@ -103,5 +114,5 @@ def fit_garch_grid(
             "beta": r["beta"],
             "loglik": r["loglik"],
         }
-        for r in best
+        for r in best_rows
     }
