@@ -163,3 +163,30 @@ class TimeGanTrainer(_StubTrainer):
     """M4 (reference: timegan_generator.py:67-186,321-551)."""
 
     name = "timegan"
+
+
+def save_decoder(dec: LinearDecoder, path: str) -> None:
+    """S5: `.parts/`-style artifact layout (reference:
+    vae_gan_trainer.py:320-351 — weights + meta.json side by side)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "weights.npy"), dec.w)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"latent_dim": dec.latent_dim, "window_rows": dec.window_rows,
+             "format_version": 1},
+            f,
+        )
+
+
+def load_decoder(path: str) -> LinearDecoder:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    dec = LinearDecoder(latent_dim=meta["latent_dim"], window_rows=meta["window_rows"])
+    dec.w = np.load(os.path.join(path, "weights.npy"))
+    return dec

@@ -1,0 +1,121 @@
+"""Plugin system — the reference's extensibility contract re-homed on
+Spark (reference: app/plugin_loader.py:7-27 resolves setuptools entry
+points in four groups, pyproject.toml:30-44; plugins are duck-typed
+with ``configure(dict)`` / ``set_params(**kw)`` plus a role method).
+
+Here the four groups are in-process registries (an installed package
+can still extend them via ``register(group, name)`` at import time —
+same by-name late binding, no import-time coupling). ``plugin_params``
+class attributes merge into the config exactly as the reference does
+(augmentation_evaluator.py:339-343).
+
+``register_sql_functions`` exposes the scalar text/quality plugins to
+the SQL surface via ``spark.udf.register`` (SURVEY §2.12) — note these
+are the *slow path* by design; the DataFrame API uses the JVM-side
+column functions in functions/.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+GROUPS = ("sdg.trainer", "sdg.generator", "sdg.evaluator", "sdg.optimizer")
+
+_REGISTRY: dict[str, dict[str, type]] = {g: {} for g in GROUPS}
+
+
+class PluginBase:
+    """Duck-typed plugin contract (reference: typical_price_generator.py:
+    44-64): config dict in, keyword overrides via set_params."""
+
+    plugin_params: dict[str, Any] = {}
+
+    def __init__(self, config: dict | None = None):
+        self.config = {**self.plugin_params, **(config or {})}
+
+    def configure(self, config: dict) -> None:
+        self.config.update(config)
+
+    def set_params(self, **kwargs: Any) -> None:
+        self.config.update(kwargs)
+
+
+def register(group: str, name: str):
+    """Class decorator: put a plugin class in a group registry."""
+    if group not in _REGISTRY:
+        raise KeyError(f"unknown plugin group {group!r}; groups: {GROUPS}")
+
+    def deco(cls: type) -> type:
+        _REGISTRY[group][name] = cls
+        return cls
+
+    return deco
+
+
+def load_plugin(group: str, name: str) -> type:
+    """By-name plugin resolution (reference: plugin_loader.py:14-22)."""
+    try:
+        return _REGISTRY[group][name]
+    except KeyError as e:
+        known = sorted(_REGISTRY.get(group, {}))
+        raise KeyError(f"no plugin {name!r} in {group!r}; known: {known}") from e
+
+
+def available(group: str) -> list[str]:
+    return sorted(_REGISTRY[group])
+
+
+def _register_builtins() -> None:
+    """Built-in plugins mirror the reference's entry-point table."""
+    from .evaluators import DistributionEvaluator, PredictiveEvaluator
+    from .generators import BlockBootstrapGenerator, GrasyndaGenerator
+    from .ml import LinearDecoder, TimeGanTrainer, VaeGanTrainer
+    from .optimize import GAOptimizer
+
+    reg = {
+        "sdg.generator": {
+            "block_bootstrap": BlockBootstrapGenerator,
+            "grasynda": GrasyndaGenerator,
+            "linear_decoder": LinearDecoder,
+        },
+        "sdg.evaluator": {
+            "distribution": DistributionEvaluator,
+            "predictive": PredictiveEvaluator,
+        },
+        "sdg.trainer": {
+            "vae_gan": VaeGanTrainer,
+            "timegan": TimeGanTrainer,
+        },
+        "sdg.optimizer": {
+            "ga": GAOptimizer,
+        },
+    }
+    for group, entries in reg.items():
+        _REGISTRY[group].update(entries)
+
+
+_register_builtins()
+
+
+def register_sql_functions(spark) -> None:
+    """Expose scalar plugin functions to SQL (spark.udf.register).
+
+    Python UDFs — row-at-a-time, the documented slow path; the fast
+    equivalents are the column expressions in functions/text.py.
+    """
+    import re
+
+    def token_count_py(s: str | None) -> int:
+        return len(s.split()) if s and s.strip() else 0
+
+    def quality_score_py(s: str | None) -> float:
+        if not s:
+            return 0.0
+        n = len(s)
+        punct = len(re.findall(r"[\.,;:!\?\'\"\(\)\[\]\-]", s))
+        len_score = min(n / 200.0, 1.0)
+        punct_pen = max(0.0, 1.0 - 4.0 * punct / n)
+        return 0.5 * len_score + 0.5 * punct_pen
+
+    spark.udf.register("token_count_py", token_count_py, "int")
+    spark.udf.register("quality_score_py", quality_score_py, "double")

@@ -116,3 +116,40 @@ class RegimeModel:
         if self.labeled is None:
             raise RuntimeError("fit() first")
         return self.labeled.select("regime", "idx", "log_ret")
+
+    # ---------------------------------------------------- artifacts --
+    # S6: pure-JSON model I/O (reference: regime_hmm_garch.py:193-200,
+    # regime_conditional.py:188-195 — HMM/GARCH models serialize as
+    # plain JSON; the labeled training frame is data, not model, and is
+    # re-derivable, so it is not persisted).
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        if self.trans is None:
+            raise RuntimeError("fit() first")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "n_regimes": self.n_regimes,
+                    "seed": self.seed,
+                    "min_points": self.min_points,
+                    "trans": self.trans.tolist(),
+                    "start": self.start.tolist(),
+                    "stats": {str(k): v for k, v in self.stats.items()},
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "RegimeModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        m = cls(n_regimes=d["n_regimes"], seed=d["seed"], min_points=d["min_points"])
+        m.trans = np.array(d["trans"])
+        m.start = np.array(d["start"])
+        m.stats = {int(k): v for k, v in d["stats"].items()}
+        return m

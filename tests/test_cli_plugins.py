@@ -1,0 +1,131 @@
+"""CLI four-mode round-trip, plugin registry contract, artifact I/O."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from synthetic_datagen_spark import plugins
+from synthetic_datagen_spark.cli import main
+from synthetic_datagen_spark.sources import Catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def price_csv(spark, tmp_path_factory):
+    """Reference-format CSV (DATE_TIME,typical_price) from events."""
+    base = tmp_path_factory.mktemp("cli")
+    p = str(base / "prices")
+    ev = (
+        Catalog(spark, SF)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("ts").alias("DATE_TIME"), F.col("value").alias("typical_price"))
+        .orderBy("DATE_TIME")
+    )
+    ev.coalesce(1).write.mode("overwrite").option("header", True).csv(p)
+    return p
+
+
+def test_cli_generate_evaluate_roundtrip(spark, price_csv, tmp_path):
+    out_csv = str(tmp_path / "synth")
+    r = main(
+        [
+            "--mode", "generate",
+            "--input-file", price_csv,
+            "--output-file", out_csv,
+            "--generator", "block_bootstrap",
+            "--seed", "7",
+            "--n-samples", "300",
+        ],
+        spark=spark,
+    )
+    assert r["n_samples"] == 300
+    ev = main(
+        [
+            "--mode", "evaluate",
+            "--input-file", price_csv,
+            "--synthetic-file", out_csv,
+        ],
+        spark=spark,
+    )
+    for key in ("js_div", "ks_stat", "std_ratio", "hurst_diff"):
+        assert key in ev and np.isfinite(ev[key])
+    assert ev["ks_stat"] <= 1.0
+
+
+def test_cli_train_saves_model(spark, price_csv, tmp_path):
+    mf = str(tmp_path / "model.json")
+    r = main(
+        ["--mode", "train", "--input-file", price_csv, "--model-file", mf,
+         "--n-regimes", "3"],
+        spark=spark,
+    )
+    assert r["n_regimes"] == 3 and os.path.exists(mf)
+    from synthetic_datagen_spark.regime import RegimeModel
+
+    m = RegimeModel.load(mf)
+    assert m.trans.shape == (3, 3)
+    assert np.allclose(m.trans.sum(axis=1), 1.0)
+
+
+def test_cli_optimize_returns_best(spark, price_csv):
+    r = main(
+        ["--mode", "optimize", "--input-file", price_csv, "--seed", "5"],
+        spark=spark,
+    )
+    assert r["best"] is not None and np.isfinite(r["score"])
+    assert 4 <= r["best"]["block_size"] <= 48
+
+
+def test_cli_config_overlay(spark, price_csv, tmp_path):
+    cfg = str(tmp_path / "cfg.json")
+    json.dump({"n_samples": 123, "seed": 99}, open(cfg, "w"))
+    r = main(
+        ["--mode", "generate", "--input-file", price_csv, "--config", cfg,
+         "--seed", "7"],  # CLI beats config file; config beats default
+        spark=spark,
+    )
+    assert r["n_samples"] == 123  # from config file
+
+
+def test_plugin_registry_contract():
+    gen = plugins.load_plugin("sdg.generator", "block_bootstrap")
+    assert gen.__name__ == "BlockBootstrapGenerator"
+    assert "grasynda" in plugins.available("sdg.generator")
+    assert "distribution" in plugins.available("sdg.evaluator")
+    assert "ga" in plugins.available("sdg.optimizer")
+    with pytest.raises(KeyError):
+        plugins.load_plugin("sdg.generator", "nope")
+
+    @plugins.register("sdg.generator", "custom_test")
+    class Custom(plugins.PluginBase):
+        plugin_params = {"alpha": 1}
+
+    c = plugins.load_plugin("sdg.generator", "custom_test")({"beta": 2})
+    assert c.config == {"alpha": 1, "beta": 2}
+    c.set_params(alpha=5)
+    assert c.config["alpha"] == 5
+
+
+def test_sql_udf_registration(spark):
+    plugins.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT token_count_py('a b  c') AS n, quality_score_py('hello world.') AS q"
+    ).first()
+    assert row["n"] == 3 and 0.0 <= row["q"] <= 1.0
+
+
+def test_decoder_artifact_roundtrip(tmp_path):
+    from synthetic_datagen_spark.ml.decoder import LinearDecoder, load_decoder, save_decoder
+
+    dec = LinearDecoder(latent_dim=4, window_rows=8, model_seed=3)
+    save_decoder(dec, str(tmp_path / "dec.parts"))
+    back = load_decoder(str(tmp_path / "dec.parts"))
+    z = np.ones(4)
+    assert np.array_equal(dec.decode(z), back.decode(z))
