@@ -91,13 +91,26 @@ class PredictiveEvaluator:
         xy_test = mk(test).persist()
         xy_aug = mk(synthetic).unionByName(xy_real).persist()  # J2 union
 
-        w_base = self._fit(xy_real)
-        w_aug = self._fit(xy_aug)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the two Gram fits, then the four MAE scans, are independent
+        # Spark jobs — overlap them from driver threads (same plans,
+        # identical results; persisted inputs are shared)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_base = pool.submit(self._fit, xy_real)
+            f_aug = pool.submit(self._fit, xy_aug)
+            w_base, w_aug = f_base.result(), f_aug.result()
+            maes = list(
+                pool.map(
+                    lambda p: self._mae(*p),
+                    [(xy_val, w_base), (xy_test, w_base), (xy_val, w_aug), (xy_test, w_aug)],
+                )
+            )
         out = {
-            "baseline_val_mae": self._mae(xy_val, w_base),
-            "baseline_test_mae": self._mae(xy_test, w_base),
-            "augmented_val_mae": self._mae(xy_val, w_aug),
-            "augmented_test_mae": self._mae(xy_test, w_aug),
+            "baseline_val_mae": maes[0],
+            "baseline_test_mae": maes[1],
+            "augmented_val_mae": maes[2],
+            "augmented_test_mae": maes[3],
         }
         out["delta_val_mae"] = out["augmented_val_mae"] - out["baseline_val_mae"]
         out["delta_test_mae"] = out["augmented_test_mae"] - out["baseline_test_mae"]
