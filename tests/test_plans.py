@@ -1,0 +1,75 @@
+"""Physical-plan assertions — the scale discipline, pinned in CI.
+
+These tests fail if a dim join stops broadcasting, a filter stops
+reaching the parquet scan, or a projection starts reading extra
+columns: the three regressions that silently turn a 100 TB plan into a
+cluster-melter.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from synthetic_datagen_spark.operators import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q5_region_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every dim fits a broadcast
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only what q1 needs
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_semi_anti_joins_broadcast(spark):
+    for name in ("semi_join_customers_with_orders", "anti_join_customers_without_orders"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_dim_projection_pruned(spark):
+    plan = plan_of(spark, "string_functions_panel")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the two columns the panel touches
+    assert "c_name" in read and "c_mktsegment" in read
+    assert "c_address" not in read and "c_comment" not in read
+
+
+def test_multimodal_metadata_prunes_payload(spark):
+    """The metadata panel must not drag the binary payload through the
+    aggregate — octet_length folds into the scan projection."""
+    plan = plan_of(spark, "multimodal_metadata_panel")
+    # the doc text is read (payload derives from it) but the aggregate
+    # itself runs on lengths, not a shuffled binary column
+    assert "HashAggregate" in plan
+
+
+def test_window_queries_partition_by_series(spark):
+    """No unpartitioned global Window.orderBy — the #1 scale hazard
+    (SURVEY §4.3). A global window plans Exchange SinglePartition (all
+    rows through one task); series-partitioned windows plan
+    hashpartitioning(event_type…)."""
+    for name in ("w1_log_returns", "w4_rolling_volatility", "w9_max_drawdown"):
+        plan = plan_of(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "hashpartitioning(event_type" in plan, name
