@@ -133,3 +133,36 @@ class BlockBootstrapGenerator:
             F.log("price") - F.log("first_p") + F.col("chain") + F.log(first0)
         )
         return d.select("series_id", "t", out_price.alias("price"))
+
+
+# ---------------------------------------------------------- artifacts --
+def save_block_bootstrap(gen: BlockBootstrapGenerator, path: str) -> None:
+    """S5 `.parts/` layout: the (distributed) blocks table as parquet +
+    meta.json (reference: typical_price_generator.py:186-206 — model
+    payload beside metadata; here the payload IS a table, so it stays
+    a parquet dataset and reloads partitioned)."""
+    import json
+    import os
+
+    if gen.blocks is None:
+        raise RuntimeError("fit() first")
+    os.makedirs(path, exist_ok=True)
+    gen.blocks.write.mode("overwrite").parquet(os.path.join(path, "blocks.parquet"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"block_size": gen.block_size, "n_blocks": gen.n_blocks,
+             "format_version": 1},
+            f,
+        )
+
+
+def load_block_bootstrap(spark, path: str) -> BlockBootstrapGenerator:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    gen = BlockBootstrapGenerator(block_size=meta["block_size"])
+    gen.blocks = spark.read.parquet(os.path.join(path, "blocks.parquet")).persist()
+    gen.n_blocks = meta["n_blocks"]
+    return gen

@@ -169,3 +169,44 @@ class GrasyndaGenerator:
             .groupBy("id")
             .applyInPandas(walk, schema)
         )
+
+
+# ---------------------------------------------------------- artifacts --
+def save_grasynda(gen: GrasyndaGenerator, path: str) -> None:
+    """S5/S6: numpy state as npz + meta.json (the transition CDF, bin
+    edges, per-state pools and anchor price are the whole model)."""
+    import json
+    import os
+
+    if gen.trans_cum is None:
+        raise RuntimeError("fit() first")
+    os.makedirs(path, exist_ok=True)
+    np.savez(
+        os.path.join(path, "state.npz"),
+        edges=gen.edges,
+        trans_cum=gen.trans_cum,
+        start_cum=gen.start_cum,
+        **{f"pool_{i}": p for i, p in enumerate(gen.pools)},
+    )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"n_states": gen.n_states, "max_pool": gen.max_pool,
+             "n_pools": len(gen.pools), "p0": float(gen.p0), "format_version": 1},
+            f,
+        )
+
+
+def load_grasynda(path: str) -> GrasyndaGenerator:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    z = np.load(os.path.join(path, "state.npz"))
+    gen = GrasyndaGenerator(n_states=meta["n_states"], max_pool_per_state=meta["max_pool"])
+    gen.edges = z["edges"]
+    gen.trans_cum = z["trans_cum"]
+    gen.start_cum = z["start_cum"]
+    gen.pools = [z[f"pool_{i}"] for i in range(meta["n_pools"])]
+    gen.p0 = meta["p0"]
+    return gen

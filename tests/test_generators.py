@@ -106,3 +106,49 @@ def test_grasynda_determinism_and_moments(spark, sf_smoke):
     s = syn.agg(F.stddev_pop("log_ret")).first()[0]
     r = real.agg(F.stddev_pop("log_ret")).first()[0]
     assert 0.3 * r < s < 3.0 * r
+
+
+def test_block_bootstrap_artifact_roundtrip(spark, tmp_path):
+    from synthetic_datagen_spark.generators.block_bootstrap import (
+        load_block_bootstrap,
+        save_block_bootstrap,
+    )
+    from synthetic_datagen_spark.sources import Catalog
+    import pyspark.sql.functions as F
+
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    gen = BlockBootstrapGenerator(block_size=20).fit(ev, "value", ["ts", "event_id"])
+    p = str(tmp_path / "bb.parts")
+    save_block_bootstrap(gen, p)
+    back = load_block_bootstrap(spark, p)
+    a = gen.generate(spark, seed=3, n_samples=80).orderBy("series_id", "t").collect()
+    b = back.generate(spark, seed=3, n_samples=80).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+
+
+def test_grasynda_artifact_roundtrip(spark, tmp_path):
+    from synthetic_datagen_spark.generators.grasynda import (
+        load_grasynda,
+        save_grasynda,
+    )
+    from synthetic_datagen_spark.sources import Catalog
+    import pyspark.sql.functions as F
+
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    gen = GrasyndaGenerator(n_states=6).fit(ev, "value", ["ts", "event_id"])
+    p = str(tmp_path / "gr.parts")
+    save_grasynda(gen, p)
+    back = load_grasynda(p)
+    a = gen.generate(spark, seed=3, n_samples=60).orderBy("series_id", "t").collect()
+    b = back.generate(spark, seed=3, n_samples=60).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
