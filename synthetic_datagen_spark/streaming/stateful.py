@@ -78,3 +78,98 @@ def stream_running_stats(events: DataFrame, alpha: float = 0.06) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Online generator — the G6/G7 sequential sampler as a streaming
+# stateful operator (SURVEY §2.13: "applyInPandasWithState for the
+# sequential generators in online mode"). Each input row is a tick
+# request for one series; state carries (prev_return, sigma2, regime,
+# step) so the AR(1)+GARCH recursion continues exactly across
+# micro-batches. Determinism: the rng re-derives from
+# splitmix64(seed, series_id, step) per tick — replaying the same ticks
+# yields the same path regardless of micro-batch boundaries.
+# ---------------------------------------------------------------------
+
+GEN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.LongType()),
+        T.StructField("prev_r", T.DoubleType()),
+        T.StructField("sig2", T.DoubleType()),
+        T.StructField("regime", T.IntegerType()),
+        T.StructField("log_price", T.DoubleType()),
+    ]
+)
+
+GEN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.LongType()),
+        T.StructField("step", T.LongType()),
+        T.StructField("regime", T.IntegerType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def stream_online_generator(
+    ticks: DataFrame,
+    trans_cum,
+    start_cum,
+    stats: dict,
+    garch: dict,
+    seed: int = 42,
+    p0: float = 100.0,
+):
+    """ticks: streaming DataFrame with a ``series_id`` column; one
+    output row per tick continues that series' AR(1)+GARCH path."""
+    import math
+
+    import numpy as np
+
+    from ..generators.seeds import derive_seed
+
+    k = len(start_cum)
+
+    def update(key: tuple, pdfs, state: GroupState):
+        sid = int(key[0])
+        if state.exists:
+            step, prev_r, sig2, regime, log_price = state.get
+        else:
+            rng0 = np.random.default_rng(derive_seed(seed, sid, 0))
+            regime = min(int(np.searchsorted(start_cum, rng0.random(), side="right")), k - 1)
+            st0 = stats.get(regime, {"sigma": 1e-3})
+            step, prev_r, sig2 = 0, 0.0, float(st0["sigma"]) ** 2
+            log_price = math.log(p0)
+        out = {"series_id": [], "step": [], "regime": [], "price": []}
+        n_ticks = sum(len(p) for p in pdfs)
+        for _ in range(n_ticks):
+            step += 1
+            rng = np.random.default_rng(derive_seed(seed, sid, step))
+            regime = min(
+                int(np.searchsorted(trans_cum[regime], rng.random(), side="right")),
+                k - 1,
+            )
+            st = stats.get(regime, {"mu": 0.0, "sigma": 1e-3, "ar1": 0.0})
+            g = garch.get(regime)
+            if g is not None:
+                sig2 = g["omega"] + g["alpha"] * prev_r * prev_r + g["beta"] * sig2
+                vol = math.sqrt(max(sig2, 1e-18))
+            else:
+                vol = max(st["sigma"], 1e-9)
+            r = st["mu"] + st["ar1"] * (prev_r - st["mu"]) + vol * rng.standard_normal()
+            prev_r = r
+            log_price = min(max(log_price + r, -600.0), 600.0)
+            out["series_id"].append(sid)
+            out["step"].append(step)
+            out["regime"].append(int(regime))
+            out["price"].append(math.exp(log_price))
+        state.update((step, prev_r, sig2, int(regime), log_price))
+        yield pd.DataFrame(out)
+
+    return ticks.groupBy("series_id").applyInPandasWithState(
+        update,
+        outputStructType=GEN_OUT_SCHEMA,
+        stateStructType=GEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

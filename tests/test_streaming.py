@@ -88,3 +88,57 @@ def test_stream_session_stats(spark, events_dir):
     for r in rows:
         assert r.session_end > r.session_start
         assert r.n_events >= 1
+
+
+def test_stream_online_generator_state_continuity(spark, tmp_path):
+    """The AR(1)+GARCH path must be identical whether the ticks arrive
+    in one micro-batch or many — state carries the recursion across
+    batch boundaries (G6/G7 online form)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.streaming.stateful import stream_online_generator
+
+    trans = np.array([[0.9, 0.1], [0.2, 0.8]])
+    trans_cum = np.cumsum(trans, axis=1)
+    start_cum = np.cumsum([0.5, 0.5])
+    stats = {
+        0: {"mu": 0.0005, "sigma": 0.002, "ar1": 0.1},
+        1: {"mu": -0.001, "sigma": 0.01, "ar1": 0.0},
+    }
+    garch = {0: {"omega": 1e-7, "alpha": 0.05, "beta": 0.9}}
+
+    def run(n_files: int) -> list:
+        src = str(tmp_path / f"ticks_{n_files}")
+        # 40 ticks for each of 2 series, split over n_files files
+        rows = [(int(s), int(t)) for s in range(2) for t in range(40)]
+        df = spark.createDataFrame(rows, "series_id LONG, tick LONG")
+        df.repartition(n_files).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("series_id LONG, tick LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        name = f"gen_{n_files}"
+        q = (
+            stream_online_generator(stream, trans_cum, start_cum, stats, garch, seed=9)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .orderBy("series_id", "step")
+            .collect()
+        )
+
+    one = run(1)
+    many = run(8)  # 8 micro-batches
+    assert len(one) == len(many) == 80
+    assert [(r.series_id, r.step, r.price) for r in one] == [
+        (r.series_id, r.step, r.price) for r in many
+    ]
+    assert all(np.isfinite(r.price) and r.price > 0 for r in one)
