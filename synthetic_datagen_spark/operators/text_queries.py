@@ -443,3 +443,55 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    + ascii(substr(norm, i + 3, 1))))"
     )
     return d.select("doc_id", fp.cast("long").alias("fp"))
+
+
+@register(
+    "dedup_connected_components",
+    oracle=None,  # iterative fixpoint; verified against union-find in tests
+    doc="Duplicate-cluster assignment: connected components over the "
+    "MinHash-LSH near-dup pair graph via iterative min-label "
+    "propagation (each round: label = min(own, neighbors'); join + "
+    "groupBy-min per round, converges in O(log(diameter)) rounds — the "
+    "alternating-algorithm shape of large-scale CC). Emits one row per "
+    "clustered doc with its canonical (min) doc_id — the 'keep one per "
+    "cluster' step that completes the dedup pipeline.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint (not just persist) after every round: an iterative
+    # plan that references its previous round TWICE doubles in size per
+    # iteration — lineage must be CUT, not merely cached, or analysis
+    # alone goes exponential (SURVEY §4.2: "lineage cut via
+    # localCheckpoint between generations").
+    pairs = _lsh_candidates(spark, sf_dir).localCheckpoint()
+    # undirected edge list, both directions
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(12):  # log2(n) bound; diameter of dup clusters ≪ this
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+                (F.coalesce("nl", "label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()  # eager: one job materializes round + flag
+        )
+        changed = new.filter("_chg").limit(1).count()  # scan of cached rows
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")

@@ -40,3 +40,31 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_smoke):
     for a, b, _ in close:
         ham = bin(sim[a] ^ sim[b]).count("1")
         assert ham <= 10, f"docs {a},{b} jaccard>=0.95 but hamming {ham}"
+
+
+def test_connected_components_match_union_find(spark):
+    """Distributed label propagation must equal driver union-find on
+    the same LSH pair graph."""
+    from synthetic_datagen_spark.operators.text_queries import _lsh_candidates
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r.id_a, r.id_b) for r in _lsh_candidates(spark, sf).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_connected_components"].build(spark, sf).collect()
+    }
+    assert got == want
