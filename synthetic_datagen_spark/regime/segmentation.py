@@ -40,17 +40,17 @@ def _binseg(x: np.ndarray, min_size: int, penalty: float) -> list[int]:
             return
         seg = x[lo:hi]
         sse0 = float(((seg - seg.mean()) ** 2).sum())
-        best_gain, best_k = 0.0, -1
         csum = np.cumsum(seg)
         csum2 = np.cumsum(seg * seg)
-        for k in range(min_size, n - min_size + 1):
-            lsum, lsum2 = csum[k - 1], csum2[k - 1]
-            rsum, rsum2 = csum[-1] - lsum, csum2[-1] - lsum2
-            sse = (lsum2 - lsum * lsum / k) + (rsum2 - rsum * rsum / (n - k))
-            gain = sse0 - sse
-            if gain > best_gain:
-                best_gain, best_k = gain, k
-        if best_k > 0 and best_gain > penalty:
+        # vectorized split search: SSE of both halves for every k at once
+        ks = np.arange(min_size, n - min_size + 1)
+        lsum, lsum2 = csum[ks - 1], csum2[ks - 1]
+        rsum, rsum2 = csum[-1] - lsum, csum2[-1] - lsum2
+        sse = (lsum2 - lsum * lsum / ks) + (rsum2 - rsum * rsum / (n - ks))
+        gains = sse0 - sse
+        bi = int(np.argmax(gains))
+        best_gain, best_k = float(gains[bi]), int(ks[bi])
+        if best_gain > penalty:
             split(lo, lo + best_k)
             bounds.append(lo + best_k)
             split(lo + best_k, hi)
