@@ -495,3 +495,49 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+
+
+_WG_SQL = (
+    "CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 "
+    "THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform("
+    "generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2), "
+    "i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' '))) END"
+)
+
+
+@register(
+    "dedup_word_ngram_jaccard",
+    oracle=f"""
+WITH {_LSH_CAND_SQL}
+, grams AS (
+  SELECT doc_id, {_WG_SQL} AS ng FROM documents WHERE length(text) >= 5
+)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(ga.ng, gb.ng))
+         / CAST(len(ga.ng) + len(gb.ng) - len(list_intersect(ga.ng, gb.ng)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN grams ga ON ga.doc_id = id_a
+JOIN grams gb ON gb.doc_id = id_b
+WHERE len(ga.ng) > 0 AND len(gb.ng) > 0
+  AND len(list_intersect(ga.ng, gb.ng))
+         / CAST(len(ga.ng) + len(gb.ng) - len(list_intersect(ga.ng, gb.ng)) AS DOUBLE) >= 0.6
+""",
+    doc="Word-3-gram Jaccard ≥ 0.6 over MinHash-LSH candidates — the "
+    "n-gram (token-level) companion to the character-shingle verify "
+    "(the Gopher/RefinedWeb-style dedup granularity). Distinct n-gram "
+    "arrays via sequence/transform/slice, intersection JVM-side.",
+)
+def dedup_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidates(spark, sf_dir)
+    grams = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.length("text") >= 5)
+        .select("doc_id", F.array_distinct(TX.word_ngrams(F.col("text"), 3)).alias("ng"))
+        .filter(F.size("ng") > 0)
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    d = cand.join(F.broadcast(ga), "id_a").join(F.broadcast(gb), "id_b")
+    common = F.size(F.array_intersect("ng_a", "ng_b"))
+    jac = common / (F.size("ng_a") + F.size("ng_b") - common).cast("double")
+    return d.filter(jac >= 0.6).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
