@@ -361,3 +361,46 @@ def a13_metric_map_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("v"), 6).alias("mean_across_runs"),
         F.count("*").alias("n_runs"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Skew-safe two-phase aggregation (brief: 'skewed keys -> "
+    "salting'): phase 1 aggregates on (key, salt=hash(event_id)%16) so "
+    "a hot key spreads over 16 reducers, phase 2 merges partials on the "
+    "key alone. Decimal sums keep the result bit-identical to the "
+    "direct GROUP BY oracle regardless of salt routing.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(12,2)")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.count("*"), lambda c: F.sum(c)),
+            "sum_dec": (F.sum(dec), lambda c: F.sum(c)),
+            "min_value": (F.min("value"), lambda c: F.min(c)),
+            "max_value": (F.max("value"), lambda c: F.max(c)),
+        },
+        n_salts=16,
+        salt_on="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
