@@ -274,3 +274,72 @@ def orders_customer_nation_enrich(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H-style Q6 forecast-revenue-change: pure scan-filter-agg — "
+    "all three predicates push to the parquet scan, one partial+final "
+    "agg, zero joins/shuffles beyond the final merge.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    d = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+    return d.agg(
+        rev.cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H-style Q10 returned-item ranking: fact-fact join "
+    "(lineitem×orders on orderkey) with broadcast dims, returnflag "
+    "filter pushed below the join, top-20 by decimal-exact revenue "
+    "with key tiebreak.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(F.col("l_returnflag") == "R")
+    o = cat.table("orders")
+    c, n = cat.dim("customer"), cat.dim("nation")
+    rev = F.sum(
+        _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
