@@ -73,3 +73,29 @@ def test_window_queries_partition_by_series(spark):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "hashpartitioning(event_type" in plan, name
+
+
+def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):
+    """Partition pruning: a date-partitioned parquet layout + a date
+    filter must scan only the matching partitions (PartitionFilters in
+    the scan, partition count < total) — at 100 TB this is what turns a
+    full-table scan into a single-day read."""
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.sources import Catalog
+
+    base = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    ev = Catalog(spark, SF).table("events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    days = [r.day for r in spark.read.parquet(base).select("day").distinct().collect()]
+    assert len(days) > 1
+    pick = sorted(days)[0]
+
+    q = spark.read.parquet(base).filter(F.col("day") == pick)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # correctness: the pruned read equals the unpartitioned filter
+    want = ev.filter(F.col("day") == pick).count()
+    assert q.count() == want and want > 0
