@@ -6,20 +6,21 @@ better; 0 = indistinguishable."""
 
 from __future__ import annotations
 
-# reference weight profile (composite_metric.py:77-90), keyed to the
-# metric names produced by DistributionEvaluator.evaluate
+# the reference's exact weight profile (composite_metric.py:78-90),
+# keyed to our evaluator's metric names (same semantics: ratio
+# deviations for ac/vol-cluster/std, normalized raw-kurtosis diff)
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "js_div": 2.0,
-    "ks_stat": 1.5,
-    "wasserstein": 1.0,
-    "std_dev": 2.0,          # |std_ratio - 1|
-    "ac1_diff": 1.5,
-    "ac5_diff": 0.5,
-    "ac10_diff": 0.5,
-    "ac24_diff": 0.5,
-    "vol_cluster_diff": 1.5,
-    "hurst_diff": 1.0,
-    "spectral_dist": 1.0,
+    "js_div": 3.0,           # reference key: js_divergence
+    "ks_stat": 2.0,          # ks_statistic
+    "ac_lag1": 2.0,
+    "ac_lag5": 1.5,
+    "ac_lag24": 1.0,
+    "hurst_diff": 2.0,
+    "vol_cluster": 1.5,
+    "spectral_dist": 1.5,    # spectral
+    "skew_diff": 1.0,
+    "kurt_diff": 1.0,
+    "std_dev": 2.0,          # std_ratio deviation |ratio − 1|
 }
 
 

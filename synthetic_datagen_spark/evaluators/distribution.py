@@ -128,6 +128,8 @@ class DistributionEvaluator:
                 .agg(
                     F.stddev_pop("_r").alias("std"),
                     F.mean("_r").alias("mean"),
+                    F.skewness("_r").alias("skew"),
+                    (F.kurtosis("_r") + 3.0).alias("kurt_raw"),  # fisher=False
                     *[F.corr("_r", f"_l{k}").alias(f"ac{k}") for k in self.acf_lags],
                     F.corr("_a", "_al").alias("vol_cluster"),
                 )
@@ -159,9 +161,24 @@ class DistributionEvaluator:
 
         ra, rb = rows[tag_real], rows[tag_syn]
         out["std_ratio"] = (rb["std"] / ra["std"]) if ra["std"] else float("nan")
+        out["std_dev"] = abs(out["std_ratio"] - 1.0)
+
+        # ratio-deviation form with the reference's near-zero guard
+        # (composite_metric.py:106-121: |ac_s/ac_r − 1| when |ac_r|>1e-6
+        # else |ac_s|) — plus the plain-diff form for D7 consumers
+        def ratio_dev(a_, b_):
+            a_, b_ = a_ or 0.0, b_ or 0.0
+            return abs(b_ / a_ - 1.0) if abs(a_) > 1e-6 else abs(b_)
+
         for k in self.acf_lags:
             a_, b_ = ra[f"ac{k}"], rb[f"ac{k}"]
             out[f"ac{k}_diff"] = abs((b_ or 0.0) - (a_ or 0.0))
+            out[f"ac_lag{k}"] = ratio_dev(a_, b_)
         out["vol_cluster_diff"] = abs((rb["vol_cluster"] or 0.0) - (ra["vol_cluster"] or 0.0))
+        out["vol_cluster"] = ratio_dev(ra["vol_cluster"], rb["vol_cluster"])
+        out["skew_diff"] = abs((rb["skew"] or 0.0) - (ra["skew"] or 0.0))
+        # normalized raw-kurtosis diff (composite_metric.py:128-131)
+        kr = ra["kurt_raw"] or 3.0
+        out["kurt_diff"] = abs((rb["kurt_raw"] or 3.0) - kr) / max(kr, 1.0)
         out["hurst_diff"] = abs(hurst.get(tag_syn, 0.5) - hurst.get(tag_real, 0.5))
         return out
