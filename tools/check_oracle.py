@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -76,6 +77,44 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if os.environ.get("ORACLE_PLAIN_SESSION"):
+        # simulate the driver exactly: a vanilla SparkSession (200
+        # shuffle partitions, default AQE), confs only via the
+        # __spark_entry__ wrappers — catches partition-count-sensitive
+        # float aggregation that get_spark's 32 partitions would hide
+        from pyspark.sql import SparkSession
+
+        import __spark_entry__ as entry_mod
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("oracle-check-plain")
+            .getOrCreate()
+        )
+        wrapped = entry_mod.queries()
+        con = duck_con(sf_dir)
+        failed = []
+        for name, spec in sorted(REGISTRY.items()):
+            if only and name not in only:
+                continue
+            if spec.oracle is None:
+                n = wrapped[name](spark, sf_dir).count()
+                print(f"[rows-only] {name}: {n} rows")
+                continue
+            try:
+                spark_pd = wrapped[name](spark, sf_dir).toPandas()
+                duck_pd = con.execute(spec.oracle).df()
+                errs = compare(name, spark_pd, duck_pd)
+            except Exception as e:  # noqa: BLE001
+                errs = [f"error: {e}"]
+            if errs:
+                print(f"[FAIL] {name}: {errs[0]}")
+                failed.append(name)
+            else:
+                print(f"[ok] {name}: {len(spark_pd)} rows")
+        print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+        return 1 if failed else 0
     spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     failed = []
