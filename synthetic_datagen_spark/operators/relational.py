@@ -343,3 +343,87 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value,
+         MAX(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+  FROM events
+)
+SELECT event_id, user_id,
+       ROUND(value, 6) AS purchase_value,
+       ROUND(last_click_value, 6) AS last_click_value,
+       epoch_us(last_click_ts) AS last_click_ts_us
+FROM tagged
+WHERE event_type = 'purchase' AND last_click_value IS NOT NULL
+""",
+    doc="As-of join (SURVEY §2.3: 'range/as-of joins via window'): each "
+    "purchase picks the latest click value at-or-before its timestamp "
+    "per user. Expressed as LAST_VALUE IGNORE NULLS over the merged "
+    "stream — one shuffle on the join key, NO physical inequality join "
+    "(a naive ts-range join is quadratic per user at scale).",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    d = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
+        F.max(click_ts).over(w).alias("last_click_ts"),
+    )
+    return d.filter(
+        (F.col("event_type") == "purchase") & F.col("last_click_value").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("last_click_value", 6).alias("last_click_value"),
+        F.unix_micros("last_click_ts").alias("last_click_ts_us"),
+    )
+
+
+@register(
+    "interval_join_lineitem_orderdate",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines_shipped_30d,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_30d
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+  AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderpriority
+""",
+    doc="Interval (range) join: lineitems shipped within 30 days of "
+    "their order's date — equi key (orderkey) carries the shuffle, the "
+    "time-range predicate evaluates post-join, so the plan stays a "
+    "hash/sort-merge join, never a nested-loop range scan.",
+)
+def interval_join_lineitem_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o = cat.table("lineitem"), cat.table("orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines_shipped_30d"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty_30d"),
+    )
