@@ -541,3 +541,42 @@ def dedup_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = F.size(F.array_intersect("ng_a", "ng_b"))
     jac = common / (F.size("ng_a") + F.size("ng_b") - common).cast("double")
     return d.filter(jac >= 0.6).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=None,  # composes the CC fixpoint; stage-wise oracles cover parts
+    doc="End-to-end training-corpus curation as ONE composed plan: "
+    "quality gate (length/punct heuristics) → exact-dup removal "
+    "(normalized-md5 keep-first) → near-dup removal (MinHash-LSH "
+    "candidates → connected components → keep cluster minimum). Emits "
+    "per-language funnel counts (total → quality_pass → exact_kept → "
+    "final_kept). Every stage is the oracle-checked operator registered "
+    "above; this query is the composition a 100 TB curation run executes.",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    quality = docs.filter(
+        (F.length("text") >= 50) & (TX.punct_ratio(F.col("text")) <= 0.2)
+    )
+    # exact dedup: keep min doc_id per normalized fingerprint
+    wfp = Window.partitionBy(TX.fingerprint(F.col("text"))).orderBy("doc_id")
+    exact_kept = quality.withColumn("_rn", F.row_number().over(wfp)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+    # near-dup: drop every clustered doc that is not its cluster minimum
+    clusters = dedup_connected_components(spark, sf_dir)
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    final_kept = exact_kept.join(dupes, "doc_id", "left_anti")
+
+    def count_by_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count("*").alias(name))
+
+    out = (
+        count_by_lang(docs, "total")
+        .join(count_by_lang(quality, "quality_pass"), "lang", "outer")
+        .join(count_by_lang(exact_kept, "exact_kept"), "lang", "outer")
+        .join(count_by_lang(final_kept, "final_kept"), "lang", "outer")
+        .fillna(0)
+    )
+    return out.orderBy("lang")

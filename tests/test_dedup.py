@@ -68,3 +68,13 @@ def test_connected_components_match_union_find(spark):
         for r in REGISTRY["dedup_connected_components"].build(spark, sf).collect()
     }
     assert got == want
+
+
+def test_curation_pipeline_funnel_monotone(spark):
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    rows = REGISTRY["corpus_curation_pipeline"].build(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.total >= r.quality_pass >= r.exact_kept >= r.final_kept >= 0
+    assert sum(r.final_kept for r in rows) > 0
