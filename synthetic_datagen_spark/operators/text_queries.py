@@ -462,26 +462,33 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration — lineage must be CUT, not merely cached, or analysis
     # alone goes exponential (SURVEY §4.2: "lineage cut via
     # localCheckpoint between generations").
+    retained: list[DataFrame] = []  # checkpoint blocks pin executor
+    # memory for the session; release everything but the final labels
+    # or the leaked blocks slow every LATER query (seen in bench order)
+
     pairs = _lsh_candidates(spark, sf_dir).localCheckpoint()
+    retained.append(pairs)
     # undirected edge list, both directions
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .localCheckpoint()
     )
-    labels = (
+    retained.append(edges)
+    labels_cp = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    labels = labels_cp
     for _ in range(12):  # log2(n) bound; diameter of dup clusters ≪ this
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nl"))
         )
-        new = (
+        new_cp = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -490,10 +497,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # eager: one job materializes round + flag
         )
-        changed = new.filter("_chg").limit(1).count()  # scan of cached rows
-        labels = new.drop("_chg")
+        changed = new_cp.filter("_chg").limit(1).count()  # scan of cached rows
+        retained.append(labels_cp)
+        labels_cp = new_cp
+        labels = new_cp.drop("_chg")
         if changed == 0:
             break
+    for df in retained:
+        df.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
 
 
