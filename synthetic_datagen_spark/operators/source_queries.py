@@ -168,3 +168,54 @@ def s9_external_process_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(14,4)")).cast("double"), 4
         ).alias("sum_doubled"),
     )
+
+
+@register(
+    "stream_session_parity",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marks
+)
+SELECT user_id, epoch_us(MIN(ts)) AS session_start_us, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="Session-window parity: per-user 30-minute-gap sessions computed "
+    "by Structured Streaming's session_window (availableNow over a "
+    "staged copy) must equal the batch gaps-and-islands sessionization "
+    "the oracle runs — the sessionization operator, checked both ways "
+    "(SURVEY §2.13).",
+)
+def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming import read_events_stream, stream_session_stats
+
+    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, base)
+    q = (
+        stream_session_stats(stream, gap="30 minutes", watermark="0 seconds")
+        .select("user_id", "session_start", "n_events")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
