@@ -469,3 +469,50 @@ def w12_block_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.7 * F.col("value") + 0.3 * F.col("prev"),
     ).otherwise(F.col("value"))
     return d.select("event_id", "event_type", F.round(smoothed, 6).alias("smoothed"))
+
+
+@register(
+    "ranking_functions_panel",
+    oracle="""
+WITH r AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         RANK()        OVER w AS rnk,
+         DENSE_RANK()  OVER w AS drnk,
+         NTILE(4)      OVER w AS quartile,
+         ROW_NUMBER()  OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+       rnk, drnk, quartile
+FROM r WHERE rn <= 5
+""",
+    doc="Ranking-function surface (SURVEY §2.5 note: the reference has "
+    "no rank/dense_rank/ntile; the engine exposes them for the SQL "
+    "surface): per-priority top-5 orders with rank/dense_rank/quartile, "
+    "deterministic tiebreak on the key.",
+)
+def ranking_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import Catalog
+
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    d = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return d.filter(F.col("rn") <= 5).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "rnk",
+        "drnk",
+        "quartile",
+    )
