@@ -404,3 +404,38 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@register(
+    "cube_type_dow_stats",
+    oracle="""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(CAST(EXTRACT(isodow FROM ts) AS INT) AS VARCHAR), 'ALL') AS dow,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(EXTRACT(isodow FROM ts) AS INT))
+""",
+    doc="CUBE aggregate over (event_type, day-of-week) — the full 2^k "
+    "grouping-sets lattice in one Expand + hash agg (SURVEY §2.4 note: "
+    "cube/rollup come free with the SQL surface); decimal-exact sums.",
+)
+def cube_type_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ISO dow: Spark dayofweek is 1=Sunday; shift to 1=Monday ISO form
+    ev = _events(spark, sf_dir).withColumn(
+        "dow_i",
+        F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1),
+    )
+    return (
+        ev.cube("event_type", "dow_i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow_i").cast("string"), F.lit("ALL")).alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
