@@ -10,6 +10,7 @@ real and tested.
 """
 
 from .media import (
+    AUDIO_FEATURE_SCHEMA,
     MEDIA_SCHEMA,
     FEATURE_SCHEMA,
     FRAME_SCHEMA,
@@ -17,6 +18,7 @@ from .media import (
     decode_features,
     resize_stub,
     frame_sample,
+    audio_spectrogram,
 )
 
 __all__ = [
@@ -27,4 +29,6 @@ __all__ = [
     "decode_features",
     "resize_stub",
     "frame_sample",
+    "audio_spectrogram",
+    "AUDIO_FEATURE_SCHEMA",
 ]

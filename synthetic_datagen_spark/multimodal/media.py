@@ -193,3 +193,55 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
 
     video = media.filter(F.col("modality") == "video")
     return video.select("media_id", "payload").mapInPandas(frames, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("band_energy", ArrayType(DoubleType())),
+        StructField("spectral_centroid", DoubleType()),
+    ]
+)
+
+N_BANDS = 8
+
+
+def audio_spectrogram(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over mapInPandas: treat the payload
+    bytes as an 8-bit PCM waveform, compute the real FFT power
+    spectrum, aggregate into N_BANDS log-band energies + the spectral
+    centroid. The DSP (numpy rfft) is REAL — only the 'waveform' is the
+    stand-in, since no audio codec ships in this container; a soundfile
+    decode drops in ahead of the FFT unchanged."""
+
+    def spectra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "band_energy", "spectral_centroid")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) < 16:
+                    continue
+                wave = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                wave = (wave - 127.5) / 127.5  # PCM-ish normalize
+                power = np.abs(np.fft.rfft(wave - wave.mean())) ** 2
+                tot = power.sum()
+                if tot <= 0:
+                    continue
+                power = power / tot
+                # log-spaced band edges over the spectrum
+                edges = np.unique(
+                    np.geomspace(1, len(power), N_BANDS + 1).astype(int)
+                )
+                bands = np.zeros(N_BANDS)
+                for b in range(min(N_BANDS, len(edges) - 1)):
+                    bands[b] = float(power[edges[b] : edges[b + 1]].sum())
+                freqs = np.arange(len(power))
+                centroid = float((freqs * power).sum())
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(wave))
+                out["band_energy"].append(bands.tolist())
+                out["spectral_centroid"].append(centroid)
+            yield pd.DataFrame(out)
+
+    audio = media.filter(media.modality == "audio")
+    return audio.select("media_id", "payload").mapInPandas(spectra, AUDIO_FEATURE_SCHEMA)

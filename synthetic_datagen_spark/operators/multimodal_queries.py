@@ -106,3 +106,27 @@ def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.max(F.octet_length("payload")).cast("long").alias("payload_bytes"),
     )
+
+
+@register(
+    "multimodal_audio_spectrogram",
+    oracle=None,  # FFT kernel over blob bytes: not SQL-expressible
+    doc="Audio feature extraction over mapInPandas: payload bytes as an "
+    "8-bit PCM waveform, REAL numpy rfft power spectrum, 8 log-band "
+    "energies + spectral centroid per clip — the DSP is genuine, only "
+    "the codec is the stand-in (soundfile decode drops in ahead of the "
+    "FFT unchanged).",
+)
+def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import audio_spectrogram
+
+    feats = audio_spectrogram(media_table(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_samples",
+        F.round(F.element_at("band_energy", 1), 6).alias("band0"),
+        F.round(
+            F.aggregate("band_energy", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("band_sum"),
+        F.round("spectral_centroid", 6).alias("spectral_centroid"),
+    )

@@ -219,3 +219,39 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_dedup_parity",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming keep-first dedup parity: dropDuplicatesWithinWatermark "
+    "on event_id over the staged stream (P3's streaming form, bounded "
+    "state) must retain exactly the batch COUNT(DISTINCT event_id) per "
+    "type (SURVEY §2.13).",
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming import read_events_stream, stream_dedup_keep_first
+
+    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, base)
+    q = (
+        stream_dedup_keep_first(stream, watermark="0 seconds")
+        .select("event_id", "event_type")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique")
+    )

@@ -67,3 +67,22 @@ def test_frame_sample_counts(media):
     vid = media.filter((F.col("modality") == "video") & (F.octet_length("payload") >= FRAME_SIZE))
     n_vids = vid.count()
     assert fr.select("media_id").distinct().count() == n_vids
+
+
+def test_audio_spectrogram_real_dsp(spark, media):
+    from synthetic_datagen_spark.multimodal import audio_spectrogram
+
+    feats = audio_spectrogram(media).collect()
+    assert feats
+    for r in feats[:20]:
+        assert len(r.band_energy) == 8
+        s = sum(r.band_energy)
+        assert 0.0 < s <= 1.0 + 1e-9  # normalized power, bands cover most
+        assert r.spectral_centroid >= 0.0
+    # deterministic across partitioning
+    a = sorted((r.media_id, r.spectral_centroid) for r in feats)
+    b = sorted(
+        (r.media_id, r.spectral_centroid)
+        for r in audio_spectrogram(media.repartition(5)).collect()
+    )
+    assert a == b
