@@ -161,3 +161,32 @@ def test_segmentation_finds_vol_shift(spark):
     out = cluster_segments(df, cps, "value", ["series"], ["t"], k=2, seed=42)
     assert out.count() == len(segs)
     assert out.select("cluster").distinct().count() >= 1
+
+
+def test_hybrid_moment_fidelity(spark, hybrid):
+    """Generated return moments stay in the training pool's ballpark
+    (the reference's statistical layer, test_regime_generator.py:36-60:
+    std_ratio within a loose band, finite prices, no collapse)."""
+    pool_rets = np.concatenate([b for bs in hybrid.pools.values() for b in bs])
+    out = hybrid.generate(spark, seed=21, n_samples=400, n_series=4).orderBy(
+        "series_id", "t"
+    ).collect()
+    prices = np.array([r.price for r in out]).reshape(4, 400)
+    gen_rets = np.diff(np.log(prices), axis=1).ravel()
+    ratio = gen_rets.std() / pool_rets.std()
+    assert 0.3 < ratio < 3.0, f"std_ratio {ratio} collapsed/exploded"
+    assert np.isfinite(prices).all() and (prices > 0).all()
+    # different series diverge (independent seeds)
+    assert not np.allclose(prices[0], prices[1])
+
+
+def test_hybrid_multi_seed_stability(spark, hybrid):
+    """D9-style: across-seed std of the per-seed return-std is small
+    relative to its mean — the generator is statistically stable."""
+    stds = []
+    for seed in (1, 2, 3, 4):
+        rows = hybrid.generate(spark, seed=seed, n_samples=300, n_series=1).orderBy("t").collect()
+        p = np.array([r.price for r in rows])
+        stds.append(np.diff(np.log(p)).std())
+    stds = np.array(stds)
+    assert stds.std() / stds.mean() < 1.0  # no wild per-seed swings
