@@ -204,3 +204,59 @@ class RegimeBootstrapHybrid:
             .groupBy("id")
             .applyInPandas(walk, schema)
         )
+
+
+def save_hybrid(gen: RegimeBootstrapHybrid, path: str) -> None:
+    """S5/S6 artifact layout: regime model JSON + per-regime block pools
+    npz + meta.json (reference .parts convention)."""
+    import json
+    import os
+
+    if gen.pools is None:
+        raise RuntimeError("fit() first")
+    os.makedirs(path, exist_ok=True)
+    gen.model.save(os.path.join(path, "regime_model.json"))
+    arrays = {
+        f"pool_{r}_{i}": blk
+        for r, blocks in gen.pools.items()
+        for i, blk in enumerate(blocks)
+    }
+    np.savez(os.path.join(path, "pools.npz"), **arrays)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "min_block": gen.min_block,
+                "max_blocks": gen.max_blocks,
+                "lam": gen.lam,
+                "smoothing": gen.smoothing,
+                "overlap": gen.overlap,
+                "p0": gen.p0,
+                "pool_counts": {str(r): len(b) for r, b in gen.pools.items()},
+                "format_version": 1,
+            },
+            f,
+        )
+
+
+def load_hybrid(path: str) -> RegimeBootstrapHybrid:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    model = RegimeModel.load(os.path.join(path, "regime_model.json"))
+    gen = RegimeBootstrapHybrid(
+        model,
+        min_block=meta["min_block"],
+        max_blocks_per_regime=meta["max_blocks"],
+        lam=meta["lam"],
+        smoothing=meta["smoothing"],
+        overlap=meta["overlap"],
+        p0=meta["p0"],
+    )
+    z = np.load(os.path.join(path, "pools.npz"))
+    gen.pools = {
+        int(r): [z[f"pool_{r}_{i}"] for i in range(n)]
+        for r, n in meta["pool_counts"].items()
+    }
+    return gen

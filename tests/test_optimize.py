@@ -190,3 +190,14 @@ def test_hybrid_multi_seed_stability(spark, hybrid):
         stds.append(np.diff(np.log(p)).std())
     stds = np.array(stds)
     assert stds.std() / stds.mean() < 1.0  # no wild per-seed swings
+
+
+def test_hybrid_artifact_roundtrip(spark, hybrid, tmp_path):
+    from synthetic_datagen_spark.regime.hybrid import load_hybrid, save_hybrid
+
+    p = str(tmp_path / "hyb.parts")
+    save_hybrid(hybrid, p)
+    back = load_hybrid(p)
+    a = hybrid.generate(spark, seed=13, n_samples=80, n_series=1).orderBy("t").collect()
+    b = back.generate(spark, seed=13, n_samples=80, n_series=1).orderBy("t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
