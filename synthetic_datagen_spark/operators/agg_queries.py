@@ -439,3 +439,19 @@ def cube_type_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "approx_distinct_scale_path",
+    oracle=None,  # HLL++ sketch: engine-specific by design; exact twin is a14
+    doc="approx_count_distinct (HyperLogLog++, rsd 2%) per event_type — "
+    "the 100 TB distinct-count path: one pass, mergeable sketches, no "
+    "distinct shuffle. Exactness twin is a14_distinct_states; the test "
+    "pins the sketch within tolerance of the exact counts.",
+)
+def approx_distinct_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )

@@ -78,3 +78,29 @@ def test_curation_pipeline_funnel_monotone(spark):
     for r in rows:
         assert r.total >= r.quality_pass >= r.exact_kept >= r.final_kept >= 0
     assert sum(r.final_kept for r in rows) > 0
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.sources import Catalog
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["approx_distinct_scale_path"].build(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in Catalog(spark, sf)
+        .table("events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("event_id").alias("e"),
+        )
+        .collect()
+    }
+    for t, ex in exact.items():
+        assert abs(approx[t].approx_users - ex.u) / ex.u < 0.1
+        assert abs(approx[t].approx_events - ex.e) / ex.e < 0.1
