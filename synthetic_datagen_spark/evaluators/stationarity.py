@@ -66,29 +66,60 @@ def adf_panel(
     for r in agg.collect():
         n = r["n"]
         key = {k: r[k] for k in series_cols}
-        if n < 8:
-            out.append({**key, "adf_stat": -1.0, "p_value": -1.0, "n": n})
-            continue
-        xtx = np.array(
-            [
-                [n, r["s_yl"], r["s_dl"]],
-                [r["s_yl"], r["s_ylyl"], r["s_yldl"]],
-                [r["s_dl"], r["s_yldl"], r["s_dldl"]],
-            ]
+        stat_p = adf_closed_form(
+            n, r["s_yl"], r["s_dl"], r["s_dy"], r["s_ylyl"], r["s_yldl"],
+            r["s_dldl"], r["s_yldy"], r["s_dldy"], r["s_dydy"],
         )
-        xty = np.array([r["s_dy"], r["s_yldy"], r["s_dldy"]])
-        try:
-            xtx_inv = np.linalg.inv(xtx)
-        except np.linalg.LinAlgError:
-            out.append({**key, "adf_stat": -1.0, "p_value": -1.0, "n": n})
-            continue
-        b = xtx_inv @ xty
-        rss = r["s_dydy"] - 2 * b @ xty + b @ xtx @ b
-        dof = n - 3
-        if dof <= 0 or rss <= 0 or xtx_inv[1, 1] <= 0:
-            out.append({**key, "adf_stat": -1.0, "p_value": -1.0, "n": n})
-            continue
-        se_beta = float(np.sqrt(rss / dof * xtx_inv[1, 1]))
-        stat = float(b[1] / se_beta)
-        out.append({**key, "adf_stat": stat, "p_value": _tau_pvalue(stat), "n": n})
+        out.append({**key, "adf_stat": stat_p[0], "p_value": stat_p[1], "n": n})
     return out
+
+
+def adf_closed_form(
+    n, s_yl, s_dl, s_dy, s_ylyl, s_yldl, s_dldl, s_yldy, s_dldy, s_dydy
+) -> tuple[float, float]:
+    """Closed-form Cramer solve of the ADF(1) normal equations from the
+    ten Gram sums — EXACTLY the arithmetic the SQL oracle mirrors
+    (explicit cofactors, no np.linalg), so both engines agree to fp.
+
+    Sentinel (-1, -1) on: n < 8, singular system, non-positive residual
+    variance or β-variance (reference's degenerate-input convention)."""
+    if n < 8:
+        return -1.0, -1.0
+    # determinant of the symmetric 3x3 X'X
+    det = (
+        n * (s_ylyl * s_dldl - s_yldl * s_yldl)
+        - s_yl * (s_yl * s_dldl - s_yldl * s_dl)
+        + s_dl * (s_yl * s_yldl - s_ylyl * s_dl)
+    )
+    if abs(det) < 1e-250:
+        return -1.0, -1.0
+    # Cramer: replace column k with X'y
+    det_b0 = (
+        s_dy * (s_ylyl * s_dldl - s_yldl * s_yldl)
+        - s_yl * (s_yldy * s_dldl - s_yldl * s_dldy)
+        + s_dl * (s_yldy * s_yldl - s_ylyl * s_dldy)
+    )
+    det_b1 = (
+        n * (s_yldy * s_dldl - s_yldl * s_dldy)
+        - s_dy * (s_yl * s_dldl - s_yldl * s_dl)
+        + s_dl * (s_yl * s_dldy - s_yldy * s_dl)
+    )
+    det_b2 = (
+        n * (s_ylyl * s_dldy - s_yldy * s_yldl)
+        - s_yl * (s_yl * s_dldy - s_yldy * s_dl)
+        + s_dy * (s_yl * s_yldl - s_ylyl * s_dl)
+    )
+    b0, b1, b2 = det_b0 / det, det_b1 / det, det_b2 / det
+    # (X'X)^-1[1,1] = cofactor_11 / det
+    inv11 = (n * s_dldl - s_dl * s_dl) / det
+    btxtxb = (
+        n * b0 * b0 + s_ylyl * b1 * b1 + s_dldl * b2 * b2
+        + 2 * s_yl * b0 * b1 + 2 * s_dl * b0 * b2 + 2 * s_yldl * b1 * b2
+    )
+    rss = s_dydy - 2 * (b0 * s_dy + b1 * s_yldy + b2 * s_dldy) + btxtxb
+    dof = n - 3
+    if dof <= 0 or rss <= 0 or inv11 <= 0:
+        return -1.0, -1.0
+    se_beta = float(np.sqrt(rss / dof * inv11))
+    stat = float(b1 / se_beta)
+    return stat, _tau_pvalue(stat)
