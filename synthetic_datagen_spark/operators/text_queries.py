@@ -445,9 +445,24 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.cast("long").alias("fp"))
 
 
+_CC_SQL = f"""
+WITH RECURSIVE {_LSH_CAND_SQL.strip()}
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 @register(
     "dedup_connected_components",
-    oracle=None,  # iterative fixpoint; verified against union-find in tests
+    oracle=_CC_SQL,  # recursive transitive closure: component min == propagated min label
     doc="Duplicate-cluster assignment: connected components over the "
     "MinHash-LSH near-dup pair graph via iterative min-label "
     "propagation (each round: label = min(own, neighbors'); join + "
@@ -554,9 +569,50 @@ def dedup_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(jac >= 0.6).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
+_CURATION_SQL = f"""
+WITH RECURSIVE {_LSH_CAND_SQL.strip()}
+, edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+), quality AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE length(text) >= 50
+    AND (length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"\\(\\)\\[\\]\\-]', '', 'g')))
+        / CAST(length(text) AS DOUBLE) <= 0.2
+), exact_kept AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                              ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+), final_kept AS (
+  SELECT e.doc_id, e.lang FROM exact_kept e
+  LEFT JOIN clusters c ON c.doc_id = e.doc_id AND c.doc_id != c.cluster_id
+  WHERE c.doc_id IS NULL
+)
+SELECT d.lang,
+       COUNT(*) AS total,
+       COUNT(q.doc_id) AS quality_pass,
+       COUNT(ek.doc_id) AS exact_kept,
+       COUNT(fk.doc_id) AS final_kept
+FROM documents d
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN exact_kept ek ON ek.doc_id = d.doc_id
+LEFT JOIN final_kept fk ON fk.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 @register(
     "corpus_curation_pipeline",
-    oracle=None,  # composes the CC fixpoint; stage-wise oracles cover parts
+    oracle=_CURATION_SQL,  # full-funnel parity incl. the recursive CC stage
     doc="End-to-end training-corpus curation as ONE composed plan: "
     "quality gate (length/punct heuristics) → exact-dup removal "
     "(normalized-md5 keep-first) → near-dup removal (MinHash-LSH "
