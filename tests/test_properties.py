@@ -112,3 +112,38 @@ def test_window_shape_identity(spark):
     assert len(rows) == n - w + 1
     assert rows[0]["window_vec"] == [float(i) for i in range(w)]
     assert rows[-1]["window_vec"] == [float(i) for i in range(n - w, n)]
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Two-phase salted aggregation must equal the direct groupBy for
+    algebraic aggregates, for any salt count."""
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.functions.skew import salted_agg
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = Catalog(spark, "/root/testdata/sf0.001").table("events")
+    dec = F.col("value").cast("decimal(12,2)")
+    for n_salts in (1, 4, 32):
+        got = {
+            r.event_type: (r.n, r.s)
+            for r in salted_agg(
+                ev,
+                ["event_type"],
+                {
+                    "n": (F.count("*"), lambda c: F.sum(c)),
+                    "s": (F.sum(dec), lambda c: F.sum(c)),
+                },
+                n_salts=n_salts,
+                salt_on="event_id",
+            ).collect()
+        }
+        want = {
+            r.event_type: (r.n, r.s)
+            for r in ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum(dec).alias("s"))
+            .collect()
+        }
+        assert {k: (v[0], float(v[1])) for k, v in got.items()} == {
+            k: (v[0], float(v[1])) for k, v in want.items()
+        }, f"n_salts={n_salts}"
