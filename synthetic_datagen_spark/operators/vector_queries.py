@@ -80,17 +80,69 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _lsh_oracle_sql() -> str:
+    """Sign-LSH oracle: the 24 hyperplanes inline as float literals —
+    repr() round-trips doubles exactly, so both engines hash vectors to
+    identical buckets (sign of a 64-term dot; |dot| ~ O(1), never near
+    the ulp boundary for random planes)."""
+    def plane_sql(plane):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])) >= 0 THEN 1 ELSE 0 END")
+
+    buckets = []
+    for t in range(4):
+        bits = [plane_sql(p) for p in V.random_hyperplanes(64, 6, 42 + t)]
+        expr = bits[0]
+        for b in bits[1:]:
+            expr = f"({expr}) * 2 + ({b})"
+        buckets.append(f"({expr}) AS bucket_{t}")
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, bucket_{t} AS bucket FROM b"
+        for t in range(4)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {", ".join(buckets)}
+  FROM embeddings
+), tables AS (
+  {unions}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM tables q JOIN tables c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {_NQ} AND c.vec_id != q.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a='qe', b='ce')}
+           / (sqrt({_DOT.format(a='qe', b='qe')}) * sqrt({_DOT.format(a='ce', b='ce')})) AS cos_sim
+  FROM cand
+), ranked AS (
+  SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
 @register(
     "knn_lsh_bucketed",
-    oracle=None,  # hyperplanes are engine literals; recall tested vs brute force
-    doc="Approximate kNN via 12-plane sign-LSH bucketing + exact "
-    "rescoring inside buckets — the scale path (candidates from bucket "
-    "collisions instead of the full corpus).",
+    oracle=_lsh_oracle_sql(),
+    doc="Approximate kNN via 4-table × 6-plane sign-LSH bucketing + "
+    "exact rescoring inside buckets — the scale path (candidates from "
+    "bucket collisions instead of the full corpus). Fully SQL-oracled: "
+    "the splitmix hyperplanes inline as literals, so DuckDB builds the "
+    "identical index.",
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _NQ)
-    return V.lsh_bucketed_knn(q, emb, _K, dim=64, n_tables=4, n_planes=6, seed=42)
+    out = V.lsh_bucketed_knn(q, emb, _K, dim=64, n_tables=4, n_planes=6, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
 
 
 @register(
