@@ -59,7 +59,7 @@ def brute_force_knn(
             F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
         )
         .withColumn("cn", l2_norm(F.col("cv")))
-        .repartition(32)
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -93,6 +93,61 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane (sign of the dot),
+    packed big-endian. Planes ship as plan literals, so the expression
+    is engine-independent (the oracle inlines the same floats)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def _with_sign_buckets(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    src_id: str,
+    src_vec: str,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """Explode each vector into its ``n_tables`` (tbl, bucket) rows."""
+    d = df.select(
+        F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
+    )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket(F.col(vec_alias), random_hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return d.select(id_alias, vec_alias, F.explode(tables).alias("tb")).select(
+        id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def lsh_bucketed_knn(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,47 +169,8 @@ def lsh_bucketed_knn(
     planes ship as plan literals (engine-independent splitmix PRNG).
     """
 
-    def sig(vec: Column, planes: list[list[float]]) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(p) for p in plane]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for plane in planes
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out * 2 + b
-        return out
-
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, src_id: str, src_vec: str) -> DataFrame:
-        d = df.select(
-            F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
-        )
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    sig(F.col(vec_alias), random_hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return d.select(id_alias, vec_alias, F.explode(tables).alias("tb")).select(
-            id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-        )
-
-    q = with_buckets(queries, "query_id", "qv", q_id, q_vec)
-    c = with_buckets(corpus, "neighbor_id", "cv", c_id, c_vec)
+    q = _with_sign_buckets(queries, "query_id", "qv", q_id, q_vec, dim, n_tables, n_planes, seed)
+    c = _with_sign_buckets(corpus, "neighbor_id", "cv", c_id, c_vec, dim, n_tables, n_planes, seed)
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -190,7 +206,7 @@ def embedding_near_dups(
     a = (
         df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
         .withColumn("na", l2_norm(F.col("va")))
-        .repartition(32)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     b = df.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
@@ -202,6 +218,43 @@ def embedding_near_dups(
             "id_b",
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH candidate
+    pruning + exact rescore — the scale path (the registered operator).
+
+    Candidates are same-bucket pairs in ANY of ``n_tables`` sign-LSH
+    tables (a plain shuffle self-join on (tbl, bucket) — no broadcast,
+    no all-pairs crossJoin), then each candidate is rescored with the
+    exact cosine and filtered at ``threshold``. Recall is the standard
+    LSH tradeoff (1-(1-p^planes)^tables, p = 1-θ/π): ≈99.9% for real
+    near-dups (cos ≥ .9) at this config, lower near the decision
+    boundary — asserted vs the brute-force oracle in tests. The planes
+    are engine-independent splitmix literals, so a SQL oracle builds
+    the identical candidate set (same trick as `lsh_bucketed_knn`).
+    """
+    b = _with_sign_buckets(df, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed)
+    a_side = b.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+    b_side = b.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    cand = (
+        a_side.join(b_side.hint("shuffle_hash"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -115,7 +115,7 @@ class LinearDecoder:
                 (F.col("id") / n_windows).cast("long").alias("series_id"),
                 (F.col("id") % n_windows).alias("window_id"),
             )
-            .repartition(32, "series_id", "window_id")
+            .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
         )
         out = grid.mapInPandas(decode_batches, schema)
         return out.filter(F.col("t") < n_samples)

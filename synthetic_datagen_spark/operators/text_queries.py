@@ -30,7 +30,11 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; at 100 TB the file splits natively and this becomes a no-op
     cost-wise (still one narrow exchange of the text column).
     """
-    return Catalog(spark, sf_dir).table("documents").repartition(32)
+    return (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 @register(
@@ -317,9 +321,13 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     cand = _lsh_candidates_from(shingled)
+    # Scale-safe verify join: the shingle table is the CORPUS — never
+    # broadcast it. Shuffle-hash join the candidate pairs against it on
+    # doc_id (two narrow shuffles on a scalar key); build side is the
+    # per-partition slice of the corpus, not the whole thing.
     sa = shingled.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
     sb = shingled.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
-    d = cand.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    d = cand.join(sa.hint("shuffle_hash"), "id_a").join(sb.hint("shuffle_hash"), "id_b")
     common = F.size(F.array_intersect("shs_a", "shs_b"))
     jac = common / (F.size("shs_a") + F.size("shs_b") - common).cast("double")
     return (
@@ -561,9 +569,11 @@ def dedup_word_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(TX.word_ngrams(F.col("text"), 3)).alias("ng"))
         .filter(F.size("ng") > 0)
     )
+    # Scale-safe verify join — see dedup_shingle_jaccard: n-gram table is
+    # the corpus, so shuffle-hash join on doc_id instead of broadcasting.
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
-    d = cand.join(F.broadcast(ga), "id_a").join(F.broadcast(gb), "id_b")
+    d = cand.join(ga.hint("shuffle_hash"), "id_a").join(gb.hint("shuffle_hash"), "id_b")
     common = F.size(F.array_intersect("ng_a", "ng_b"))
     jac = common / (F.size("ng_a") + F.size("ng_b") - common).cast("double")
     return d.filter(jac >= 0.6).select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))

@@ -59,56 +59,83 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
-         / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-            * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
-         / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
-            * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.35
-""",
-    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.35): the exact "
-    "O(n²/2) pair scan baseline for embedding dedup; compose with the "
-    "LSH bucketer to prune at scale.",
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = V.embedding_near_dups(_emb(spark, sf_dir), 0.35)
-    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-
-
-def _lsh_oracle_sql() -> str:
-    """Sign-LSH oracle: the 24 hyperplanes inline as float literals —
-    repr() round-trips doubles exactly, so both engines hash vectors to
-    identical buckets (sign of a 64-term dot; |dot| ~ O(1), never near
-    the ulp boundary for random planes)."""
+def _bucket_cte_sql(n_tables: int, n_planes: int, seed: int = 42) -> str:
+    """Sign-LSH bucket CTEs with the hyperplanes inline as float
+    literals — repr() round-trips doubles exactly, so both engines hash
+    vectors to identical buckets (sign of a 64-term dot; |dot| ~ O(1),
+    never near the ulp boundary for random planes). Returns the
+    ``b``/``tables`` CTE bodies shared by both LSH oracles."""
     def plane_sql(plane):
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
         return (f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
                 f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])) >= 0 THEN 1 ELSE 0 END")
 
     buckets = []
-    for t in range(4):
-        bits = [plane_sql(p) for p in V.random_hyperplanes(64, 6, 42 + t)]
+    for t in range(n_tables):
+        bits = [plane_sql(p) for p in V.random_hyperplanes(64, n_planes, seed + t)]
         expr = bits[0]
         for b in bits[1:]:
             expr = f"({expr}) * 2 + ({b})"
         buckets.append(f"({expr}) AS bucket_{t}")
     unions = " UNION ALL ".join(
         f"SELECT vec_id, embedding, {t} AS tbl, bucket_{t} AS bucket FROM b"
-        for t in range(4)
+        for t in range(n_tables)
     )
     return f"""
-WITH b AS (
+b AS (
   SELECT vec_id, embedding,
          {", ".join(buckets)}
   FROM embeddings
 ), tables AS (
   {unions}
-), cand AS (
+)"""
+
+
+def _near_dup_oracle_sql() -> str:
+    """Near-dup oracle mirroring lsh_near_dup_pairs exactly: same
+    8-table × 4-plane literal-hyperplane candidate set, same exact
+    cosine rescore at 0.35."""
+    return f"""
+WITH {_bucket_cte_sql(8, 4)}
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM tables a JOIN tables b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND({_DOT.format(a='ea', b='eb')}
+         / (sqrt({_DOT.format(a='ea', b='ea')})
+            * sqrt({_DOT.format(a='eb', b='eb')})), 6) AS cos_sim
+FROM cand
+WHERE {_DOT.format(a='ea', b='eb')}
+         / (sqrt({_DOT.format(a='ea', b='ea')})
+            * sqrt({_DOT.format(a='eb', b='eb')})) >= 0.35
+"""
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=_near_dup_oracle_sql(),
+    doc="Embedding-cosine near-duplicate pairs (cos ≥ 0.35) via "
+    "sign-LSH candidate pruning (8 tables × 4 planes) + exact rescore "
+    "— the scale path: a shuffle self-join on (tbl, bucket) instead of "
+    "the O(n²/2) all-pairs crossJoin. Fully SQL-oracled (hyperplanes "
+    "inline as literals → identical candidate set in both engines); "
+    "recall vs the exact brute-force baseline asserted in tests.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = V.lsh_near_dup_pairs(_emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _lsh_oracle_sql() -> str:
+    """Sign-LSH kNN oracle: 4-table × 6-plane literal-hyperplane
+    buckets (see _bucket_cte_sql), query-side filtered, rescored and
+    ranked per query."""
+    return f"""
+WITH {_bucket_cte_sql(4, 6)}
+, cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          q.embedding AS qe, c.embedding AS ce
   FROM tables q JOIN tables c ON q.tbl = c.tbl AND q.bucket = c.bucket

@@ -75,6 +75,25 @@ def test_window_queries_partition_by_series(spark):
         assert "hashpartitioning(event_type" in plan, name
 
 
+def test_dedup_verify_joins_never_broadcast_corpus(spark):
+    """The LSH verify stage joins candidate pairs against the shingle /
+    n-gram CORPUS — broadcasting that side ships the whole corpus to
+    every executor (OOM at 100 TB). Pin the shuffle-join shape."""
+    for name in ("dedup_shingle_jaccard", "dedup_word_ngram_jaccard"):
+        plan = plan_of(spark, name)
+        assert "ShuffledHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_embedding_near_dup_is_candidate_pruned(spark):
+    """The registered near-dup operator must be the LSH-bucketed plan:
+    an equi-join on (tbl, bucket), NOT an all-pairs broadcast-nested-
+    loop over id_a < id_b."""
+    plan = plan_of(spark, "embedding_near_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):
     """Partition pruning: a date-partitioned parquet layout + a date
     filter must scan only the matching partitions (PartitionFilters in

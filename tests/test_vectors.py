@@ -18,6 +18,24 @@ def test_lsh_recall_vs_brute_force(spark, sf_smoke):
     assert recall >= 0.4, f"LSH recall {recall} too low"
 
 
+def test_near_dup_lsh_recall_vs_brute_force(spark, sf_smoke):
+    """The registered near-dup operator is LSH-pruned; brute force is
+    the demoted exactness oracle. Recall floor at the boundary-heavy
+    test threshold (pairs sit at cos .35-.6 where per-plane collision
+    p ≈ .63); at real near-dup thresholds (cos ≥ .9) the same config
+    gives ≈99.9% recall. Precision is exact (candidates are rescored
+    with the true cosine)."""
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    bf = V.embedding_near_dups(emb, 0.35).select("id_a", "id_b")
+    lsh = V.lsh_near_dup_pairs(emb, 0.35, dim=64).select("id_a", "id_b", "cos_sim")
+    n_bf = bf.count()
+    hits = bf.join(lsh, ["id_a", "id_b"]).count()
+    assert hits / n_bf >= 0.5, f"near-dup recall {hits / n_bf} too low"
+    # no false positives: every emitted pair truly clears the threshold
+    assert lsh.filter(F.col("cos_sim") < 0.35).count() == 0
+    assert lsh.count() == hits  # LSH output ⊆ brute-force output
+
+
 def test_lsh_deterministic_across_partitioning(spark, sf_smoke):
     emb = Catalog(spark, sf_smoke).table("embeddings")
     q = emb.filter(F.col("vec_id") < 5)
