@@ -58,96 +58,46 @@ def m11_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D4_SQL = """
-WITH r AS (
-  SELECT event_type, ts, event_id,
-         LN(GREATEST(value, 1e-10))
-           - LAG(LN(GREATEST(value, 1e-10))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS lr
-  FROM events
-), d1 AS (
-  SELECT event_type, ts, event_id, lr,
-         LAG(lr) OVER w AS ylag,
-         lr - LAG(lr) OVER w AS dy
-  FROM r WHERE lr IS NOT NULL
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
-), d2 AS (
-  SELECT event_type, ylag, dy,
-         LAG(dy) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dylag
-  FROM d1
-), g AS (
-  SELECT event_type, COUNT(*) AS n,
-         SUM(ylag) AS s_yl, SUM(dylag) AS s_dl, SUM(dy) AS s_dy,
-         SUM(ylag*ylag) AS s_ylyl, SUM(ylag*dylag) AS s_yldl,
-         SUM(dylag*dylag) AS s_dldl, SUM(ylag*dy) AS s_yldy,
-         SUM(dylag*dy) AS s_dldy, SUM(dy*dy) AS s_dydy
-  FROM d2 WHERE dylag IS NOT NULL GROUP BY event_type
-), cr AS (
-  SELECT *,
-     n*(s_ylyl*s_dldl - s_yldl*s_yldl)
-       - s_yl*(s_yl*s_dldl - s_yldl*s_dl)
-       + s_dl*(s_yl*s_yldl - s_ylyl*s_dl) AS det
-  FROM g
-), b AS (
-  SELECT *,
-    (s_dy*(s_ylyl*s_dldl - s_yldl*s_yldl)
-       - s_yl*(s_yldy*s_dldl - s_yldl*s_dldy)
-       + s_dl*(s_yldy*s_yldl - s_ylyl*s_dldy)) / det AS b0,
-    (n*(s_yldy*s_dldl - s_yldl*s_dldy)
-       - s_dy*(s_yl*s_dldl - s_yldl*s_dl)
-       + s_dl*(s_yl*s_dldy - s_yldy*s_dl)) / det AS b1,
-    (n*(s_ylyl*s_dldy - s_yldy*s_yldl)
-       - s_yl*(s_yl*s_dldy - s_yldy*s_dl)
-       + s_dy*(s_yl*s_yldl - s_ylyl*s_dl)) / det AS b2,
-    (n*s_dldl - s_dl*s_dl) / det AS inv11
-  FROM cr WHERE ABS(det) >= 1e-250
-), fin AS (
-  SELECT event_type, n, inv11,
-     s_dydy - 2*(b0*s_dy + b1*s_yldy + b2*s_dldy)
-       + (n*b0*b0 + s_ylyl*b1*b1 + s_dldl*b2*b2
-          + 2*s_yl*b0*b1 + 2*s_dl*b0*b2 + 2*s_yldl*b1*b2) AS rss,
-     b1
-  FROM b
-), stats AS (
-  SELECT event_type, n,
-     CASE WHEN n < 8 OR rss <= 0 OR inv11 <= 0 THEN -1.0
-          ELSE b1 / SQRT(rss / (n - 3) * inv11) END AS stat,
-     (n < 8 OR rss <= 0 OR inv11 <= 0) AS degenerate
-  FROM fin
-)
-SELECT event_type, ROUND(stat, 6) AS adf_stat,
-       CASE WHEN degenerate THEN -1.0
-            ELSE ROUND(CASE WHEN stat <= -3.43 THEN 0.01 WHEN stat <= -3.12 THEN 0.01 + (stat - (-3.43)) * 0.04838709677419355 WHEN stat <= -2.86 THEN 0.025 + (stat - (-3.12)) * 0.09615384615384608 WHEN stat <= -2.57 THEN 0.05 + (stat - (-2.86)) * 0.17241379310344826 WHEN stat <= -1.57 THEN 0.1 + (stat - (-2.57)) * 0.40000000000000013 WHEN stat <= -0.44 THEN 0.5 + (stat - (-1.57)) * 0.35398230088495575 WHEN stat <= -0.07 THEN 0.9 + (stat - (-0.44)) * 0.13513513513513495 WHEN stat <= 0.23 THEN 0.95 + (stat - (-0.07)) * 0.0833333333333334 WHEN stat <= 0.6 THEN 0.975 + (stat - (0.23)) * 0.04054054054054058 ELSE 0.99 END, 3) END AS p_value,
-       n
-FROM stats
-UNION ALL
-SELECT event_type, -1.0 AS adf_stat, -1.0 AS p_value, n
-FROM cr WHERE ABS(det) < 1e-250
-"""
+
+
+def _d4_autolag_oracle() -> str:
+    from ..evaluators.adf_autolag import oracle_sql
+
+    return oracle_sql()
 
 
 @register(
     "d4_adf_stationarity",
-    oracle=_D4_SQL,  # closed-form Cramer solve, identical arithmetic both engines
-    doc="D4 ADF stationarity panel per series: the ADF(1) regression as "
-    "ten distributed sum-of-product aggregates (one pass) + a 3×3 solve "
-    "per series on the driver; p-value from asymptotic τ_μ quantiles "
-    "(reference wraps statsmodels adfuller, distribution_evaluator.py:"
-    "49-54 — same −1.0 degenerate sentinel).",
+    oracle=_d4_autolag_oracle(),  # generated Cholesky solve, identical tree both engines
+    doc="D4 ADF stationarity panel per series with statsmodels-parity "
+    "lag selection (maxlag=20, autolag=AIC — reference: "
+    "distribution_evaluator.py:49-54): nested-model AIC on the maxlag-"
+    "trimmed sample, refit of the chosen lag on its full sample, t-stat "
+    "of y_{t-1}. Distributed Gram sums (one filtered-aggregate pass, "
+    "map-side combined), per-series solve from a generated step list "
+    "evaluated identically in Python (engine) and SQL (oracle); "
+    "p-value from asymptotic τ_μ quantiles, −1.0 degenerate sentinel.",
 )
 def d4_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..evaluators.stationarity import adf_panel
+    from ..evaluators.adf_autolag import adf_autolag_panel
 
     ev = Catalog(spark, sf_dir).table("events")
     d = TS.log_returns(ev, "value", ["event_type"], ["ts", "event_id"]).filter(
         F.col("log_ret").isNotNull()
     )
-    rows = adf_panel(d, "log_ret", ["event_type"], ["ts", "event_id"])
+    rows = adf_autolag_panel(d, "log_ret", ["event_type"], ["ts", "event_id"])
     return spark.createDataFrame(
         [
-            (r["event_type"], round(r["adf_stat"], 6), round(r["p_value"], 3), r["n"])
+            (
+                r["event_type"],
+                round(r["adf_stat"], 6) if r["adf_stat"] != -1.0 else -1.0,
+                round(r["p_value"], 3) if r["p_value"] != -1.0 else -1.0,
+                r["used_lag"],
+                r["n"],
+            )
             for r in sorted(rows, key=lambda x: x["event_type"])
         ],
-        "event_type STRING, adf_stat DOUBLE, p_value DOUBLE, n BIGINT",
+        "event_type STRING, adf_stat DOUBLE, p_value DOUBLE, used_lag BIGINT, n BIGINT",
     )
 
 

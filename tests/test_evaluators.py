@@ -77,3 +77,64 @@ def test_tolerance_panel(spark):
     assert rows["m2"].recommended_tolerance == 0.0
     assert 0 < rows["m1"].recommended_tolerance <= 0.5
     assert rows["m1"].max >= rows["m1"].mean >= rows["m1"].min
+
+
+def test_adf_autolag_matches_lstsq_replica(spark):
+    """The distributed Gram + bordered-LDL autolag path must agree with
+    an independent per-series lstsq replica of statsmodels adfuller
+    (maxlag=20, autolag=AIC) — stat, chosen lag, and nobs."""
+    import numpy as np
+
+    from synthetic_datagen_spark.evaluators.adf_autolag import (
+        adf_autolag_panel,
+        adfuller_numpy,
+    )
+
+    rng = np.random.default_rng(7)
+    series = {
+        "walk": np.cumsum(rng.normal(0, 0.01, 1200)) + 1.3,
+        "noise": rng.normal(0, 1, 900),
+        "ar": np.sin(np.arange(800) * 0.3) + rng.normal(0, 0.1, 800),
+    }
+    rows = [
+        (name, int(i), float(v))
+        for name, x in series.items()
+        for i, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, "series STRING, idx INT, y DOUBLE")
+    got = {
+        r["series"]: r for r in adf_autolag_panel(df, "y", ["series"], ["idx"])
+    }
+    for name, x in series.items():
+        stat, lag, n = adfuller_numpy(x)
+        assert got[name]["used_lag"] == lag, name
+        assert got[name]["n"] == n, name
+        assert abs(got[name]["adf_stat"] - stat) < 1e-5, (
+            name, got[name]["adf_stat"], stat,
+        )
+
+
+def test_adf_autolag_partition_invariant(spark):
+    """Same stats (to rounding) under different input partitionings."""
+    import numpy as np
+
+    from synthetic_datagen_spark.evaluators.adf_autolag import adf_autolag_panel
+
+    rng = np.random.default_rng(11)
+    rows = [("s", int(i), float(v)) for i, v in enumerate(rng.normal(0, 1, 600))]
+    df = spark.createDataFrame(rows, "series STRING, idx INT, y DOUBLE")
+    a = adf_autolag_panel(df, "y", ["series"], ["idx"])[0]
+    b = adf_autolag_panel(df.repartition(13), "y", ["series"], ["idx"])[0]
+    assert a["used_lag"] == b["used_lag"]
+    assert round(a["adf_stat"], 6) == round(b["adf_stat"], 6)
+
+
+def test_adf_autolag_short_series_sentinel(spark):
+    """Degenerate input (fewer rows than any usable regression) yields
+    the reference's −1 sentinel instead of raising."""
+    from synthetic_datagen_spark.evaluators.adf_autolag import adf_autolag_panel
+
+    rows = [("s", i, float(i % 3)) for i in range(5)]
+    df = spark.createDataFrame(rows, "series STRING, idx INT, y DOUBLE")
+    out = adf_autolag_panel(df, "y", ["series"], ["idx"])
+    assert out[0]["adf_stat"] == -1.0 and out[0]["p_value"] == -1.0
