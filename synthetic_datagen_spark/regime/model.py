@@ -1,13 +1,16 @@
 """M5/A8 — regime labeling + per-regime statistics, Spark-first.
 
 The reference fits a GaussianHMM (hmmlearn, driver-side, ≤16k rows —
-regime_hmm_garch.py:85-93). hmmlearn is not a dependency of this
-engine; the scale path named in SURVEY §2.11 M5 is used as the primary:
-MLlib GaussianMixture (seed-pinned EM, distributed) provides emission
-clusters → arg-max labels, and the Markov transition structure is
-estimated from the labeled sequence with the A7 lead-pair aggregate.
-At 100 TB the GMM fit is a few distributed passes and labeling is a
-single scan; nothing sequential happens on the driver.
+regime_hmm_garch.py:85-93) and labels with Viterbi. This engine runs
+the same model distributed: MLlib GaussianMixture (seed-pinned EM) only
+INITIALIZES the emissions — the hmmlearn-kmeans-init substitute — then
+``regime/hmm.py`` refines transitions + emissions with multi-sequence
+Baum-Welch (each EM iteration one grouped-map pass, sufficient stats
+aggregated by Spark) and labels with Viterbi, so labels are
+transition-aware exactly like ``hmm.predict``. ``trans``/``start`` are
+the EM-estimated ``transmat_``/``startprob_`` analogues
+(regime_hmm_garch.py:135-143), Laplace-floored so every regime stays
+reachable for generation.
 
 Per-regime stats (A8, reference regime_hmm_garch.py:96-127): mean, std,
 skewness, AR(1), count of returns — with the sparse-regime fallback
@@ -21,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from pyspark.ml.clustering import GaussianMixture
-from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -30,9 +33,14 @@ class RegimeModel:
     n_regimes: int = 4
     seed: int = 42
     min_points: int = 10
+    # 6 EM refinements from the GMM init stabilize Viterbi labels (the
+    # consumer) well before full loglik convergence; each iteration is a
+    # whole grouped-map pass, so the default trades the last decimals of
+    # loglik for ~40% of the fit cost
+    hmm_iter: int = 6
     # fitted state
-    trans: np.ndarray | None = None        # K×K row-stochastic
-    start: np.ndarray | None = None        # K start probs
+    trans: np.ndarray | None = None        # K×K row-stochastic (transmat_)
+    start: np.ndarray | None = None        # K start probs (startprob_)
     stats: dict[int, dict] = field(default_factory=dict)
     labeled: DataFrame | None = None
 
@@ -40,43 +48,62 @@ class RegimeModel:
 
     def fit(self, features: DataFrame, partition_cols: list[str]) -> "RegimeModel":
         """features: output of ``regime_features`` (must carry idx)."""
-        va = VectorAssembler(inputCols=self._FEATS, outputCol="_fv")
-        sc = StandardScaler(inputCol="_fv", outputCol="_fs", withMean=True, withStd=True)
-        d = va.transform(features)
-        scaler = sc.fit(d)
-        d = scaler.transform(d)
-        # 30 iters @ 1e-3 converges on every series we label (each EM
-        # iteration is a full distributed pass — halving iters halves
-        # the fit cost; labels are arg-max cluster ids, insensitive to
-        # the last 1e-3 of log-likelihood).
-        gmm = GaussianMixture(k=self.n_regimes, seed=self.seed, featuresCol="_fs",
-                              predictionCol="regime", maxIter=30, tol=1e-3)
-        model = gmm.fit(d)
-        labeled = model.transform(d).drop("_fv", "_fs", "probability")
+        from .hmm import baum_welch, viterbi_label
+
+        # z-score features like the reference ((f - mean)/(std + 1e-10),
+        # regime_hmm_garch.py:79-81) with distributed moments, as plain
+        # columns so the HMM grouped-map passes read them via Arrow
+        moms = features.agg(
+            *[F.mean(c).alias(f"mu_{c}") for c in self._FEATS],
+            *[F.stddev_pop(c).alias(f"sd_{c}") for c in self._FEATS],
+        ).first()
+        d = features
+        scols = []
+        for c in self._FEATS:
+            sc_name = f"_s_{c}"
+            d = d.withColumn(
+                sc_name,
+                (F.col(c) - F.lit(moms[f"mu_{c}"]))
+                / F.lit((moms[f"sd_{c}"] or 0.0) + 1e-10),
+            )
+            scols.append(sc_name)
+        va = VectorAssembler(inputCols=scols, outputCol="_fv")
+        dv = va.transform(d)
+        # GMM initializes the HMM emissions (hmmlearn kmeans-init
+        # substitute): 30 iters @ 1e-3 is plenty for a starting point —
+        # Baum-Welch owns convergence from here.
+        gmm = GaussianMixture(k=self.n_regimes, seed=self.seed, featuresCol="_fv",
+                              predictionCol="_gmm", maxIter=30, tol=1e-3)
+        model = gmm.fit(dv)
+        k = self.n_regimes
+        means0 = np.array([g.mean.toArray() for g in model.gaussians])
+        covs0 = np.array([g.cov.toArray() for g in model.gaussians])
+        # uniform-ish start, uninformative sticky transitions: EM moves
+        # both; starting from the GMM weight vector biases rows equally
+        w0 = np.asarray(model.weights)
+        trans0 = np.tile(w0, (k, 1)) * 0.5 + 0.5 * np.eye(k)
+        trans0 = trans0 / trans0.sum(axis=1, keepdims=True)
+        start0 = w0 / w0.sum()
+
+        d = d.persist()
+        trans, start, means, covs, _ll = baum_welch(
+            d, scols, partition_cols, "idx", trans0, start0, means0, covs0,
+            n_iter=self.hmm_iter,
+        )
+        labeled = viterbi_label(
+            d, scols, partition_cols, "idx", trans, start, means, covs
+        ).drop(*scols)
         labeled = labeled.persist()
+        labeled.count()
+        d.unpersist()
         self.labeled = labeled
 
-        # A7 transition counts over the labeled sequence
-        w = Window.partitionBy(*partition_cols).orderBy("idx")
-        pairs = (
-            labeled.withColumn("_nxt", F.lead("regime").over(w))
-            .filter(F.col("_nxt").isNotNull())
-            .groupBy("regime", "_nxt")
-            .count()
-            .collect()
-        )
-        k = self.n_regimes
-        tm = np.zeros((k, k))
-        for r in pairs:
-            tm[r["regime"], r["_nxt"]] = r["count"]
+        tm = trans * 1.0
         tm += 1e-6  # Laplace floor so every regime stays reachable
         self.trans = tm / tm.sum(axis=1, keepdims=True)
-
-        freq = np.zeros(k)
-        counts = labeled.groupBy("regime").count().collect()
-        for r in counts:
-            freq[r["regime"]] = r["count"]
-        self.start = freq / freq.sum()
+        s0 = start + 1e-9
+        self.start = s0 / s0.sum()
+        w = Window.partitionBy(*partition_cols).orderBy("idx")
 
         # A8 per-regime return stats with AR(1) via corr-with-lag
         lag_r = F.lag("log_ret").over(w)

@@ -83,3 +83,61 @@ def test_regime_generation_deterministic(spark, fitted):
     raw = gen.generate(spark, 42, 100, n_series=2).collect()
     assert all(r.price > 0 for r in raw)
     assert all(0 <= r.regime < 3 for r in raw)
+
+
+def test_hmm_labels_match_numpy_replica(spark):
+    """The distributed Baum-Welch + Viterbi path must produce the SAME
+    labels as the single-sequence numpy replica run from the same init
+    on a pinned-seed random-walk fixture (the reference's test data
+    shape: 1.3 + cumsum(randn*0.0005), test_plugins.py:11-21)."""
+    import numpy as np
+    import pandas as pd
+
+    from synthetic_datagen_spark.regime.hmm import (
+        _viterbi,
+        baum_welch,
+        fit_hmm_numpy,
+        viterbi_label,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 600
+    prices = 1.3 + np.cumsum(rng.normal(0, 0.0005, n))
+    lr = np.diff(np.log(prices))
+    vol = pd.Series(lr).rolling(24, min_periods=1).std().bfill().to_numpy()
+    X = np.column_stack([lr, vol, np.abs(lr)])
+    X = (X - X.mean(axis=0)) / (X.std(axis=0) + 1e-10)
+
+    K, d = 3, 3
+    # deterministic quantile init shared by both paths
+    qs = np.quantile(X[:, 0], [0.2, 0.5, 0.8])
+    means0 = np.column_stack([qs, np.zeros(K), np.zeros(K)])
+    covs0 = np.array([np.eye(d) for _ in range(K)])
+    trans0 = np.full((K, K), 0.1) + 0.7 * np.eye(K)
+    trans0 /= trans0.sum(axis=1, keepdims=True)
+    start0 = np.full(K, 1.0 / K)
+
+    t_np, s_np, m_np, c_np, _ = fit_hmm_numpy(
+        X, trans0.copy(), start0.copy(), means0.copy(), covs0.copy(), n_iter=5
+    )
+    want = _viterbi(X, t_np, s_np, m_np, c_np)
+
+    rows = [
+        ("s", int(i), float(a), float(b), float(c))
+        for i, (a, b, c) in enumerate(X)
+    ]
+    df = spark.createDataFrame(rows, "series STRING, idx INT, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE")
+    t_sp, s_sp, m_sp, c_sp, _ = baum_welch(
+        df, ["f1", "f2", "f3"], ["series"], "idx",
+        trans0.copy(), start0.copy(), means0.copy(), covs0.copy(),
+        n_iter=5, tol=0.0,
+    )
+    labeled = viterbi_label(
+        df, ["f1", "f2", "f3"], ["series"], "idx", t_sp, s_sp, m_sp, c_sp
+    )
+    got = np.array(
+        [r["regime"] for r in labeled.orderBy("idx").select("regime").collect()]
+    )
+    assert np.array_equal(got, want), (got[:20], want[:20])
+    assert np.allclose(t_sp, t_np, atol=1e-10)
+    assert len(np.unique(got)) > 1  # regimes actually separate
