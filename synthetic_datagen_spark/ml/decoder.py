@@ -1,4 +1,4 @@
-"""G1/G2/G3 generation chain + M1-M4 trainer stubs.
+"""G1/G2/G3 generation chain + M1/M2 trainers (M4 stub).
 
 Generate path (reference: typical_price_generator.py:88-159):
   G1  seeded latent sampling      — per-window rng(splitmix64(seed, wid))
@@ -7,16 +7,16 @@ Generate path (reference: typical_price_generator.py:88-159):
                                     price from the training pool, cumsum
                                     rebuild, concat windows, truncate
 
-`LinearDecoder` is the deterministic stand-in model: weights derive
-from a splitmix stream of the model seed, so generation is fully
-reproducible with no training. A trained Keras/torch decoder drops into
-the same `generate` plan — only `_decode_batch` changes.
+`LinearDecoder` is the decoder model: untrained, its weights derive
+from a splitmix stream of the model seed (fully reproducible, no
+training needed); trained, `VaeGanTrainer` (M1) / `LinearVaeTrainer`
+(M2) fit a numpy SGD linear VAE (ml/vae.py) on Spark-prepared windows
+and export its decoder weights into the same broadcast-mapInPandas
+generate plan.
 
-Trainers (M1-M4) are stubs: the reference's gradient loops are
-driver-side TF (vae_gan_trainer.py:220-309, timegan_generator.py:
-321-551) and TF/torch are not available here. `fit()` raises
-NotImplementedError after materializing the Spark-side training
-windows, so the dataflow contract is executable and tested.
+TimeGanTrainer (M4) remains a declared stub: the 3-network TimeGAN
+chain (timegan_generator.py:321-551) needs TF, absent here; its Spark
+data-prep half runs for real.
 """
 
 from __future__ import annotations
@@ -45,16 +45,18 @@ def _splitmix_matrix(seed: int, rows: int, cols: int) -> np.ndarray:
 
 class LinearDecoder:
     """z ∈ R^latent_dim → window ∈ R^window_rows, scaled to return-like
-    magnitudes. Stands in for the VAE/TimeGAN decoder stack (G2/G11)."""
+    magnitudes. The decoder half of the VAE stack (G2); also the
+    untrained deterministic stand-in for TimeGAN inference (G11)."""
 
     def __init__(self, latent_dim: int = 16, window_rows: int = 32, model_seed: int = 7,
                  out_scale: float = 2e-3):
         self.latent_dim = latent_dim
         self.window_rows = window_rows
         self.w = _splitmix_matrix(model_seed, latent_dim, window_rows) * out_scale
+        self.b = np.zeros(window_rows)
 
     def decode(self, z: np.ndarray) -> np.ndarray:
-        return z @ self.w
+        return z @ self.w + self.b
 
     # ------------------------------------------------------------------
     def generate(
@@ -75,6 +77,7 @@ class LinearDecoder:
         W = self.window_rows
         n_windows = int(np.ceil(n_samples / W))
         weights = self.w
+        bias = self.b
         pool = np.asarray(anchor_pool, dtype=np.float64)
         latent = self.latent_dim
 
@@ -92,7 +95,7 @@ class LinearDecoder:
                 for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
                     rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
                     z = rng.standard_normal(latent)
-                    rets = z @ weights                      # G2 decode
+                    rets = z @ weights + bias               # G2 decode
                     rets = rets - rets.mean()               # W11 zero-mean
                     anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
                     prices = anchor * np.exp(np.cumsum(rets))
@@ -121,16 +124,24 @@ class LinearDecoder:
         return out.filter(F.col("t") < n_samples)
 
 
-class _StubTrainer:
-    """Shared shape of the M1-M4 trainer stubs: Spark data prep runs for
-    real; the gradient loop needs TF/torch (absent here) and raises."""
+class _TrainerBase:
+    """Shared trainer shape: `prepare()` is the distributed half (scan →
+    union → returns → windows), `fit()` the driver half."""
 
-    name = "stub"
+    name = "base"
 
-    def __init__(self, window_rows: int = 32, use_returns: bool = True):
+    def __init__(self, window_rows: int = 32, use_returns: bool = True,
+                 latent_dim: int = 16, train_seed: int = 42,
+                 epochs: int = 40, max_windows: int = 4096):
         self.window_rows = window_rows
         self.use_returns = use_returns
+        self.latent_dim = latent_dim
+        self.train_seed = train_seed
+        self.epochs = epochs
+        self.max_windows = max_windows
         self.windows: DataFrame | None = None
+        self.decoder: LinearDecoder | None = None
+        self.vae = None
 
     def prepare(self, sources: list[DataFrame], value_col: str, ts_col: str) -> DataFrame:
         self.windows = prepare_training_windows(
@@ -138,31 +149,79 @@ class _StubTrainer:
         )
         return self.windows
 
-    def fit(self) -> None:
+    def _collect_windows(self) -> np.ndarray:
+        """Bounded, deterministically-ordered window sample (SURVEY
+        §4.2 ≤10⁴-point driver-fallback rule): sorted by window_id so
+        partitioning can never reorder the training stream."""
+        if self.windows is None:
+            raise RuntimeError("prepare() first")
+        key = [c for c in self.windows.columns if c != "window_vec"]
+        rows = (
+            self.windows.orderBy(*key).limit(self.max_windows).collect()
+        )
+        return np.array([r["window_vec"] for r in rows], dtype=np.float64)
+
+    _ADVERSARIAL = False
+
+    def fit(self) -> LinearDecoder:
+        """Train the numpy linear VAE (ml/vae.py) on the Spark-prepared
+        windows and export its decoder into the generate plan."""
+        from .vae import LinearVae
+
+        X = self._collect_windows()
+        vae = LinearVae(
+            window_rows=self.window_rows,
+            latent_dim=self.latent_dim,
+            adversarial=self._ADVERSARIAL,
+            epochs=self.epochs,
+            train_seed=self.train_seed,
+        ).fit(X)
+        self.vae = vae
+        w, b = vae.decoder_weights()
+        dec = LinearDecoder(
+            latent_dim=self.latent_dim, window_rows=self.window_rows
+        )
+        dec.w = w
+        dec.b = b
+        self.decoder = dec
+        return dec
+
+
+class LinearVaeTrainer(_TrainerBase):
+    """M2 (reference: vae_trainer.py:46-113) — pure VAE."""
+
+    name = "vae"
+    _ADVERSARIAL = False
+
+
+class VaeGanTrainer(_TrainerBase):
+    """M1 (reference: vae_gan_trainer.py:33-316) — VAE + discriminator
+    + generator-adversarial steps per batch, linear special case."""
+
+    name = "vae-gan"
+    _ADVERSARIAL = True
+
+
+class TimeGanTrainer(_TrainerBase):
+    """M4 (reference: timegan_generator.py:67-186,321-551) — declared
+    stub: the embedder/supervisor/recovery RNN chain needs TF, absent
+    in this environment. The Spark data-prep half runs for real."""
+
+    name = "timegan"
+
+    def fit(self) -> LinearDecoder:
         if self.windows is None:
             raise RuntimeError("prepare() first")
         try:
             import tensorflow  # noqa: F401
         except ImportError as e:  # pragma: no cover - always taken here
             raise NotImplementedError(
-                f"{self.name} training requires TensorFlow (driver-side "
-                "gradient loop, reference vae_gan_trainer.py:220-309); "
-                "not available in this environment. The Spark data-prep "
-                "half is `prepare()`; inference is LinearDecoder/"
-                "broadcast-model mapInPandas."
+                "TimeGAN training requires TensorFlow (3-phase RNN loop, "
+                "reference timegan_generator.py:321-551); not available "
+                "in this environment. Use VaeGanTrainer/LinearVaeTrainer "
+                "for trainable models; inference-side the LinearDecoder "
+                "broadcast plan stands in (G11)."
             ) from e
-
-
-class VaeGanTrainer(_StubTrainer):
-    """M1 (reference: vae_gan_trainer.py:33-316)."""
-
-    name = "vae-gan"
-
-
-class TimeGanTrainer(_StubTrainer):
-    """M4 (reference: timegan_generator.py:67-186,321-551)."""
-
-    name = "timegan"
 
 
 def save_decoder(dec: LinearDecoder, path: str) -> None:
@@ -173,10 +232,11 @@ def save_decoder(dec: LinearDecoder, path: str) -> None:
 
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "weights.npy"), dec.w)
+    np.save(os.path.join(path, "bias.npy"), dec.b)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {"latent_dim": dec.latent_dim, "window_rows": dec.window_rows,
-             "format_version": 1},
+             "format_version": 2},
             f,
         )
 
@@ -189,4 +249,7 @@ def load_decoder(path: str) -> LinearDecoder:
         meta = json.load(f)
     dec = LinearDecoder(latent_dim=meta["latent_dim"], window_rows=meta["window_rows"])
     dec.w = np.load(os.path.join(path, "weights.npy"))
+    bias_path = os.path.join(path, "bias.npy")
+    if os.path.exists(bias_path):  # v1 artifacts have no bias (inferred 0)
+        dec.b = np.load(bias_path)
     return dec

@@ -70,3 +70,29 @@ def g1_g3_latent_decode_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = np.array([r[0] for r in ev.collect()], dtype=float)
     dec = LinearDecoder(latent_dim=16, window_rows=32, model_seed=7)
     return dec.generate(spark, pool, seed=42, n_samples=256, n_series=4)
+
+
+@register(
+    "m1_vae_train_generate",
+    oracle=None,  # SGD training + seeded generation: rows-only + tests
+    doc="M1 end-to-end train→generate: Spark-prepared return windows "
+    "(S2→W1→W3) feed the numpy-SGD linear VAE-GAN (analytic gradients, "
+    "VAE + discriminator + generator-adversarial steps per batch — "
+    "reference: vae_gan_trainer.py:220-309); the fitted decoder "
+    "broadcasts into the G1-G3 mapInPandas generate plan. Deterministic "
+    "in (data, train_seed, generate seed) — tests pin retrain-equality "
+    "under repartitioning.",
+)
+def m1_vae_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml import VaeGanTrainer
+
+    src = _train_series(spark, sf_dir).select("ts", "value")
+    tr = VaeGanTrainer(window_rows=32, latent_dim=16, epochs=10, train_seed=42)
+    tr.prepare([src], "value", "ts")
+    dec = tr.fit()
+    pool = np.array(
+        [r[0] for r in src.select("value").limit(2000).collect()], dtype=float
+    )
+    return dec.generate(spark, pool, seed=42, n_samples=256, n_series=4)
