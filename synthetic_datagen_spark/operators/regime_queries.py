@@ -196,3 +196,36 @@ def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch INT, batch_best DOUBLE, n_evaluated INT, overall_best DOUBLE"
     )
+
+
+@register(
+    "m9_regime_gan_generate",
+    oracle=None,  # per-regime SGD training + seeded sampling: rows-only
+    doc="M9/G10 per-regime generator training + regime-chained sampling: "
+    "HMM labels partition the return stream; ONE grouped-map Spark task "
+    "per regime trains that regime's adversarial linear VAE (numpy SGD "
+    "— the no-torch substitute for the reference's per-regime GAN, "
+    "regime_gan.py:128-218) on its own windows; sparse regimes return "
+    "no weights and fall back to parametric N(mu_k, sigma_k) exactly "
+    "like the reference's None-generator slot (:339-380). Generation "
+    "walks the transition chain per series in parallel.",
+)
+def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..regime import RegimeGanTrainer, regime_gan_generate
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
+        "series", F.lit(0)
+    )
+    feats = feats.persist()
+    model = RegimeModel(n_regimes=3, seed=42, hmm_iter=4).fit(feats, ["series"])
+    gan = RegimeGanTrainer(model, seq_len=32, latent_dim=8, epochs=20, seed=42).fit()
+    p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
+    out = regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
+    feats.unpersist()
+    return out

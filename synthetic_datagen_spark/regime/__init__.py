@@ -2,5 +2,15 @@ from .features import regime_features
 from .garch import fit_garch_grid
 from .model import RegimeModel
 from .generate import RegimeGenerator
+from .regime_gan import RegimeGanModel, RegimeGanTrainer
+from .regime_gan import generate as regime_gan_generate
 
-__all__ = ["regime_features", "fit_garch_grid", "RegimeModel", "RegimeGenerator"]
+__all__ = [
+    "regime_features",
+    "fit_garch_grid",
+    "RegimeModel",
+    "RegimeGenerator",
+    "RegimeGanModel",
+    "RegimeGanTrainer",
+    "regime_gan_generate",
+]

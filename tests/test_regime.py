@@ -141,3 +141,92 @@ def test_hmm_labels_match_numpy_replica(spark):
     assert np.array_equal(got, want), (got[:20], want[:20])
     assert np.allclose(t_sp, t_np, atol=1e-10)
     assert len(np.unique(got)) > 1  # regimes actually separate
+
+
+def test_regime_gan_deterministic_and_fallback(spark, sf_smoke):
+    """M9: per-regime training is a pure function of (labels, seed);
+    generation deterministic per seed; sparse regimes take the
+    parametric fallback path (reference's None-generator slot)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.regime import (
+        RegimeGanTrainer,
+        RegimeModel,
+        regime_features,
+        regime_gan_generate,
+    )
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = (
+        Catalog(spark, sf_smoke)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
+        "series", F.lit(0)
+    ).persist()
+    model = RegimeModel(n_regimes=3, seed=42, hmm_iter=3).fit(feats, ["series"])
+    gan = RegimeGanTrainer(model, seq_len=16, latent_dim=4, epochs=10, seed=7).fit()
+    gan2 = RegimeGanTrainer(model, seq_len=16, latent_dim=4, epochs=10, seed=7).fit()
+    assert set(gan.decoders) == set(gan2.decoders)
+    for k in gan.decoders:
+        assert np.array_equal(gan.decoders[k]["w"], gan2.decoders[k]["w"])
+
+    a = regime_gan_generate(gan, spark, seed=3, n_samples=64, n_series=2).orderBy(
+        "series_id", "t"
+    ).collect()
+    b = regime_gan_generate(gan, spark, seed=3, n_samples=64, n_series=2).orderBy(
+        "series_id", "t"
+    ).collect()
+    c = regime_gan_generate(gan, spark, seed=4, n_samples=64, n_series=2).orderBy(
+        "series_id", "t"
+    ).collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert [r.price for r in a] != [r.price for r in c]
+    assert all(np.isfinite(r.price) and r.price > 0 for r in a)
+    assert len(a) == 128
+
+    # force the fallback path: a model whose decoders are all absent
+    gan.decoders = {}
+    d = regime_gan_generate(gan, spark, seed=3, n_samples=64, n_series=1).collect()
+    assert len(d) == 64 and all(np.isfinite(r.price) for r in d)
+    feats.unpersist()
+
+
+def test_regime_gan_moment_match(spark, sf_smoke):
+    """Trained-regime segments reproduce their regime's return scale
+    within tolerance (the per-regime moment-match contract)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.regime import (
+        RegimeGanTrainer,
+        RegimeModel,
+        regime_features,
+        regime_gan_generate,
+    )
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = (
+        Catalog(spark, sf_smoke)
+        .table("events")
+        .filter(F.col("event_type") == "view")
+        .select("ts", "event_id", "value")
+    )
+    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
+        "series", F.lit(0)
+    ).persist()
+    model = RegimeModel(n_regimes=2, seed=42, hmm_iter=3).fit(feats, ["series"])
+    gan = RegimeGanTrainer(model, seq_len=16, latent_dim=4, epochs=25, seed=7).fit()
+    out = regime_gan_generate(gan, spark, seed=11, n_samples=512, n_series=4)
+    pdf = out.orderBy("series_id", "t").toPandas()
+    pdf["ret"] = np.log(pdf["price"]).groupby(pdf["series_id"]).diff()
+    for k, dec in gan.decoders.items():
+        seg = pdf[(pdf["regime"] == k) & pdf["ret"].notna()]["ret"]
+        if len(seg) < 50:
+            continue
+        want = model.stats[k]["sigma"]
+        assert 0.2 * want < seg.std() < 5.0 * want, (k, seg.std(), want)
+    feats.unpersist()
