@@ -57,16 +57,26 @@ def js_divergence(
 
 
 def _tagged_ecdf(
-    df: DataFrame, value_col: str, tag_col: str, tag_a: str, tag_b: str
+    df: DataFrame,
+    value_col: str,
+    tag_col: str,
+    tag_a: str,
+    tag_b: str,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Shared plan for KS / Wasserstein: per-distinct-value running ECDFs
-    of both samples over the global value order.
+    of both samples — range-bucketed two-level formulation, NO global
+    single-partition window.
 
-    One aggregate (distinct values) + one window sort. The window is
-    ordered over the whole value domain — for the metric to be exact it
-    must be a total order, so this is the one intentionally-global sort
-    in the library; inputs here are *samples/returns* (bounded), not raw
-    100 TB facts. Columns: value, fa, fb (ECDFs), plus totals.
+    Level 1: distinct-value counts hash into ≤``n_buckets`` value-range
+    buckets; the per-bucket totals (a bounded ≤256-row frame) collect to
+    the driver, which computes exclusive prefix offsets and the next
+    non-empty bucket's minimum value, re-broadcast as a literal join
+    frame. Level 2: a window partitioned BY BUCKET (parallel) adds the
+    within-bucket running sums. ECDF numerators are exact integer sums,
+    so the bucketed decomposition is bit-identical to the old global
+    sort. Output columns: v, fa, fb, nxt (next distinct value across
+    bucket boundaries, null at the global max).
     """
     counts = (
         df.filter(F.col(tag_col).isin(tag_a, tag_b))
@@ -75,13 +85,49 @@ def _tagged_ecdf(
             F.sum(F.when(F.col(tag_col) == tag_a, 1).otherwise(0)).alias("ca"),
             F.sum(F.when(F.col(tag_col) == tag_b, 1).otherwise(0)).alias("cb"),
         )
+        .persist()
     )
-    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rng = counts.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    ).first()
+    vmin, vmax = rng["vmin"], rng["vmax"]
+    width = ((vmax - vmin) / n_buckets) if (vmax or 0.0) > (vmin or 0.0) else 1.0
+    bkt = F.least(
+        F.floor((F.col("v") - F.lit(vmin)) / F.lit(width)).cast("long"),
+        F.lit(n_buckets - 1),
+    )
+    bucketed = counts.withColumn("bkt", F.greatest(bkt, F.lit(0)))
+    # bounded driver fallback (≤ n_buckets rows): totals -> prefix offsets
+    btot = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("ca").alias("bca"), F.sum("cb").alias("bcb"), F.min("v").alias("bvmin"))
+        .collect()
+    )
+    btot.sort(key=lambda r: r["bkt"])
+    offs, oa, ob = [], 0, 0
+    for i, r in enumerate(btot):
+        nxt = btot[i + 1]["bvmin"] if i + 1 < len(btot) else None
+        offs.append((r["bkt"], oa, ob, nxt))
+        oa += r["bca"]
+        ob += r["bcb"]
+    ta, tb = oa, ob
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offs, "bkt LONG, offa LONG, offb LONG, next_bucket_min DOUBLE"
+    )
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("bkt").orderBy("v")
     return (
-        counts.crossJoin(F.broadcast(tot))
-        .withColumn("fa", F.sum("ca").over(w) / F.col("ta"))
-        .withColumn("fb", F.sum("cb").over(w) / F.col("tb"))
+        bucketed.join(F.broadcast(off_df), "bkt")
+        .withColumn("fa", (F.col("offa") + F.sum("ca").over(wb)) / F.lit(float(ta)))
+        .withColumn("fb", (F.col("offb") + F.sum("cb").over(wb)) / F.lit(float(tb)))
+        .withColumn(
+            "nxt", F.coalesce(F.lead("v").over(wlead), F.col("next_bucket_min"))
+        )
     )
 
 
@@ -104,8 +150,10 @@ def wasserstein_1d(
     distinct values of |ΔF| · Δx — matches scipy to fp precision.
     """
     e = _tagged_ecdf(df, value_col, tag_col, tag_a, tag_b)
-    w = Window.orderBy("v")
-    gap = (F.lead("v").over(w) - F.col("v")) * F.abs(F.col("fa") - F.col("fb"))
+    # `nxt` spans bucket boundaries (next non-empty bucket's min), so no
+    # global-order window is needed; the global max has nxt null and
+    # contributes nothing, exactly like the old lead(v)
+    gap = (F.col("nxt") - F.col("v")) * F.abs(F.col("fa") - F.col("fb"))
     return e.select(gap.alias("g")).agg(F.sum("g").alias("w1"))
 
 
