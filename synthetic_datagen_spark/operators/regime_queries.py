@@ -229,3 +229,67 @@ def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
     feats.unpersist()
     return out
+
+
+@register(
+    "m15_staged_optimizer",
+    oracle=None,  # seeded stochastic search: rows-only + tests
+    doc="M15 elite staged optimizer over the M14 GA (reference: "
+    "optimize_staged.py:55-383): three stages with shrinking mutation "
+    "scale, elite carry-over, stage-specific fitness weights, and a "
+    "final stage that FREEZES the settled block_size gene at the global "
+    "best (bounds collapse, so crossover/mutation respect the freeze). "
+    "Each generation of each stage is one Spark grouped-map fitness "
+    "job. Emits the per-stage summary (stage best, global best, evals, "
+    "frozen genes).",
+)
+def m15_staged_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions import timeseries as TS
+    from ..optimize import Gene, Stage, StagedOptimizer, moment_match_fitness
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    rets_df = TS.log_returns(ev, "value", [], ["ts", "event_id"])
+    panel = rets_df.agg(
+        F.mean("log_ret").alias("mean"), F.stddev_pop("log_ret").alias("std")
+    ).first()
+    ac1 = TS.lag_autocorr(rets_df, "log_ret", 1, [], ["ts", "event_id"]).first()[0]
+    pool = np.array(
+        [r[0] for r in rets_df.select("log_ret").dropna().orderBy("ts", "event_id").limit(4000).collect()]
+    )
+    stats = {"mean": panel["mean"], "std": panel["std"], "ac1": float(ac1 or 0.0)}
+
+    def factory(weights):
+        return moment_match_fitness(
+            pool, stats, n_samples=256, n_seeds=2, weights=weights
+        )
+
+    opt = StagedOptimizer(
+        genes=[Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+        fitness_factory=factory,
+        stages=[
+            Stage("broad", pop_size=8, n_gens=2, mut_sigma=0.3),
+            Stage("ac-focus", pop_size=6, n_gens=2, mut_sigma=0.15,
+                  weights={"ac1": 4.0, "std": 1.0, "mean": 5.0}),
+            Stage("polish", pop_size=6, n_gens=2, mut_sigma=0.05,
+                  freeze=("block_size",)),
+        ],
+        seed=42,
+    )
+    res = opt.optimize(spark)
+    rows = [
+        (s["stage"], s["name"], round(s["stage_best"], 6),
+         round(s["global_best"], 6), s["n_evals"], s["frozen"])
+        for s in res["stages"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage INT, name STRING, stage_best DOUBLE, global_best DOUBLE, "
+        "n_evals INT, frozen STRING",
+    )

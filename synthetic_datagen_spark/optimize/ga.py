@@ -67,15 +67,23 @@ class GAOptimizer:
     history: list[dict] = field(default_factory=list)
 
     # ------------------------------------------------------------------
-    def optimize(self, spark: SparkSession) -> dict:
-        """Run the GA; returns {best: {gene: value}, score, history}."""
+    def optimize(self, spark: SparkSession, init_pop: list[dict] | None = None) -> dict:
+        """Run the GA; returns {best, score, history, pop, scores} —
+        final population + scores so a stage loop (M15) can carry elites
+        into its next stage. ``init_pop`` seeds the population (padded
+        with random samples / truncated to pop_size)."""
         rng = np.random.default_rng(derive_seed(self.seed, 0x6A))
+        pop = [dict(c) for c in (init_pop or [])][: self.pop_size]
         pop = [
-            {g.name: g.sample(rng) for g in self.genes} for _ in range(self.pop_size)
+            {g.name: g.clip(c.get(g.name, g.sample(rng))) for g in self.genes}
+            for c in pop
         ]
+        while len(pop) < self.pop_size:
+            pop.append({g.name: g.sample(rng) for g in self.genes})
         best: dict | None = None
         best_score = float("inf")
         stale = 0
+        scores = np.array([])
         for gen in range(self.n_gens):
             scores = self._evaluate(spark, pop, gen)
             order = np.argsort(scores)
@@ -91,8 +99,17 @@ class GAOptimizer:
                 stale += 1
                 if stale >= self.patience:
                     break
-            pop = self._next_gen(pop, scores, np.random.default_rng(derive_seed(self.seed, gen + 1)))
-        return {"best": best, "score": best_score, "history": self.history}
+            if gen < self.n_gens - 1:
+                pop = self._next_gen(
+                    pop, scores, np.random.default_rng(derive_seed(self.seed, gen + 1))
+                )
+        return {
+            "best": best,
+            "score": best_score,
+            "history": self.history,
+            "pop": pop,
+            "scores": scores,
+        }
 
     # ------------------------------------------------------------------
     def _evaluate(self, spark: SparkSession, pop: list[dict], gen: int) -> np.ndarray:
@@ -137,6 +154,7 @@ def moment_match_fitness(
     n_samples: int = 512,
     n_seeds: int = 3,
     base_seed: int = 42,
+    weights: dict[str, float] | None = None,
 ) -> FitnessFn:
     """Built-in fitness: block-bootstrap-lite generation + composite
     moment-matching score, one grouped-map task per candidate (the
@@ -144,13 +162,17 @@ def moment_match_fitness(
     ga_optimizer.py:467-513, as a Spark stage).
 
     Genes understood: block_size (int), lam (blend weight in [0,1]).
-    Score = |std_ratio−1| + |ac1_diff| + 10·|mean_diff| — the D8 weighted
-    recipe reduced to the three dominant terms, averaged over n_seeds.
+    Score = w_std·|std_ratio−1| + w_ac1·|ac1_diff| + w_mean·|mean_diff| —
+    the D8 weighted recipe reduced to its three dominant terms, averaged
+    over n_seeds; per-stage ``weights`` reweight the objective like the
+    reference's stage-specific weight dicts (optimize_staged.py:74-94).
     """
     pool = np.asarray(returns_pool, dtype=np.float64)
     r_std = real_stats["std"]
     r_ac1 = real_stats["ac1"]
     r_mean = real_stats["mean"]
+    wts = {"std": 1.0, "ac1": 1.0, "mean": 10.0, **(weights or {})}
+    w_std, w_ac1, w_mean = wts["std"], wts["ac1"], wts["mean"]
 
     schema = T.StructType(
         [
@@ -182,9 +204,9 @@ def moment_match_fitness(
                 std = rets.std()
                 ac1 = float(np.corrcoef(rets[:-1], rets[1:])[0, 1]) if std > 0 else 0.0
                 s = (
-                    abs(std / r_std - 1.0 if r_std > 0 else 1.0)
-                    + abs(ac1 - r_ac1)
-                    + 10.0 * abs(rets.mean() - r_mean)
+                    w_std * abs(std / r_std - 1.0 if r_std > 0 else 1.0)
+                    + w_ac1 * abs(ac1 - r_ac1)
+                    + w_mean * abs(rets.mean() - r_mean)
                 )
                 scores.append(s)
             return pd.DataFrame({"cand_id": [cid], "score": [float(np.mean(scores))]})

@@ -201,3 +201,51 @@ def test_hybrid_artifact_roundtrip(spark, hybrid, tmp_path):
     a = hybrid.generate(spark, seed=13, n_samples=80, n_series=1).orderBy("t").collect()
     b = back.generate(spark, seed=13, n_samples=80, n_series=1).orderBy("t").collect()
     assert [r.price for r in a] == [r.price for r in b]
+
+
+def test_staged_optimizer_freeze_and_monotone(spark):
+    """M15: per-stage summaries, monotone global best, frozen gene kept
+    at the global-best value through the freezing stage, deterministic
+    trajectory for a fixed seed."""
+    import numpy as np
+
+    from synthetic_datagen_spark.optimize import (
+        Gene,
+        Stage,
+        StagedOptimizer,
+        moment_match_fitness,
+    )
+
+    rng = np.random.default_rng(5)
+    pool = rng.normal(0.0002, 0.01, 2000)
+    stats = {"mean": float(pool.mean()), "std": float(pool.std()), "ac1": 0.0}
+
+    def factory(weights):
+        return moment_match_fitness(pool, stats, n_samples=128, n_seeds=1, weights=weights)
+
+    def run():
+        opt = StagedOptimizer(
+            genes=[Gene("block_size", 4, 40, "int"), Gene("lam", 0.0, 1.0)],
+            fitness_factory=factory,
+            stages=[
+                Stage("broad", pop_size=6, n_gens=2, mut_sigma=0.3),
+                Stage("focus", pop_size=4, n_gens=2, mut_sigma=0.1,
+                      weights={"ac1": 3.0}),
+                Stage("polish", pop_size=4, n_gens=2, mut_sigma=0.05,
+                      freeze=("block_size",)),
+            ],
+            seed=11,
+        )
+        return opt.optimize(spark)
+
+    a = run()
+    b = run()
+    assert a["best"] == b["best"] and a["score"] == b["score"]
+    gb = [s["global_best"] for s in a["stages"]]
+    assert gb == sorted(gb, reverse=True)  # monotone non-increasing
+    assert a["stages"][2]["frozen"] == "block_size"
+    # the frozen stage couldn't move block_size: final best keeps the
+    # value that was global-best entering stage 3 (or stage 3's best
+    # equals it by construction of the collapsed bounds)
+    assert a["best"]["block_size"] == b["best"]["block_size"]
+    assert a["score"] <= a["stages"][0]["global_best"] + 1e-12
