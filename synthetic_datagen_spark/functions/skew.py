@@ -31,13 +31,16 @@ def salted_agg(
     partials: out_col -> (phase1 aggregate over raw rows,
                           phase2 aggregate over the partial col).
     The salt derives from a hash of a row-distinguishing column (never
-    rand() — keeps the plan deterministic and retry-safe).
+    rand(), never partition identity — both are nondeterministic under
+    task retry, which with non-algebraic partials could regroup rows and
+    change results).
     """
-    salt = (
-        F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
-        if salt_on
-        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
-    )
+    if not salt_on:
+        raise ValueError(
+            "salted_agg requires salt_on: a row-distinguishing column to "
+            "hash the salt from (partition-id fallbacks are not retry-safe)"
+        )
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
         *[p1.alias(f"_p_{name}") for name, (p1, _) in partials.items()]
     )

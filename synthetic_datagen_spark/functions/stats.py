@@ -140,11 +140,23 @@ def transition_counts(
         .agg(F.count("*").alias("cnt"))
     )
     row_w = Window.partitionBy("state")
-    row_tot = F.sum("cnt").over(row_w)
     if laplace > 0.0:
-        n_states = F.count("*").over(row_w)  # states observed in this row
+        # densify to the FULL K×K grid first (like regime_gan.py's
+        # matrix += smoothing over every cell): unseen transitions get
+        # cnt=0 rows, so the smoothed mass laplace/(tot + laplace·K)
+        # actually reaches them and K is the true state count
+        states = df.select(F.col(state_col).alias("state")).distinct()
+        grid = states.crossJoin(
+            F.broadcast(states.select(F.col("state").alias("next_state")))
+        )
+        pairs = grid.join(pairs, ["state", "next_state"], "left").fillna(
+            0, subset=["cnt"]
+        )
+        row_tot = F.sum("cnt").over(row_w)
+        n_states = F.count("*").over(row_w)  # = K on the dense grid
         prob = (F.col("cnt") + F.lit(laplace)) / (row_tot + F.lit(laplace) * n_states)
     else:
+        row_tot = F.sum("cnt").over(row_w)
         prob = F.col("cnt") / row_tot
     return pairs.withColumn("prob", prob)
 

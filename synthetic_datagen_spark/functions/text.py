@@ -80,11 +80,17 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingle array via sequence+transform — JVM-side, no UDF.
-    Returns empty array for texts shorter than k."""
+    Returns empty array for texts shorter than k (guarded: Spark's
+    sequence(1, 0) auto-steps DESCENDING, which would yield two garbage
+    shingles for short texts)."""
     t = F.lower(text)
     n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(t, i, k))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.substring(t, i, k),
+        )
+    )
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:

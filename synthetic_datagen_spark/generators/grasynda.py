@@ -140,7 +140,12 @@ class GrasyndaGenerator:
             out = []
             for sid in pdf["id"]:
                 rng = np.random.default_rng(derive_seed(seed, int(sid)))
-                s = int(np.searchsorted(start_cum, rng.random(), side="right"))
+                # clamp like the loop below: fp rounding can leave
+                # start_cum[-1] slightly under 1.0
+                s = min(
+                    int(np.searchsorted(start_cum, rng.random(), side="right")),
+                    len(pools) - 1,
+                )
                 rets = np.empty(n_samples - 1)
                 for i in range(n_samples - 1):
                     s = int(np.searchsorted(trans_cum[s], rng.random(), side="right"))

@@ -109,13 +109,22 @@ def register_sql_functions(spark) -> None:
         return len(s.split()) if s and s.strip() else 0
 
     def quality_score_py(s: str | None) -> float:
+        # mirrors functions/text.quality_score exactly (0.5 length +
+        # 0.3 punctuation + 0.2 stopword) so the SQL surface and the
+        # DataFrame surface score identically
+        from .functions.text import STOPWORDS
+
         if not s:
             return 0.0
         n = len(s)
         punct = len(re.findall(r"[\.,;:!\?\'\"\(\)\[\]\-]", s))
         len_score = min(n / 200.0, 1.0)
         punct_pen = max(0.0, 1.0 - 4.0 * punct / n)
-        return 0.5 * len_score + 0.5 * punct_pen
+        toks = s.strip().lower().split()
+        sw = set(STOPWORDS["en"])
+        sw_ratio = (sum(t in sw for t in toks) / len(toks)) if toks else 0.0
+        sw_score = min(sw_ratio * 5.0, 1.0)
+        return 0.5 * len_score + 0.3 * punct_pen + 0.2 * sw_score
 
     spark.udf.register("token_count_py", token_count_py, "int")
     spark.udf.register("quality_score_py", quality_score_py, "double")

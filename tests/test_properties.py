@@ -147,3 +147,23 @@ def test_salted_agg_equals_plain_agg(spark):
         assert {k: (v[0], float(v[1])) for k, v in got.items()} == {
             k: (v[0], float(v[1])) for k, v in want.items()
         }, f"n_salts={n_salts}"
+
+
+def test_transition_counts_laplace_covers_unseen(spark):
+    """ADVICE r1: smoothing must reach transitions never observed —
+    the dense K x K grid gives them prob laplace/(tot + laplace*K) > 0
+    and every row still sums to 1."""
+    from synthetic_datagen_spark.functions import stats as ST
+
+    rows = [("u", i, s) for i, s in enumerate(["a", "a", "b", "a", "a", "b"])]
+    df = spark.createDataFrame(rows, "user STRING, idx INT, st STRING")
+    t = ST.transition_counts(df, "st", ["user"], ["idx"], laplace=1.0).collect()
+    got = {(r["state"], r["next_state"]): r for r in t}
+    assert len(got) == 4  # dense 2x2 incl. the never-seen b->b
+    assert got[("b", "b")]["cnt"] == 0 and got[("b", "b")]["prob"] > 0
+    from collections import defaultdict
+    sums = defaultdict(float)
+    for (s, _), r in got.items():
+        sums[s] += r["prob"]
+    for s, v in sums.items():
+        assert abs(v - 1.0) < 1e-12, (s, v)
