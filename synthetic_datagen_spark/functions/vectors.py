@@ -130,10 +130,12 @@ def _with_sign_buckets(
     n_planes: int,
     seed: int,
 ) -> DataFrame:
-    """Explode each vector into its ``n_tables`` (tbl, bucket) rows."""
+    """Explode each vector into its ``n_tables`` (tbl, bucket) rows.
+    The L2 norm is computed ONCE per vector before the explode (column
+    ``{vec_alias}_n``) so rescoring never re-aggregates it per pair."""
     d = df.select(
         F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
-    )
+    ).withColumn(f"{vec_alias}_n", l2_norm(F.col(vec_alias)))
     tables = F.array(
         *[
             F.struct(
@@ -143,8 +145,9 @@ def _with_sign_buckets(
             for t in range(n_tables)
         ]
     )
-    return d.select(id_alias, vec_alias, F.explode(tables).alias("tb")).select(
-        id_alias, vec_alias, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    return d.select(id_alias, vec_alias, f"{vec_alias}_n", F.explode(tables).alias("tb")).select(
+        id_alias, vec_alias, f"{vec_alias}_n",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
 
 
@@ -174,11 +177,13 @@ def lsh_bucketed_knn(
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "qv_n", "cv", "cv_n")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -246,15 +251,32 @@ def lsh_near_dup_pairs(
     the identical candidate set (same trick as `lsh_bucketed_knn`).
     """
     b = _with_sign_buckets(df, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed)
-    a_side = b.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
-    b_side = b.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
+    b = b.persist()  # signatures + norms computed once, read three times
+    # candidate generation and dedup run on BARE ID PAIRS — the bucket
+    # self-join and the dropDuplicates shuffle move 16-byte rows, not
+    # 64-dim vector payloads; vectors join back once per distinct pair
+    a_ids = b.select(F.col("vid").alias("id_a"), "tbl", "bucket")
+    b_ids = b.select(F.col("vid").alias("id_b"), "tbl", "bucket")
     cand = (
-        a_side.join(b_side.hint("shuffle_hash"), ["tbl", "bucket"])
+        a_ids.join(b_ids.hint("shuffle_hash"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = b.select("vid", "v", "v_n").dropDuplicates(["vid"])
+    va = vecs.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("v_n").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("v_n").alias("nb")
+    )
     return (
-        cand.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
