@@ -7,14 +7,17 @@ downstream model?
 
 Spark-first split of labor (SURVEY §3.3):
   * supervised X/y windows (W10) build distributedly;
-  * the predictor is ridge regression via the closed-form normal
-    equations — X'X and X'y are computed as *distributed Spark
-    aggregates* (a (W+1)² matrix of sums), so no training row ever
-    reaches the driver; only the (W+1)² Gram matrix does. The reference
-    uses a 32-unit LSTM (predictive_evaluator.py:75-135); TF is not a
-    dependency here, and for the A/B *protocol* the predictor family is
-    pluggable by design (the reference itself swaps predictors via
-    subprocess — :370-394).
+  * predictor families (pluggable, like the reference's subprocess
+    predictor swap — :370-394):
+      - "ridge" (scale path, default): closed-form normal equations
+        from DISTRIBUTED X'X / X'y aggregates — no training row ever
+        reaches the driver, only the (W+1)² Gram matrix;
+      - "lstm" (fidelity path, M10): the reference's architecture
+        (LSTM(H) → Dense(relu) → Dense(1), adam, mse, early stopping
+        with best-weight restore — predictive_evaluator.py:75-135)
+        implemented in numpy (ml/lstm.py); trains on a bounded sorted
+        window sample driver-side exactly like the reference's Keras
+        loop, scores distributed via broadcast weights + mapInPandas.
   * MAE/deltas are Spark aggregates (avg(abs(pred-y))).
 """
 
@@ -57,10 +60,31 @@ def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
 
 
 class PredictiveEvaluator:
-    def __init__(self, window: int = 16, horizon: int = 1, ridge: float = 1e-3):
+    def __init__(
+        self,
+        window: int = 16,
+        horizon: int = 1,
+        ridge: float = 1e-3,
+        predictor: str = "ridge",
+        hidden: int = 32,
+        dense: int = 16,
+        epochs: int = 50,
+        patience: int = 10,
+        max_train_rows: int = 4096,
+        seed: int = 42,
+    ):
+        if predictor not in ("ridge", "lstm"):
+            raise ValueError(f"unknown predictor {predictor!r}")
         self.window = window
         self.horizon = horizon
         self.ridge = ridge
+        self.predictor = predictor
+        self.hidden = hidden
+        self.dense = dense
+        self.epochs = epochs
+        self.patience = patience
+        self.max_train_rows = max_train_rows
+        self.seed = seed
 
     def _fit(self, train: DataFrame) -> np.ndarray:
         G, b, m = _gram(train, self.window)
@@ -72,6 +96,47 @@ class PredictiveEvaluator:
         for i in range(self.window):
             pred = pred + F.element_at("x", i + 1) * float(w[i])
         return float(df.agg(F.avg(F.abs(pred - F.col("y")))).first()[0])
+
+    # ------------------------------------------------------- lstm path --
+    def _collect_xy(self, df: DataFrame, cap: int) -> tuple[np.ndarray, np.ndarray]:
+        """Bounded, deterministically-ordered sample (sorted on (y, x)
+        so partitioning can never reorder the training stream)."""
+        rows = df.orderBy("y", "x").limit(cap).collect()
+        X = np.array([r["x"] for r in rows], dtype=np.float64)
+        y = np.array([r["y"] for r in rows], dtype=np.float64)
+        return X, y
+
+    def _fit_lstm(self, train: DataFrame, val: DataFrame):
+        from ..ml.lstm import NumpyLstm
+
+        X, y = self._collect_xy(train, self.max_train_rows)
+        Xv, yv = self._collect_xy(val, self.max_train_rows // 2)
+        net = NumpyLstm(
+            window=self.window,
+            hidden=self.hidden,
+            dense=self.dense,
+            epochs=self.epochs,
+            patience=self.patience,
+            seed=self.seed,
+        ).fit(X, y, Xv, yv)
+        return net.export()
+
+    def _mae_lstm(self, df: DataFrame, export: dict) -> float:
+        """Distributed scoring: broadcast weights, batch forward inside
+        mapInPandas, MAE as a Spark aggregate."""
+        import pandas as pd
+
+        from ..ml.lstm import NumpyLstm
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["x"].to_numpy())
+                yh = NumpyLstm.predict_with(export, X)
+                yield pd.DataFrame({"ae": np.abs(yh - pdf["y"].to_numpy())})
+
+        return float(df.mapInPandas(score, "ae double").agg(F.avg("ae")).first()[0])
 
     def evaluate(
         self,
@@ -91,21 +156,31 @@ class PredictiveEvaluator:
         xy_test = mk(test).persist()
         xy_aug = mk(synthetic).unionByName(xy_real).persist()  # J2 union
 
-        from concurrent.futures import ThreadPoolExecutor
+        if self.predictor == "lstm":
+            m_base = self._fit_lstm(xy_real, xy_val)
+            m_aug = self._fit_lstm(xy_aug, xy_val)
+            maes = [
+                self._mae_lstm(xy_val, m_base),
+                self._mae_lstm(xy_test, m_base),
+                self._mae_lstm(xy_val, m_aug),
+                self._mae_lstm(xy_test, m_aug),
+            ]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        # the two Gram fits, then the four MAE scans, are independent
-        # Spark jobs — overlap them from driver threads (same plans,
-        # identical results; persisted inputs are shared)
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_base = pool.submit(self._fit, xy_real)
-            f_aug = pool.submit(self._fit, xy_aug)
-            w_base, w_aug = f_base.result(), f_aug.result()
-            maes = list(
-                pool.map(
-                    lambda p: self._mae(*p),
-                    [(xy_val, w_base), (xy_test, w_base), (xy_val, w_aug), (xy_test, w_aug)],
+            # the two Gram fits, then the four MAE scans, are independent
+            # Spark jobs — overlap them from driver threads (same plans,
+            # identical results; persisted inputs are shared)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_base = pool.submit(self._fit, xy_real)
+                f_aug = pool.submit(self._fit, xy_aug)
+                w_base, w_aug = f_base.result(), f_aug.result()
+                maes = list(
+                    pool.map(
+                        lambda p: self._mae(*p),
+                        [(xy_val, w_base), (xy_test, w_base), (xy_val, w_aug), (xy_test, w_aug)],
+                    )
                 )
-            )
         out = {
             "baseline_val_mae": maes[0],
             "baseline_test_mae": maes[1],

@@ -154,3 +154,36 @@ def d9_tolerance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tolerance_panel(spark, metrics, seeds=[11, 22, 33])
     cols = [c for c in out.columns if c != "metric"]
     return out.select("metric", *[F.round(c, 6).alias(c) for c in cols])
+
+
+@register(
+    "m10_lstm_predictive_utility",
+    oracle=None,  # SGD-trained recurrent predictor: rows-only + tests
+    doc="M10/M11 predictive-utility A/B with the reference's predictor "
+    "family: numpy LSTM(H) -> Dense(relu) -> Dense(1), adam, mse, early "
+    "stopping with best-weight restore (predictive_evaluator.py:75-135; "
+    "gradients verified against finite differences in tests). Training "
+    "consumes a bounded sorted window sample driver-side like the "
+    "reference's Keras loop; val/test MAE is a distributed mapInPandas "
+    "scoring pass with broadcast weights.",
+)
+def m10_lstm_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    gen = BlockBootstrapGenerator(block_size=25).fit(train, "value", ["ts", "event_id"])
+    syn = gen.generate(spark, seed=42, n_samples=300, n_series=1).select(
+        F.col("t").alias("ts"), F.col("t").alias("event_id"), F.col("price").alias("value")
+    )
+    out = PredictiveEvaluator(
+        window=8, horizon=1, predictor="lstm",
+        hidden=12, dense=8, epochs=8, patience=3, max_train_rows=1200, seed=42,
+    ).evaluate(train, syn, val, test, "value", [], ["ts", "event_id"])
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in out.items()], ["metric", "value"]
+    )

@@ -138,3 +138,89 @@ def test_adf_autolag_short_series_sentinel(spark):
     df = spark.createDataFrame(rows, "series STRING, idx INT, y DOUBLE")
     out = adf_autolag_panel(df, "y", ["series"], ["idx"])
     assert out[0]["adf_stat"] == -1.0 and out[0]["p_value"] == -1.0
+
+
+def test_lstm_learns_predictable_series():
+    """M10 sanity: on a deterministic AR-ish signal the LSTM beats the
+    last-value (naive) predictor; same seed => identical weights."""
+    import numpy as np
+
+    from synthetic_datagen_spark.ml.lstm import NumpyLstm
+
+    rng = np.random.default_rng(3)
+    t = np.arange(1600, dtype=float)
+    series = np.sin(t / 6.0) + 0.05 * rng.normal(size=len(t))
+    W, H = 8, 1
+    X = np.stack([series[i : i + W] for i in range(len(series) - W - H + 1)])
+    y = series[W + H - 1 :]
+    cut = 1200
+    net = NumpyLstm(window=W, hidden=12, dense=8, epochs=15, patience=5, seed=4)
+    net.fit(X[:cut], y[:cut], X[cut:], y[cut:])
+    pred = net.predict(X[cut:])
+    mae = float(np.mean(np.abs(pred - y[cut:])))
+    naive = float(np.mean(np.abs(X[cut:, -1] - y[cut:])))
+    assert mae < naive * 0.8, (mae, naive)
+
+    net2 = NumpyLstm(window=W, hidden=12, dense=8, epochs=15, patience=5, seed=4)
+    net2.fit(X[:cut], y[:cut], X[cut:], y[cut:])
+    assert all(np.array_equal(net.params[k], net2.params[k]) for k in net.params)
+
+
+def test_lstm_predictive_delta_identity(spark, sf_smoke):
+    """The A/B protocol invariants hold for the LSTM predictor family
+    too: delta == augmented - baseline, MAEs positive."""
+    ev = Catalog(spark, sf_smoke).table("events").filter(
+        F.col("event_type") == "view"
+    ).select("ts", "event_id", "value")
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    syn = train.limit(60)
+    out = PredictiveEvaluator(
+        window=6, predictor="lstm", hidden=6, dense=4, epochs=3,
+        patience=2, max_train_rows=400, seed=1,
+    ).evaluate(train, syn, val, test, "value", [], ["ts", "event_id"])
+    assert math.isclose(
+        out["delta_val_mae"],
+        out["augmented_val_mae"] - out["baseline_val_mae"],
+        abs_tol=1e-8,
+    )
+    assert out["baseline_val_mae"] > 0 and out["augmented_test_mae"] > 0
+
+
+def test_lstm_bptt_matches_finite_differences():
+    """BPTT gradients agree with central finite differences to ~1e-6
+    relative on every parameter tensor."""
+    import numpy as np
+
+    from synthetic_datagen_spark.ml.lstm import NumpyLstm
+
+    rng = np.random.default_rng(0)
+    net = NumpyLstm(window=5, hidden=3, dense=2, seed=1)
+    p = {
+        "Wx": rng.normal(0, 1, (1, 12)), "Wh": rng.normal(0, 0.5, (3, 12)),
+        "b": rng.normal(0, 0.1, 12),
+        "Wd": rng.normal(0, 0.5, (3, 2)), "bd": rng.normal(0, 0.1, 2),
+        "Wo": rng.normal(0, 0.5, (2, 1)), "bo": rng.normal(0, 0.1, 1),
+    }
+    X = rng.normal(0, 1, (4, 5))
+    y = rng.normal(0, 1, 4)
+
+    def loss(pp):
+        return 0.5 * float(np.mean((NumpyLstm._forward(pp, X) - y) ** 2))
+
+    yh, fwd = NumpyLstm._forward(p, X, keep=True)
+    grads = net._backward(p, X, yh - y, fwd)
+    for k in p:
+        gnum = np.zeros_like(p[k])
+        it = np.nditer(p[k], flags=["multi_index"])
+        for _ in it:
+            idx = it.multi_index
+            e = 1e-6
+            p2 = {kk: vv.copy() for kk, vv in p.items()}
+            p2[k][idx] += e
+            lp = loss(p2)
+            p2[k][idx] -= 2 * e
+            lm = loss(p2)
+            gnum[idx] = (lp - lm) / (2 * e)
+        rel = np.abs(gnum - grads[k]).max() / (np.abs(gnum).max() + 1e-9)
+        assert rel < 1e-5, (k, rel)
