@@ -2,6 +2,7 @@ from .distribution import DistributionEvaluator, spectral_distance
 from .composite import composite_score, DEFAULT_WEIGHTS
 from .tolerance import tolerance_panel
 from .predictive import PredictiveEvaluator
+from .external_eval import ExternalPredictorEvaluator
 
 __all__ = [
     "DistributionEvaluator",

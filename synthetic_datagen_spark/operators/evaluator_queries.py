@@ -187,3 +187,60 @@ def m10_lstm_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(k, float(v)) for k, v in out.items()], ["metric", "value"]
     )
+
+
+@register(
+    "m13_external_predictor_eval",
+    oracle=None,  # subprocess round-trip: rows-only + protocol tests
+    doc="M13 external-predictor evaluation protocol: datasets hand off "
+    "as CSVs + a normalization-params JSON, an out-of-process predictor "
+    "(here a last-value-MAE stand-in) writes metrics JSON back, the "
+    "synthetic series is rescaled to the real train's mean/std before "
+    "the augmented run, and the baseline is memoized (M12) "
+    "(reference: augmentation_evaluator.py:138-447, "
+    "predictive_evaluator.py:291-411).",
+)
+def m13_external_predictor_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import sys
+    import tempfile
+    import os
+
+    from ..evaluators import ExternalPredictorEvaluator
+    from ..generators import BlockBootstrapGenerator as BBG
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        # epoch-double ts so the synthetic index series unions cleanly
+        .select(F.col("ts").cast("double").alias("ts"), "event_id", "value")
+    )
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    gen = BBG(block_size=25).fit(train, "value", ["ts", "event_id"])
+    syn = gen.generate(spark, seed=42, n_samples=200, n_series=1).select(
+        F.col("t").cast("double").alias("ts"),
+        F.col("t").alias("event_id"),
+        F.col("price").alias("value"),
+    )
+    script = (
+        "import argparse, json, pandas as pd\n"
+        "p = argparse.ArgumentParser()\n"
+        "for a in ('train','val','test','norm','out'):\n"
+        "    p.add_argument('--'+a)\n"
+        "a = p.parse_args()\n"
+        "def mae(path):\n"
+        "    s = pd.read_csv(path)['value']\n"
+        "    return float(s.diff().abs().mean())\n"
+        "json.dump({'val_mae': mae(a.val), 'test_mae': mae(a.test)}, open(a.out, 'w'))\n"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "predictor.py")
+        with open(path, "w") as f:
+            f.write(script)
+        out = ExternalPredictorEvaluator(
+            [sys.executable, path], max_rows=5000
+        ).evaluate(train, syn, val, test, ["ts", "event_id"])
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in out.items()], ["metric", "value"]
+    )

@@ -224,3 +224,57 @@ def test_lstm_bptt_matches_finite_differences():
             gnum[idx] = (lp - lm) / (2 * e)
         rel = np.abs(gnum - grads[k]).max() / (np.abs(gnum).max() + 1e-9)
         assert rel < 1e-5, (k, rel)
+
+
+def test_external_predictor_protocol(spark, sf_smoke, tmp_path):
+    """M13: the CSV + norm.json + metrics.json handshake with a real
+    subprocess predictor (naive last-value, pandas), baseline memo hit
+    on the second evaluation, delta identity."""
+    import json
+    import sys
+
+    from synthetic_datagen_spark.evaluators import ExternalPredictorEvaluator
+
+    pred = tmp_path / "predictor.py"
+    marker = tmp_path / "calls.log"
+    pred.write_text(
+        "import argparse, json, pandas as pd\n"
+        "p = argparse.ArgumentParser()\n"
+        "for a in ('train','val','test','norm','out'):\n"
+        "    p.add_argument('--'+a)\n"
+        "a = p.parse_args()\n"
+        f"open({str(marker)!r}, 'a').write('x')\n"
+        "tr = pd.read_csv(a.train)['value']\n"
+        "def mae(path):\n"
+        "    s = pd.read_csv(path)['value']\n"
+        "    return float((s.diff().abs()).mean())\n"
+        "json.dump({'val_mae': mae(a.val) + 1e-9*len(tr), 'test_mae': mae(a.test)},\n"
+        "          open(a.out, 'w'))\n"
+    )
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.functions import timeseries as TS
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = Catalog(spark, sf_smoke).table("events").filter(
+        F.col("event_type") == "click"
+    ).select("ts", "event_id", "value")
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    syn = train.limit(50)
+    memo = str(tmp_path / "memo.json")
+    e = ExternalPredictorEvaluator(
+        [sys.executable, str(pred)], memo_path=memo, max_rows=2000
+    )
+    out = e.evaluate(train, syn, val, test, ["ts", "event_id"])
+    assert out["baseline_val_mae"] > 0
+    assert abs(
+        out["delta_val_mae"] - (out["augmented_val_mae"] - out["baseline_val_mae"])
+    ) < 1e-12
+    calls_first = len(marker.read_text())
+    out2 = e.evaluate(train, syn, val, test, ["ts", "event_id"])
+    calls_second = len(marker.read_text()) - calls_first
+    # baseline memoized: second evaluation only runs the augmented side
+    assert calls_second == calls_first - 1
+    assert out2["baseline_val_mae"] == out["baseline_val_mae"]
+    assert json.load(open(memo))  # memo file populated
