@@ -657,3 +657,97 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0)
     )
     return out.orderBy("lang")
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, u.t AS token
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0) d,
+       UNNEST(toks) AS u(t)
+  WHERE length(u.t) > 0
+), stats AS (
+  SELECT token,
+         COUNT(*) AS tf,
+         COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+)
+SELECT token, tf, df FROM stats
+ORDER BY tf DESC, token LIMIT 50
+""",
+    doc="Vocabulary induction for the training-data pipeline: top-50 "
+    "corpus tokens with term frequency and document frequency — the "
+    "tokenizer-vocab / corpus-stats building block. explode → two-level "
+    "hash aggregate (count + count distinct), top-k via "
+    "TakeOrderedAndProject; all JVM-side, no UDF.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    stats = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return stats.orderBy(F.desc("tf"), F.asc("token")).limit(50)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, u.t AS token
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0) d,
+       UNNEST(toks) AS u(t)
+  WHERE length(u.t) > 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+)
+SELECT tf.doc_id, tf.token,
+       ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+WHERE tf.doc_id < 20
+ORDER BY tf.doc_id, tfidf DESC, tf.token
+LIMIT 100
+""",
+    doc="TF-IDF relevance scoring (smoothed idf = ln((N+1)/(df+1))) for "
+    "the first 20 documents — the classic quality/relevance feature for "
+    "corpus filtering. Shape: explode → per-(doc,token) counts, token "
+    "document frequencies joined back (shuffle join on token — the df "
+    "table is corpus-sized vocabulary, never broadcast), scalar N via "
+    "a one-row broadcast crossJoin.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tok = tok.persist()
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    out = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(df.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", F.desc("tfidf"), F.asc("token"))
+        .limit(100)
+    )
+    return out
