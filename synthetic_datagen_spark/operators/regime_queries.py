@@ -155,6 +155,33 @@ def m7_m8_segment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m7_pelt_ward_regimes",
+    oracle=None,
+    doc="Reference-faithful M7+M8 regime detection (regime_gan.py:25-110 "
+    "detect_regimes): per-series PELT change-point DP (Gaussian "
+    "mean+variance cost, jump grid, pruning; penalty halved once when "
+    "under-segmented) then exact Ward agglomerative clustering of the "
+    "reference's 5-feature segment matrix (mean/std/skew/autocorr/"
+    "log-duration, z-normalized). One grouped-map task per series — "
+    "thousands of series parallelize across the cluster while each DP "
+    "stays a tight numpy loop. Complements m7_m8_segment_clusters "
+    "(the distributed-KMeans scale path).",
+)
+def m7_pelt_ward_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..regime.segmentation import pelt_regime_labels
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_type", "ts", "event_id", "value")
+    labels = pelt_regime_labels(
+        ev, "value", ["event_type"], ["ts", "event_id"], n_regimes=4, min_size=50
+    )
+    return (
+        labels.groupBy("event_type", "seg_id", "regime")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "seg_id")
+    )
+
+
+@register(
     "m16_random_sweep",
     oracle=None,
     doc="M16 random hyperparameter sweep with early-stop margin: "

@@ -29,6 +29,178 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 
+def _pelt(
+    x: np.ndarray, min_size: int = 30, jump: int = 5, penalty: float = 3.0
+) -> list[int]:
+    """PELT (Pruned Exact Linear Time) change-point detection with a
+    Gaussian mean+variance cost — the exact DP the reference runs via
+    ruptures (regime_gan.py:41-45: Pelt(model="rbf", jump=5,
+    min_size=30).predict(pen=penalty)); the Gaussian NLL cost serves the
+    rbf kernel's purpose on 1-D returns (both fire on volatility/mean
+    shifts) and its cost differences are scale-invariant, so the same
+    penalty scale applies. Candidate breakpoints live on the `jump`
+    grid; the prune step drops any start that can no longer win,
+    keeping the candidate set — and per-step vectorized cost evals —
+    near-constant in practice.
+
+    Returns sorted interior boundaries (indices into ``x``).
+    """
+    n = len(x)
+    if n < 2 * min_size:
+        return []
+    c1 = np.concatenate([[0.0], np.cumsum(x)])
+    c2 = np.concatenate([[0.0], np.cumsum(x * x)])
+
+    def cost(starts: np.ndarray, end: int) -> np.ndarray:
+        m = (end - starts).astype(np.float64)
+        mu = (c1[end] - c1[starts]) / m
+        var = (c2[end] - c2[starts]) / m - mu * mu
+        return m * np.log(np.maximum(var, 1e-12))
+
+    ends = [t for t in range(min_size, n) if t % jump == 0] + [n]
+    F = np.full(n + 1, np.inf)
+    F[0] = -penalty
+    prev = np.zeros(n + 1, dtype=np.int64)
+    cands = np.array([0], dtype=np.int64)
+    for t in ends:
+        ok = cands[(t - cands) >= min_size]
+        if len(ok) == 0:
+            continue
+        tot = F[ok] + cost(ok, t) + penalty
+        i = int(np.argmin(tot))
+        F[t] = tot[i]
+        prev[t] = ok[i]
+        # prune: a start s with F[s] + c(s,t) > F[t] can never beat the
+        # current optimum at any later end; never prune starts still too
+        # young to have been evaluated (t - s < min_size)
+        admissible = (t - cands) >= min_size
+        cst = np.full(len(cands), -np.inf)
+        cst[admissible] = cost(cands[admissible], t)
+        cands = cands[F[cands] + cst <= F[t]]
+        if t < n and np.isfinite(F[t]):
+            cands = np.append(cands, t)
+    if not np.isfinite(F[n]):
+        return []
+    bounds: list[int] = []
+    t = n
+    while t > 0:
+        s = int(prev[t])
+        if s > 0:
+            bounds.append(s)
+        t = s
+    return sorted(bounds)
+
+
+def _segment_features(lr: np.ndarray, switch_points: list[int]) -> np.ndarray:
+    """Per-segment feature matrix exactly as the reference builds it
+    (regime_gan.py:70-90): [mean, std, pandas-skew, lag-1 autocorr,
+    log(len)], degenerate segments → zeros, then nan_to_num."""
+    feats = []
+    for i in range(len(switch_points) - 1):
+        seg = lr[switch_points[i] : switch_points[i + 1]]
+        m = len(seg)
+        if m < 2:
+            feats.append([0.0, 0.0, 0.0, 0.0, float(m)])
+            continue
+        skew = float(pd.Series(seg).skew()) if m > 2 else 0.0
+        ac = float(np.corrcoef(seg[:-1], seg[1:])[0, 1]) if m > 2 else 0.0
+        feats.append([float(seg.mean()), float(seg.std()), skew, ac, float(np.log(m))])
+    return np.nan_to_num(np.asarray(feats, dtype=np.float64), nan=0.0)
+
+
+def _ward(feats: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Ward agglomerative clustering (the reference's
+    AgglomerativeClustering(linkage="ward"), regime_gan.py:91-93),
+    implemented directly: repeatedly merge the pair minimizing the Ward
+    variance increase (n_a·n_b)/(n_a+n_b)·‖c_a−c_b‖². Segment counts
+    are tens at most, so the exact O(s³) loop is trivial driver/task
+    work. Labels are relabeled by first-segment order so the output is
+    deterministic."""
+    s = len(feats)
+    if s == 0:
+        return np.zeros(0, dtype=np.int64)
+    mu = feats.mean(axis=0)
+    sd = feats.std(axis=0) + 1e-10
+    z = (feats - mu) / sd
+    members: dict[int, list[int]] = {i: [i] for i in range(s)}
+    size = {i: 1 for i in range(s)}
+    cent = {i: z[i].copy() for i in range(s)}
+    while len(members) > max(n_clusters, 1):
+        ids = sorted(members)
+        best: tuple[float, int, int] | None = None
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                d = (
+                    size[a] * size[b] / (size[a] + size[b])
+                    * float(((cent[a] - cent[b]) ** 2).sum())
+                )
+                if best is None or d < best[0]:
+                    best = (d, a, b)
+        _, a, b = best
+        cent[a] = (size[a] * cent[a] + size[b] * cent[b]) / (size[a] + size[b])
+        members[a] += members[b]
+        size[a] += size[b]
+        del members[b], size[b], cent[b]
+    labels = np.zeros(s, dtype=np.int64)
+    for lbl, cid in enumerate(sorted(members, key=lambda c: min(members[c]))):
+        labels[np.array(members[cid])] = lbl
+    return labels
+
+
+def pelt_regime_labels(
+    df: DataFrame,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str],
+    n_regimes: int = 4,
+    min_size: int = 30,
+    jump: int = 5,
+    penalty: float = 3.0,
+) -> DataFrame:
+    """Reference-faithful M7+M8 regime detection per series
+    (regime_gan.py:25-110 detect_regimes): log-returns → PELT
+    change-points (penalty halved once if fewer segments than
+    n_regimes, :56-68) → 5-feature segment matrix → Ward clustering →
+    per-timestep regime labels. One grouped-map task per series; idx
+    indexes the log-return sequence (row i is the return into price
+    i+1), matching the reference's labels over log_ret."""
+    fields = [df.schema[c] for c in series_cols]
+    schema = T.StructType(
+        list(fields)
+        + [
+            T.StructField("idx", T.LongType()),
+            T.StructField("seg_id", T.IntegerType()),
+            T.StructField("regime", T.IntegerType()),
+        ]
+    )
+    cols = series_cols + [value_col] + order_cols
+
+    def seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        lr = np.diff(np.log(np.clip(v, 1e-10, None)))
+        bounds = _pelt(lr, min_size, jump, penalty)
+        if len(bounds) + 1 < n_regimes:
+            # reference retry: halve the penalty once when under-segmented
+            bounds = _pelt(lr, min_size, jump, penalty * 0.5)
+        sp = [0] + bounds + [len(lr)]
+        feats = _segment_features(lr, sp)
+        labels = _ward(feats, min(n_regimes, len(sp) - 1))
+        seg_ids = np.zeros(len(lr), dtype=np.int32)
+        regimes = np.zeros(len(lr), dtype=np.int32)
+        for i in range(len(sp) - 1):
+            seg_ids[sp[i] : sp[i + 1]] = i
+            regimes[sp[i] : sp[i + 1]] = labels[i]
+        head = pdf[series_cols].iloc[: len(lr)].copy().reset_index(drop=True)
+        head["idx"] = np.arange(len(lr), dtype=np.int64)
+        head["seg_id"] = seg_ids
+        head["regime"] = regimes
+        return head
+
+    return df.select(*cols).groupBy(*series_cols).applyInPandas(seg, schema)
+
+
 def _binseg(x: np.ndarray, min_size: int, penalty: float) -> list[int]:
     """Binary segmentation on mean shift: recursively split where the
     two-segment SSE drops below the one-segment SSE by > penalty."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -98,6 +99,74 @@ def test_binseg_constant_series_no_split(data):
     n = data.draw(st.integers(min_value=10, max_value=300))
     c = data.draw(st.floats(min_value=-5, max_value=5, allow_nan=False))
     assert _binseg(np.full(n, c), min_size=5, penalty=1e-9) == []
+
+
+@given(
+    st.floats(min_value=3.0, max_value=10.0),
+    st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=50, deadline=None)
+def test_pelt_detects_variance_shift(ratio, seed):
+    """PELT with the Gaussian cost must find a clear volatility regime
+    switch (the reference's use case: vol-shift boundaries in returns)."""
+    from synthetic_datagen_spark.regime.segmentation import _pelt
+
+    rng = np.random.default_rng(seed)
+    x = np.concatenate([rng.normal(0, 1.0, 300), rng.normal(0, ratio, 300)])
+    bounds = _pelt(x, min_size=30, jump=5, penalty=3.0)
+    assert bounds, "clear variance shift must be found"
+    assert any(abs(b - 300) <= 30 for b in bounds)
+    assert all(b % 5 == 0 for b in bounds), "boundaries live on the jump grid"
+
+
+@given(st.integers(min_value=0, max_value=300))
+@settings(max_examples=30, deadline=None)
+def test_pelt_min_size_respected(seed):
+    from synthetic_datagen_spark.regime.segmentation import _pelt
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1.0, 400) * np.repeat([1.0, 4.0, 0.5, 2.0], 100)
+    bounds = _pelt(x, min_size=40, jump=5, penalty=2.0)
+    sp = [0] + bounds + [len(x)]
+    assert all(sp[i + 1] - sp[i] >= 40 for i in range(len(sp) - 1))
+    assert bounds == _pelt(x, min_size=40, jump=5, penalty=2.0), "deterministic"
+
+
+def test_pelt_scale_invariant():
+    """Gaussian-cost differences are scale-free: scaling the series must
+    not move the boundaries (mirrors ruptures' normalized rbf cost)."""
+    from synthetic_datagen_spark.regime.segmentation import _pelt
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(0, 0.3, 200), rng.normal(0, 2.0, 200)])
+    assert _pelt(x, 30, 5, 3.0) == _pelt(x * 1e-4, 30, 5, 3.0)
+
+
+def test_ward_separates_obvious_clusters():
+    from synthetic_datagen_spark.regime.segmentation import _ward
+
+    feats = np.array(
+        [[0.0, 0.1], [0.1, 0.0], [0.05, 0.05], [5.0, 5.1], [5.1, 4.9], [4.9, 5.0]]
+    )
+    labels = _ward(feats, 2)
+    assert len(set(labels[:3])) == 1 and len(set(labels[3:])) == 1
+    assert labels[0] != labels[3]
+    assert labels[0] == 0, "labels relabeled by first-segment order"
+
+
+def test_segment_features_match_pandas_skew():
+    """Feature rows must match the reference's pandas-skew / corrcoef
+    formulas (regime_gan.py:78-86)."""
+    from synthetic_datagen_spark.regime.segmentation import _segment_features
+
+    rng = np.random.default_rng(3)
+    seg = rng.normal(0.2, 1.5, 97)
+    f = _segment_features(seg, [0, len(seg)])[0]
+    assert f[0] == pytest.approx(seg.mean())
+    assert f[1] == pytest.approx(seg.std())
+    assert f[2] == pytest.approx(float(pd.Series(seg).skew()))
+    assert f[3] == pytest.approx(float(np.corrcoef(seg[:-1], seg[1:])[0, 1]))
+    assert f[4] == pytest.approx(np.log(len(seg)))
 
 
 def test_window_shape_identity(spark):
