@@ -751,3 +751,141 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return out
+
+
+@register(
+    "repetition_stats_panel",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, lang, u.t AS token FROM d, UNNEST(toks) AS u(t) WHERE length(u.t) > 0
+), per_tok AS (
+  SELECT doc_id, lang, token, COUNT(*) AS c FROM tok GROUP BY doc_id, lang, token
+), per_doc AS (
+  SELECT doc_id, lang, SUM(c) AS n_tok, MAX(c) AS top_c, COUNT(*) AS n_distinct
+  FROM per_tok GROUP BY doc_id, lang
+), bg AS (
+  SELECT doc_id,
+         greatest(len(toks) - 1, 0) AS n_bg,
+         CASE WHEN len(toks) < 2 THEN 0 ELSE len(list_distinct(list_transform(
+           generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) END AS n_bg_d
+  FROM d
+)
+SELECT p.lang, COUNT(*) AS docs,
+  ROUND(AVG(top_c / CAST(n_tok AS DOUBLE)), 6) AS avg_top_token_frac,
+  ROUND(AVG(n_distinct / CAST(n_tok AS DOUBLE)), 6) AS avg_distinct_ratio,
+  ROUND(AVG(CASE WHEN n_bg > 0 THEN 1.0 - n_bg_d / CAST(n_bg AS DOUBLE) ELSE 0.0 END), 6)
+    AS avg_dup_bigram_frac
+FROM per_doc p JOIN bg USING (doc_id)
+GROUP BY p.lang ORDER BY p.lang
+""",
+    doc="Gopher-style repetition filters for training-data quality: "
+    "per-doc top-token fraction, distinct-token ratio, and duplicate-"
+    "bigram fraction, averaged per language. Token counts come from one "
+    "explode + two-level hash aggregate; bigram duplication is a pure "
+    "array expression (size vs array_distinct size) — no UDF, no extra "
+    "shuffle beyond the token groupBy. The classic repeated-content "
+    "signal used to drop low-quality docs at corpus scale.",
+)
+def repetition_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_tok = tok.groupBy("doc_id", "lang", "token").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("top_c"),
+        F.count("*").alias("n_distinct"),
+    )
+    bigrams = TX.word_ngrams(F.col("text"), 2)
+    bg = d.select(
+        "doc_id",
+        F.size(bigrams).alias("n_bg"),
+        F.size(F.array_distinct(bigrams)).alias("n_bg_d"),
+    )
+    return (
+        per_doc.join(bg, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(F.col("top_c") / F.col("n_tok")), 6).alias("avg_top_token_frac"),
+            F.round(F.avg(F.col("n_distinct") / F.col("n_tok")), 6).alias("avg_distinct_ratio"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n_bg") > 0, 1.0 - F.col("n_bg_d") / F.col("n_bg")
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("avg_dup_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "boilerplate_ngram_coverage",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), g5 AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+              ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+                     i -> array_to_string(toks[i:i+4], ' '))) END AS ngs
+  FROM d
+), grams AS (
+  SELECT doc_id, lang, u.g AS g FROM g5, UNNEST(ngs) AS u(g)
+), dfc AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS gdf FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id, lang, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN gdf >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+  FROM grams JOIN dfc USING (g) GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS docs,
+  ROUND(AVG(n_common / CAST(n_grams AS DOUBLE)), 6) AS avg_boilerplate_frac,
+  CAST(SUM(CASE WHEN n_common / CAST(n_grams AS DOUBLE) > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_majority_boilerplate
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    doc="Cross-document boilerplate detection (CCNet-style, at word-5-"
+    "gram granularity since the corpus has no line structure): a 5-gram "
+    "seen in >= 5 distinct docs is boilerplate; per-doc boilerplate "
+    "fraction over its distinct 5-grams, summarized per language. The "
+    "document-frequency table is vocabulary-sized so it is shuffle-"
+    "joined back on the gram key, never broadcast — two linear shuffles "
+    "total, the shape that survives 100 TB.",
+)
+def boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), 5))).alias("g"),
+    )
+    dfc = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("gdf"))
+    per_doc = (
+        grams.join(dfc.hint("shuffle_hash"), "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("gdf") >= 5, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    frac = F.col("n_common") / F.col("n_grams")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg(frac), 6).alias("avg_boilerplate_frac"),
+            F.sum(F.when(frac > 0.5, 1).otherwise(0)).alias("docs_majority_boilerplate"),
+        )
+        .orderBy("lang")
+    )
