@@ -5,7 +5,8 @@ batched decoder inference (broadcast model → mapInPandas). M1/M2 train
 for real — a numpy-SGD linear VAE (ml/vae.py) with an optional
 adversarial discriminator, consuming a bounded deterministic window
 sample on the driver exactly like the reference's driver-side Keras
-loops. M4 (TimeGAN) stays a declared stub (needs TF); `LinearDecoder`
+loops. M4 (TimeGAN) is the numpy 3-phase protocol in timegan.py;
+`LinearDecoder`
 provides its deterministic inference stand-in so the full generate path
 (G1 latent sampling → G2 decode → G3 window reconstruction) is real
 and tested either way.

@@ -14,8 +14,8 @@ training needed); trained, `VaeGanTrainer` (M1) / `LinearVaeTrainer`
 and export its decoder weights into the same broadcast-mapInPandas
 generate plan.
 
-TimeGanTrainer (M4) remains a declared stub: the 3-network TimeGAN
-chain (timegan_generator.py:321-551) needs TF, absent here; its Spark
+TimeGanTrainer (M4) trains the numpy 3-phase TimeGAN (ml/timegan.py,
+reference protocol timegan_generator.py:321-551); its Spark
 data-prep half runs for real.
 """
 
@@ -203,25 +203,38 @@ class VaeGanTrainer(_TrainerBase):
 
 
 class TimeGanTrainer(_TrainerBase):
-    """M4 (reference: timegan_generator.py:67-186,321-551) — declared
-    stub: the embedder/supervisor/recovery RNN chain needs TF, absent
-    in this environment. The Spark data-prep half runs for real."""
+    """M4 (reference: timegan_generator.py:67-186,321-551) — the
+    numpy 3-phase TimeGAN (ml/timegan.py): autoencoder → supervised →
+    joint adversarial with moment matching, per-phase Adam, early
+    stopping with best-weight restore, [0,1] min-max normalization —
+    the reference's protocol exactly, per-timestep linear special case
+    of its GRU stacks (TF is absent here). `fit()` returns the trained
+    `NumpyTimeGan`, whose `.generate()` runs the same broadcast-weights
+    mapInPandas plan as LinearDecoder (G11)."""
 
     name = "timegan"
 
-    def fit(self) -> LinearDecoder:
-        if self.windows is None:
-            raise RuntimeError("prepare() first")
-        try:
-            import tensorflow  # noqa: F401
-        except ImportError as e:  # pragma: no cover - always taken here
-            raise NotImplementedError(
-                "TimeGAN training requires TensorFlow (3-phase RNN loop, "
-                "reference timegan_generator.py:321-551); not available "
-                "in this environment. Use VaeGanTrainer/LinearVaeTrainer "
-                "for trainable models; inference-side the LinearDecoder "
-                "broadcast plan stands in (G11)."
-            ) from e
+    def __init__(self, hidden_dim: int = 16, epochs_joint: int = 40, **kw):
+        super().__init__(**kw)
+        self.hidden_dim = hidden_dim
+        self.epochs_joint = epochs_joint
+        self.timegan = None
+
+    def fit(self):
+        from .timegan import NumpyTimeGan
+
+        X = self._collect_windows()
+        tg = NumpyTimeGan(
+            seq_len=self.window_rows,
+            hidden_dim=self.hidden_dim,
+            latent_dim=self.latent_dim,
+            epochs_ae=self.epochs,
+            epochs_sup=self.epochs,
+            epochs_joint=self.epochs_joint,
+            seed=self.train_seed,
+        ).fit(X)
+        self.timegan = tg
+        return tg
 
 
 def save_decoder(dec: LinearDecoder, path: str) -> None:

@@ -96,3 +96,33 @@ def m1_vae_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r[0] for r in src.select("value").limit(2000).collect()], dtype=float
     )
     return dec.generate(spark, pool, seed=42, n_samples=256, n_series=4)
+
+
+@register(
+    "g11_timegan_train_generate",
+    oracle=None,  # 3-phase adversarial training: rows-only + tests
+    doc="M4+G11 end-to-end TimeGAN: Spark-prepared return windows feed "
+    "the numpy 3-phase protocol (autoencoder L1 -> supervised one-step "
+    "latent -> joint BCE + 10x supervised + 100x moment loss, per-phase "
+    "Adam, early stop with best-weight restore - reference: "
+    "timegan_generator.py:321-551, per-timestep linear special case of "
+    "its GRU stacks); the trained chain z->G->S->R broadcasts into the "
+    "same mapInPandas generate plan as G1-G3. Deterministic in "
+    "(data, train_seed, generate seed).",
+)
+def g11_timegan_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml import TimeGanTrainer
+
+    src = _train_series(spark, sf_dir).select("ts", "value")
+    tr = TimeGanTrainer(
+        window_rows=24, latent_dim=8, hidden_dim=12, epochs=8, epochs_joint=6,
+        train_seed=42, max_windows=1024,
+    )
+    tr.prepare([src], "value", "ts")
+    tg = tr.fit()
+    pool = np.array(
+        [r[0] for r in src.select("value").limit(2000).collect()], dtype=float
+    )
+    return tg.generate(spark, pool, seed=42, n_samples=240, n_series=4)

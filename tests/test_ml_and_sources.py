@@ -37,16 +37,52 @@ def test_decoder_generate_deterministic(spark):
     assert all(r.price > 0 and np.isfinite(r.price) for r in a)
 
 
-def test_timegan_trainer_declared_stub(spark):
+def test_timegan_trainer_fit_generate(spark):
+    """M4 contract: prepare → 3-phase fit → distributed generate; seed
+    determinism mirrors the M1/M2 contract (reference
+    tests/test_plugins.py:24-86)."""
     ev = Catalog(spark, SF).table("events").filter(F.col("event_type") == "click")
     src = ev.select(F.col("ts"), F.col("value"))
-    trainer = TimeGanTrainer(window_rows=16)
+    trainer = TimeGanTrainer(
+        window_rows=16, latent_dim=4, hidden_dim=8, epochs=6, epochs_joint=4,
+        train_seed=42, max_windows=256,
+    )
     w = trainer.prepare([src], "value", "ts")
     assert w.columns == ["window_id", "window_vec"]
-    assert w.count() > 0
     assert len(w.first()["window_vec"]) == 16
-    with pytest.raises(NotImplementedError):
-        trainer.fit()
+    tg = trainer.fit()
+    # decoded windows denormalize into the data range seen in training
+    z = np.random.default_rng(0).standard_normal((5, 16, 4))
+    x = tg.decode(z)
+    assert x.shape == (5, 16)
+    assert np.all(np.isfinite(x))
+    pool = np.linspace(50.0, 150.0, 50)
+    a = tg.generate(spark, pool, seed=3, n_samples=48, n_series=2).orderBy("series_id", "t").collect()
+    b = tg.generate(spark, pool, seed=3, n_samples=48, n_series=2).orderBy("series_id", "t").collect()
+    c = tg.generate(spark, pool, seed=4, n_samples=48, n_series=2).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert [r.price for r in a] != [r.price for r in c]
+    assert len(a) == 96
+    assert all(r.price > 0 and np.isfinite(r.price) for r in a)
+
+
+def test_timegan_retrain_deterministic(spark):
+    """Training is a pure function of (data, seed): refitting yields
+    identical weights (windows sorted before collection, single rng)."""
+    ev = Catalog(spark, SF).table("events").filter(F.col("event_type") == "click")
+    src = ev.select(F.col("ts"), F.col("value"))
+
+    def train():
+        tr = TimeGanTrainer(
+            window_rows=16, latent_dim=4, hidden_dim=8, epochs=4, epochs_joint=3,
+            train_seed=7, max_windows=128,
+        )
+        tr.prepare([src], "value", "ts")
+        return tr.fit()
+
+    t1, t2 = train(), train()
+    for k in t1.p:
+        assert np.array_equal(t1.p[k], t2.p[k]), k
 
 
 def test_vae_trainer_fit_generate_determinism(spark):
