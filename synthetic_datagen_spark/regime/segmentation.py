@@ -122,29 +122,39 @@ def _ward(feats: np.ndarray, n_clusters: int) -> np.ndarray:
     mu = feats.mean(axis=0)
     sd = feats.std(axis=0) + 1e-10
     z = (feats - mu) / sd
-    members: dict[int, list[int]] = {i: [i] for i in range(s)}
-    size = {i: 1 for i in range(s)}
-    cent = {i: z[i].copy() for i in range(s)}
-    while len(members) > max(n_clusters, 1):
-        ids = sorted(members)
-        best: tuple[float, int, int] | None = None
-        for ai in range(len(ids)):
-            for bi in range(ai + 1, len(ids)):
-                a, b = ids[ai], ids[bi]
-                d = (
-                    size[a] * size[b] / (size[a] + size[b])
-                    * float(((cent[a] - cent[b]) ** 2).sum())
-                )
-                if best is None or d < best[0]:
-                    best = (d, a, b)
-        _, a, b = best
+    cent = z.astype(np.float64).copy()
+    size = np.ones(s)
+    # Ward distance matrix, upper triangle only (row-major argmin keeps
+    # the smallest-(i,j) pair on ties — deterministic); merged/lower
+    # cells masked to +inf. One O(s) row+col refresh per merge.
+    diff = cent[:, None, :] - cent[None, :, :]
+    D = (diff * diff).sum(-1) * 0.5  # size product/(sum)=1/2 at start
+    D[np.tril_indices(s)] = np.inf
+    parent = np.arange(s)
+    active = np.ones(s, dtype=bool)
+    n_active = s
+    while n_active > max(n_clusters, 1):
+        flat = int(np.argmin(D))
+        a, b = flat // s, flat % s
         cent[a] = (size[a] * cent[a] + size[b] * cent[b]) / (size[a] + size[b])
-        members[a] += members[b]
         size[a] += size[b]
-        del members[b], size[b], cent[b]
+        parent[parent == b] = a
+        active[b] = False
+        D[b, :] = np.inf
+        D[:, b] = np.inf
+        idx = np.where(active & (np.arange(s) != a))[0]
+        if len(idx):
+            d2 = ((cent[idx] - cent[a]) ** 2).sum(-1)
+            w = size[idx] * size[a] / (size[idx] + size[a])
+            lo = np.minimum(idx, a)
+            hi = np.maximum(idx, a)
+            D[lo, hi] = w * d2
+        n_active -= 1
+    roots = np.unique(parent)
     labels = np.zeros(s, dtype=np.int64)
-    for lbl, cid in enumerate(sorted(members, key=lambda c: min(members[c]))):
-        labels[np.array(members[cid])] = lbl
+    firsts = [(int(np.min(np.where(parent == r)[0])), r) for r in roots]
+    for lbl, (_, r) in enumerate(sorted(firsts)):
+        labels[parent == r] = lbl
     return labels
 
 
