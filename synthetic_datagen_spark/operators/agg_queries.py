@@ -455,3 +455,45 @@ def approx_distinct_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
     )
+
+
+@register(
+    "pivot_type_dow_avg",
+    oracle="""
+SELECT event_type,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 1 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 1 THEN 1 END), 6) AS dow1,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 2 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 2 THEN 1 END), 6) AS dow2,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 3 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 3 THEN 1 END), 6) AS dow3,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 4 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 4 THEN 1 END), 6) AS dow4,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 5 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 5 THEN 1 END), 6) AS dow5,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 6 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 6 THEN 1 END), 6) AS dow6,
+       ROUND(CAST(SUM(CASE WHEN EXTRACT(dow FROM ts) + 1 = 7 THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN EXTRACT(dow FROM ts) + 1 = 7 THEN 1 END), 6) AS dow7
+FROM events GROUP BY event_type
+""",
+    doc="PIVOT surface: event_type x day-of-week average-value matrix "
+    "via Spark's pivot with EXPLICIT value list (no extra distinct job, "
+    "single shuffle - the transition-matrix/pivot shape of SURVEY 1.1). "
+    "Decimal-exact sums; DuckDB oracle is the conditional-aggregation "
+    "expansion (DuckDB dow is 0-based Sunday, Spark dayofweek 1-based).",
+)
+def pivot_type_dow_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import Catalog
+
+    ev = Catalog(spark, sf_dir).table("events").select("event_type", "ts", "value")
+    dec = F.col("value").cast("decimal(12,2)")
+    piv = (
+        ev.withColumn("dow", F.dayofweek("ts"))
+        .groupBy("event_type")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.round(F.sum(dec).cast("double") / F.count("value"), 6))
+    )
+    return piv.select(
+        "event_type", *[F.col(str(i)).alias(f"dow{i}") for i in range(1, 8)]
+    )

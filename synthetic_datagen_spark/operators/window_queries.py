@@ -516,3 +516,64 @@ def ranking_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drnk",
         "quartile",
     )
+
+
+@register(
+    "resample_4h_gapfill",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 14400) * 14400 AS BIGINT) AS bucket_s,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_raw
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT event_type, UNNEST(generate_series(lo, hi, 14400)) AS bucket_s FROM rng
+)
+SELECT g.event_type, g.bucket_s,
+       COALESCE(b.n_events, 0) AS n_events,
+       ROUND(LAST_VALUE(b.avg_raw IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg_value,
+       b.avg_raw IS NULL AS is_gap
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bucket_s = g.bucket_s
+""",
+    doc="4h-bar resample + gap densify + forward fill - the reference's "
+    "bar granularity (README.md: EUR/USD 4-hour bars) as a relational "
+    "operator: bucket aggregate (decimal-exact), per-series calendar "
+    "grid via sequence/explode, left join, last(ignorenulls) forward "
+    "fill. Windows partition by series (event_type) so no "
+    "SinglePartition stage appears; at 100 TB the grid join and fill "
+    "shuffle only on the series key.",
+)
+def resample_4h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(12,2)")
+    b = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_seconds(F.col("ts")) / 14400) * 14400).alias("bucket_s"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(dec).cast("double") / F.count("*")).alias("avg_raw"),
+    )
+    rng = b.groupBy("event_type").agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    grid = rng.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.lit(14400))).alias("bucket_s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(b, ["event_type", "bucket_s"], "left").select(
+        "event_type",
+        "bucket_s",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias("avg_value"),
+        F.col("avg_raw").isNull().alias("is_gap"),
+    )
