@@ -889,3 +889,88 @@ def boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "hash_split_train_val_test",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM labeled GROUP BY lang, split ORDER BY lang, split
+""",
+    doc="Deterministic 80/10/10 train/val/test split by md5(doc_id) "
+    "bucket - the standard corpus-split mechanism that stays stable "
+    "across reruns, engines, and partitionings (unlike rand()-based "
+    "sampling). Pure projection + hash aggregate: no shuffle beyond "
+    "the count, no RNG state, reassignment-free under data growth.",
+)
+def hash_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "stratified_hash_downsample",
+    oracle="""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), target AS (
+  SELECT MIN(n) AS floor_n FROM counts
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.lang, COUNT(*) AS n_kept, CAST(MAX(t.floor_n) AS BIGINT) AS target_n
+FROM ranked r CROSS JOIN target t
+WHERE r.rk <= t.floor_n
+GROUP BY r.lang ORDER BY r.lang
+""",
+    doc="Class rebalancing for training mixes: downsample every "
+    "language to the smallest class's count, choosing survivors by "
+    "md5(doc_id) rank - deterministic, uniform-at-random in the hash, "
+    "stable under reruns. The rank window partitions by class (never "
+    "global), and the scalar floor broadcasts; at 100 TB this is one "
+    "shuffle on the class key.",
+)
+def stratified_hash_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    floor_n = d.groupBy("lang").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("floor_n")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("floor_n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.max("floor_n").cast("long").alias("target_n"),
+        )
+        .orderBy("lang")
+    )
