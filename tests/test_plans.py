@@ -130,3 +130,40 @@ def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):
     # correctness: the pruned read equals the unpartitioned filter
     want = ev.filter(F.col("day") == pick).count()
     assert q.count() == want and want > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Bucketing co-location: orders and lineitem written bucketed on
+    the join key (same bucket count) must join with NO shuffle exchange
+    on either side — the pre-shuffled layout that makes the repeated
+    fact-fact join affordable at 100 TB (each task reads matching
+    buckets; sortBy additionally removes the sort)."""
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.sources import Catalog
+
+    o = Catalog(spark, SF).table("orders").select("o_orderkey", "o_totalprice")
+    li = Catalog(spark, SF).table("lineitem").select("l_orderkey", "l_extendedprice")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # same result as the unbucketed join
+        want = (
+            o.join(li, o.o_orderkey == li.l_orderkey).count()
+        )
+        assert j.collect()[0][0] == want and want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
