@@ -255,3 +255,55 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_unique")
     )
+
+
+@register(
+    "stream_corpus_curation_parity",
+    oracle=r"""
+SELECT lang,
+       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+         AS n_docs
+FROM documents
+WHERE length(text) >= 50
+  AND (length(text) - length(regexp_replace(text, '[\.,;:!\?''"\(\)\[\]\-]', '', 'g')))
+      / CAST(length(text) AS DOUBLE) <= 0.2
+GROUP BY lang
+""",
+    doc="Streaming ingest curation (SURVEY §2.13 x the LLM-pipeline "
+    "brief): a document feed read as a stream, quality-filtered and "
+    "exact-deduped on the normalized-text fingerprint per language "
+    "(dropDuplicates state keyed by (lang, md5) — 16-byte keys, the "
+    "bounded-state shape), appended to the sink; per-lang counts must "
+    "equal the batch COUNT(DISTINCT fingerprint) over quality-passing "
+    "docs. Same expressions as corpus_curation_pipeline's first two "
+    "stages, only the source differs.",
+)
+def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..functions import text as TX
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    base = f"/tmp/spark_graft_stream/docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.write.mode("overwrite").parquet(base)
+    name = f"curate_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(docs.schema).parquet(base)
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"""[\.,;:!\?'"\(\)\[\]\-]""", "")
+    )
+    curated = (
+        stream.filter(F.length("text") >= 50)
+        .filter(punct / F.length("text").cast("double") <= 0.2)
+        .withColumn("fp", TX.fingerprint(F.col("text")))
+        .dropDuplicates(["lang", "fp"])
+        .select("doc_id", "lang")
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("lang").agg(F.count("*").alias("n_docs"))
