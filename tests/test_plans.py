@@ -167,3 +167,43 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Skew resilience: a join with one hot key must have its oversized
+    shuffle partition split by AQE (SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed) instead of serializing the stage on one
+    straggler task — the runtime half of the skew strategy (the static
+    half is the salted two-phase agg, functions/skew.py)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(400_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        cold = spark.range(1000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        jc = hot.union(cold).join(right, "k").groupBy().count()
+        assert jc.collect()[0][0] == 401_000
+        plan = jc._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
