@@ -395,3 +395,46 @@ class NumpyTimeGan:
             .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
         )
         return grid.mapInPandas(decode_batches, schema).filter(F.col("t") < n_samples)
+
+
+def save_timegan(tg: NumpyTimeGan, path: str) -> None:
+    """S5/S7-style artifact layout (reference saves five .keras files +
+    meta.json side by side, timegan_generator.py:165-186): one npz per
+    network role, meta.json carrying the normalization constants."""
+    import json
+    import os
+
+    if tg.p is None:
+        raise RuntimeError("fit() first")
+    os.makedirs(path, exist_ok=True)
+    np.savez(os.path.join(path, "weights.npz"), **tg.p)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "seq_len": tg.seq_len,
+                "hidden_dim": tg.hidden_dim,
+                "latent_dim": tg.latent_dim,
+                "data_min": tg.data_min,
+                "data_range": tg.data_range,
+                "format_version": 1,
+            },
+            f,
+        )
+
+
+def load_timegan(path: str) -> NumpyTimeGan:
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    tg = NumpyTimeGan(
+        seq_len=meta["seq_len"],
+        hidden_dim=meta["hidden_dim"],
+        latent_dim=meta["latent_dim"],
+    )
+    with np.load(os.path.join(path, "weights.npz")) as z:
+        tg.p = {k: z[k].copy() for k in z.files}
+    tg.data_min = meta["data_min"]
+    tg.data_range = meta["data_range"]
+    return tg

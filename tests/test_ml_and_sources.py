@@ -270,3 +270,22 @@ def test_json_memo_computes_once(tmp_path):
     assert len(calls) == 1  # second call served from the memo
     assert json_memo(p, "other-key", compute) == {"mae": 0.25}
     assert len(calls) == 2
+
+
+def test_timegan_save_load_roundtrip(spark, tmp_path):
+    """S5 artifact contract for the TimeGAN: save -> load -> identical
+    decode (reference layout: per-network files + meta.json)."""
+    from synthetic_datagen_spark.ml.timegan import save_timegan, load_timegan
+
+    ev = Catalog(spark, SF).table("events").filter(F.col("event_type") == "click")
+    tr = TimeGanTrainer(
+        window_rows=16, latent_dim=4, hidden_dim=8, epochs=3, epochs_joint=2,
+        train_seed=11, max_windows=128,
+    )
+    tr.prepare([ev.select("ts", "value")], "value", "ts")
+    tg = tr.fit()
+    path = str(tmp_path / "tg_model")
+    save_timegan(tg, path)
+    tg2 = load_timegan(path)
+    z = np.random.default_rng(5).standard_normal((3, 16, 4))
+    assert np.array_equal(tg.decode(z), tg2.decode(z))
