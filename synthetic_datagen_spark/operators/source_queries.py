@@ -272,11 +272,14 @@ GROUP BY lang
     doc="Streaming ingest curation (SURVEY §2.13 x the LLM-pipeline "
     "brief): a document feed read as a stream, quality-filtered and "
     "exact-deduped on the normalized-text fingerprint per language "
-    "(dropDuplicates state keyed by (lang, md5) — 16-byte keys, the "
-    "bounded-state shape), appended to the sink; per-lang counts must "
-    "equal the batch COUNT(DISTINCT fingerprint) over quality-passing "
-    "docs. Same expressions as corpus_curation_pipeline's first two "
-    "stages, only the source differs.",
+    "(dropDuplicates state keyed by (lang, md5) — 16-byte keys; state "
+    "grows with distinct fingerprints, so a continuous 100 TB feed "
+    "would add an ingest-time watermark via "
+    "dropDuplicatesWithinWatermark as stream_dedup_parity does), "
+    "appended to the sink; per-lang counts must equal the batch "
+    "COUNT(DISTINCT fingerprint) over quality-passing docs. Same "
+    "expressions as corpus_curation_pipeline's first two stages, only "
+    "the source differs.",
 )
 def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
