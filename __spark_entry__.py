@@ -26,6 +26,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return REGISTRY["flagship_series_panel"].build(spark, SMOKE_SF_DIR)
 
@@ -35,10 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # events.parquet carries ns timestamps; Spark needs this conf
-            # to read them (converted to us in the source catalog). TZ
-            # pins hour-extraction parity with DuckDB's naive timestamps.
+            # events.parquet timestamps vary by writer: ns needs
+            # nanosAsLong; tz-less us would read as TIMESTAMP_NTZ under
+            # PySpark 4 unless inferTimestampNTZ is off (the catalog also
+            # rebases NTZ → LTZ defensively). TZ pins hour-extraction
+            # parity with DuckDB's naive timestamps.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             return spec.build(spark, sf_dir)
 

@@ -13,12 +13,21 @@ and tested either way.
 """
 
 from .prep import prepare_training_windows
-from .decoder import LinearDecoder, LinearVaeTrainer, VaeGanTrainer, TimeGanTrainer
+from .decoder import (
+    GanTrainer,
+    LinearDecoder,
+    LinearVaeTrainer,
+    TimeGanTrainer,
+    VaeGanTrainer,
+)
+from .gan import LinearGan
 from .vae import LinearVae
 
 __all__ = [
     "prepare_training_windows",
+    "GanTrainer",
     "LinearDecoder",
+    "LinearGan",
     "LinearVae",
     "LinearVaeTrainer",
     "VaeGanTrainer",

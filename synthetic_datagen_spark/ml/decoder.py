@@ -202,6 +202,37 @@ class VaeGanTrainer(_TrainerBase):
     _ADVERSARIAL = True
 
 
+class GanTrainer(_TrainerBase):
+    """M3 (reference: gan_trainer.py:31-108) — plain GAN, no VAE
+    encoder: alternating discriminator/generator BCE steps over the
+    Spark-prepared windows (ml/gan.py, linear special case). The fitted
+    generator exports into the same LinearDecoder generate plan; like
+    the reference (gan_trainer.py:105-107 writes a dummy encoder), the
+    artifact keeps the VAE-GAN layout."""
+
+    name = "gan"
+
+    def fit(self) -> LinearDecoder:
+        from .gan import LinearGan
+
+        X = self._collect_windows()
+        gan = LinearGan(
+            window_rows=self.window_rows,
+            latent_dim=self.latent_dim,
+            epochs=self.epochs,
+            train_seed=self.train_seed,
+        ).fit(X)
+        self.vae = gan  # trainer-state slot; duck-typed loss history
+        w, b = gan.generator_weights()
+        dec = LinearDecoder(
+            latent_dim=self.latent_dim, window_rows=self.window_rows
+        )
+        dec.w = w
+        dec.b = b
+        self.decoder = dec
+        return dec
+
+
 class TimeGanTrainer(_TrainerBase):
     """M4 (reference: timegan_generator.py:67-186,321-551) — the
     numpy 3-phase TimeGAN (ml/timegan.py): autoencoder → supervised →

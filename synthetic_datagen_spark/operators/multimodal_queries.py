@@ -24,12 +24,12 @@ WITH m AS (
   FROM documents
 )
 SELECT modality,
-       COUNT(*) AS n_media,
-       SUM(CAST(n_bytes AS BIGINT)) AS total_bytes,
-       MIN(n_bytes) AS min_bytes,
-       MAX(n_bytes) AS max_bytes,
-       MIN(width) AS min_width,
-       MAX(height) AS max_height
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(CAST(n_bytes AS BIGINT)) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+       CAST(MIN(width) AS BIGINT) AS min_width,
+       CAST(MAX(height) AS BIGINT) AS max_height
 FROM m
 GROUP BY modality
 """,
@@ -40,13 +40,17 @@ GROUP BY modality
 )
 def multimodal_metadata_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_table(spark, sf_dir)
+    # Every numeric output is pinned to int64 on BOTH engines: Spark's
+    # octet_length is INT while DuckDB's is BIGINT (SUM→HUGEINT), and the
+    # driver's value-hash is dtype-sensitive — two rounds of hash-red on
+    # exact values traced back to this.
     return m.groupBy("modality").agg(
-        F.count("*").alias("n_media"),
-        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
-        F.min(F.octet_length("payload")).alias("min_bytes"),
-        F.max(F.octet_length("payload")).alias("max_bytes"),
-        F.min("meta.width").alias("min_width"),
-        F.max("meta.height").alias("max_height"),
+        F.count("*").cast("long").alias("n_media"),
+        F.sum(F.octet_length("payload").cast("long")).cast("long").alias("total_bytes"),
+        F.min(F.octet_length("payload")).cast("long").alias("min_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+        F.min("meta.width").cast("long").alias("min_width"),
+        F.max("meta.height").cast("long").alias("max_height"),
     )
 
 

@@ -271,11 +271,11 @@ GROUP BY lang
 """,
     doc="Streaming ingest curation (SURVEY §2.13 x the LLM-pipeline "
     "brief): a document feed read as a stream, quality-filtered and "
-    "exact-deduped on the normalized-text fingerprint per language "
-    "(dropDuplicates state keyed by (lang, md5) — 16-byte keys; state "
-    "grows with distinct fingerprints, so a continuous 100 TB feed "
-    "would add an ingest-time watermark via "
-    "dropDuplicatesWithinWatermark as stream_dedup_parity does), "
+    "exact-deduped on the normalized-text fingerprint per language with "
+    "BOUNDED state — dropDuplicatesWithinWatermark over a deterministic "
+    "ingest-time column, so fingerprint state expires with the watermark "
+    "on a continuous 100 TB feed instead of growing forever "
+    "(stream_dedup_parity's pattern, applied to the corpus funnel); "
     "appended to the sink; per-lang counts must equal the batch "
     "COUNT(DISTINCT fingerprint) over quality-passing docs. Same "
     "expressions as corpus_curation_pipeline's first two stages, only "
@@ -294,11 +294,22 @@ def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     punct = F.length(F.col("text")) - F.length(
         F.regexp_replace(F.col("text"), r"""[\.,;:!\?'"\(\)\[\]\-]""", "")
     )
+    # Deterministic ingest-time stand-in (a Kafka feed supplies the real
+    # one): doc_id as microseconds, offset a day past the epoch — the
+    # stream's initial watermark IS the epoch, and a row AT the watermark
+    # is late-dropped, so doc_id 0 must not map onto it. The staged
+    # corpus spans far less than the 1 h delay, so within-watermark dedup
+    # == global dedup here, while a continuous feed gets O(watermark)
+    # state, not O(corpus).
     curated = (
         stream.filter(F.length("text") >= 50)
         .filter(punct / F.length("text").cast("double") <= 0.2)
         .withColumn("fp", TX.fingerprint(F.col("text")))
-        .dropDuplicates(["lang", "fp"])
+        .withColumn(
+            "ingest_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000))
+        )
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["lang", "fp"])
         .select("doc_id", "lang")
     )
     q = (

@@ -69,7 +69,7 @@ def _register_builtins() -> None:
     """Built-in plugins mirror the reference's entry-point table."""
     from .evaluators import DistributionEvaluator, PredictiveEvaluator
     from .generators import BlockBootstrapGenerator, GrasyndaGenerator
-    from .ml import LinearDecoder, TimeGanTrainer, VaeGanTrainer
+    from .ml import GanTrainer, LinearDecoder, TimeGanTrainer, VaeGanTrainer
     from .optimize import GAOptimizer
 
     reg = {
@@ -83,6 +83,7 @@ def _register_builtins() -> None:
             "predictive": PredictiveEvaluator,
         },
         "sdg.trainer": {
+            "gan": GanTrainer,
             "vae_gan": VaeGanTrainer,
             "timegan": TimeGanTrainer,
         },

@@ -34,11 +34,21 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-        # events.ts is nanosecond parquet (values are exact microseconds);
-        # with spark.sql.legacy.parquet.nanosAsLong it arrives as a ns
-        # bigint — convert losslessly to Spark's us TimestampType.
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts arrives in one of three physical forms depending on how
+        # the parquet was written and which session flags are set:
+        #   * ns-bigint (spark.sql.legacy.parquet.nanosAsLong) — exact us
+        #     values stored as ns; convert losslessly to TimestampType;
+        #   * TIMESTAMP_NTZ (PySpark 4 reads tz-less parquet timestamp[us]
+        #     as NTZ) — rebase to TIMESTAMP_LTZ; the session TZ is pinned
+        #     UTC everywhere in this repo, so wall-clock values are
+        #     unchanged and unix_micros/unix_seconds/cast(double) work;
+        #   * TIMESTAMP — already what downstream operators expect.
+        if name == "events":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                df = df.withColumn("ts", F.to_timestamp_ltz(F.col("ts")))
         return df
 
     def dim(self, name: str) -> DataFrame:

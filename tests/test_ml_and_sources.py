@@ -112,6 +112,51 @@ def test_vae_trainer_fit_generate_determinism(spark):
     assert np.array_equal(dec.w, dec2.w) and np.array_equal(dec.b, dec2.b)
 
 
+def test_gan_trainer_fit_generate_determinism(spark):
+    """M3 (reference gan_trainer.py:31-108 + tests/test_plugins.py
+    trainer-by-name): standalone pure-GAN trainer resolves from the
+    plugin registry, fits deterministically (partition-invariant), and
+    its generator drives the shared generate plan."""
+    from synthetic_datagen_spark import plugins
+
+    cls = plugins.load_plugin("sdg.trainer", "gan")
+    ev = Catalog(spark, SF).table("events").filter(F.col("event_type") == "click")
+    src = ev.select(F.col("ts"), F.col("value"))
+    tr = cls(window_rows=16, latent_dim=8, epochs=8, train_seed=42)
+    tr.prepare([src], "value", "ts")
+    dec = tr.fit()
+    # both adversaries actually moved: histories populated and finite
+    assert len(tr.vae.d_loss_history) == 8 and len(tr.vae.g_loss_history) == 8
+    assert all(np.isfinite(v) for v in tr.vae.d_loss_history + tr.vae.g_loss_history)
+    pool = np.linspace(50.0, 150.0, 100)
+    a = dec.generate(spark, pool, seed=3, n_samples=48).orderBy("series_id", "t").collect()
+    b = dec.generate(spark, pool, seed=3, n_samples=48).orderBy("series_id", "t").collect()
+    c = dec.generate(spark, pool, seed=9, n_samples=48).orderBy("series_id", "t").collect()
+    assert [r.price for r in a] == [r.price for r in b]
+    assert [r.price for r in a] != [r.price for r in c]
+    assert all(np.isfinite(r.price) and r.price > 0 for r in a)
+
+    tr2 = cls(window_rows=16, latent_dim=8, epochs=8, train_seed=42)
+    tr2.prepare([src.repartition(7)], "value", "ts")
+    dec2 = tr2.fit()
+    assert np.array_equal(dec.w, dec2.w) and np.array_equal(dec.b, dec2.b)
+
+
+def test_gan_learns_scale():
+    """The GAN generator's output spread moves toward the data's spread
+    (the one distribution property a linear GAN can reliably learn)."""
+    from synthetic_datagen_spark.ml.gan import LinearGan
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(0.0, 2.5, (512, 8))
+    gan = LinearGan(window_rows=8, latent_dim=4, epochs=30, train_seed=1).fit(X)
+    w, b = gan.generator_weights()
+    z = np.random.default_rng(2).standard_normal((2048, 4))
+    fake = z @ w + b
+    # untrained init has tiny spread; fitted should land near data std
+    assert 1.0 < fake.std() < 5.0
+
+
 def test_vae_pure_trainer_reconstructs(spark):
     """M2: the fitted VAE reconstructs structured windows better than an
     untrained decoder of the same shape (sanity that SGD learned)."""

@@ -230,3 +230,33 @@ def test_regime_gan_moment_match(spark, sf_smoke):
         want = model.stats[k]["sigma"]
         assert 0.2 * want < seg.std() < 5.0 * want, (k, seg.std(), want)
     feats.unpersist()
+
+
+def test_regime_artifact_cache_warm_equals_cold(spark, sf_smoke, tmp_path, monkeypatch):
+    """S5/S6 cross-session cache: a warm g7 run served from the on-disk
+    artifact (model.json + labeled.parquet + garch.json) produces
+    bit-identical output to the cold fit that wrote it."""
+    from synthetic_datagen_spark.operators import regime_queries as RQ
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    RQ._MODEL_CACHE.clear()
+    cold = (
+        RQ.g7_regime_garch_generate(spark, sf_smoke)
+        .orderBy("series_id", "t")
+        .collect()
+    )
+    adir = RQ._artifact_dir(sf_smoke, 3, 42)
+    import os
+
+    assert os.path.exists(os.path.join(adir, "model.json"))
+    assert os.path.exists(os.path.join(adir, "garch.json"))
+    assert os.path.exists(os.path.join(adir, "labeled.parquet", "_SUCCESS"))
+
+    RQ._MODEL_CACHE.clear()  # force the disk path
+    warm = (
+        RQ.g7_regime_garch_generate(spark, sf_smoke)
+        .orderBy("series_id", "t")
+        .collect()
+    )
+    assert [tuple(r) for r in cold] == [tuple(r) for r in warm]
+    RQ._MODEL_CACHE.clear()

@@ -99,8 +99,12 @@ def main() -> int:
             if only and name not in only:
                 continue
             if spec.oracle is None:
-                n = wrapped[name](spark, sf_dir).count()
-                print(f"[rows-only] {name}: {n} rows")
+                try:
+                    n = wrapped[name](spark, sf_dir).count()
+                    print(f"[rows-only] {name}: {n} rows")
+                except Exception as e:  # noqa: BLE001
+                    print(f"[FAIL] {name}: rows-only error: {e}")
+                    failed.append(name)
                 continue
             try:
                 spark_pd = wrapped[name](spark, sf_dir).toPandas()
@@ -122,9 +126,12 @@ def main() -> int:
         if only and name not in only:
             continue
         if spec.oracle is None:
-            df = spec.build(spark, sf_dir)
-            n = df.count()
-            print(f"[rows-only] {name}: {n} rows")
+            try:
+                n = spec.build(spark, sf_dir).count()
+                print(f"[rows-only] {name}: {n} rows")
+            except Exception as e:  # noqa: BLE001
+                print(f"[FAIL] {name}: rows-only error: {e}")
+                failed.append(name)
             continue
         try:
             spark_pd = spec.build(spark, sf_dir).toPandas()
