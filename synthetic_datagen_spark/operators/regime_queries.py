@@ -80,6 +80,13 @@ def _fitted_model(
     try:
         model.labeled.write.mode("overwrite").parquet(labeled_pq)
         model.save(model_json)
+        # rebind the labeled stream to the artifact just written: later
+        # consumers (garch grid, hybrid block pools, per-regime GAN) scan
+        # a parquet file instead of dragging the whole EM lineage around —
+        # cheap to recompute even if the cache is dropped mid-session
+        persisted = model.labeled
+        model.labeled = spark.read.parquet(labeled_pq)
+        persisted.unpersist()
     except OSError:
         pass  # read-only artifact dir: stay session-cached only
     _MODEL_CACHE[key] = model

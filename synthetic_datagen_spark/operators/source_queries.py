@@ -257,6 +257,36 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curated_doc_stream(stream: DataFrame) -> DataFrame:
+    """The curation plan over a streaming documents frame: quality filter
+    → fingerprint → watermarked keep-first dedup on (lang, fp).
+
+    Deterministic ingest-time stand-in (a Kafka feed supplies the real
+    one): doc_id as microseconds, offset a day past the epoch — the
+    stream's initial watermark IS the epoch, and a row AT the watermark
+    is late-dropped, so doc_id 0 must not map onto it. The staged
+    corpus spans far less than the 1 h delay, so within-watermark dedup
+    == global dedup here, while a continuous feed gets O(watermark)
+    state, not O(corpus). tests/test_plans.py pins the state operator.
+    """
+    from ..functions import text as TX
+
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"""[\.,;:!\?'"\(\)\[\]\-]""", "")
+    )
+    return (
+        stream.filter(F.length("text") >= 50)
+        .filter(punct / F.length("text").cast("double") <= 0.2)
+        .withColumn("fp", TX.fingerprint(F.col("text")))
+        .withColumn(
+            "ingest_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000))
+        )
+        .withWatermark("ingest_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["lang", "fp"])
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "stream_corpus_curation_parity",
     oracle=r"""
@@ -284,34 +314,12 @@ GROUP BY lang
 def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from ..functions import text as TX
-
     docs = Catalog(spark, sf_dir).table("documents")
     base = f"/tmp/spark_graft_stream/docs_{os.path.basename(sf_dir.rstrip('/'))}"
     docs.write.mode("overwrite").parquet(base)
     name = f"curate_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(docs.schema).parquet(base)
-    punct = F.length(F.col("text")) - F.length(
-        F.regexp_replace(F.col("text"), r"""[\.,;:!\?'"\(\)\[\]\-]""", "")
-    )
-    # Deterministic ingest-time stand-in (a Kafka feed supplies the real
-    # one): doc_id as microseconds, offset a day past the epoch — the
-    # stream's initial watermark IS the epoch, and a row AT the watermark
-    # is late-dropped, so doc_id 0 must not map onto it. The staged
-    # corpus spans far less than the 1 h delay, so within-watermark dedup
-    # == global dedup here, while a continuous feed gets O(watermark)
-    # state, not O(corpus).
-    curated = (
-        stream.filter(F.length("text") >= 50)
-        .filter(punct / F.length("text").cast("double") <= 0.2)
-        .withColumn("fp", TX.fingerprint(F.col("text")))
-        .withColumn(
-            "ingest_ts", F.timestamp_micros(F.col("doc_id") + F.lit(86_400_000_000))
-        )
-        .withWatermark("ingest_ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["lang", "fp"])
-        .select("doc_id", "lang")
-    )
+    curated = curated_doc_stream(stream)
     q = (
         curated.writeStream.format("memory")
         .queryName(name)

@@ -143,6 +143,90 @@ class RegimeGanTrainer:
         )
 
 
+def save_regime_gan(model: RegimeGanModel, path: str) -> None:
+    """S7 — the reference's exact artifact layout (regime_gan.py:233-252):
+    ``meta.json`` beside one torch-format ``gen_regime_{k}.pt`` per
+    trained regime, each holding ``{"state_dict", "data_mean",
+    "data_std"}``. The .pt files are real zip-format torch checkpoints
+    (ml/torch_io.py), so torch.load reads them and load_regime_gan reads
+    artifacts a torch-based writer produced."""
+    import json
+    import os
+
+    from collections import OrderedDict
+
+    from ..ml.torch_io import save_torch_checkpoint
+
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "n_regimes": model.n_regimes,
+        "transitions": model.trans.tolist(),
+        "regime_stats": [
+            model.stats.get(k, {}) for k in range(model.n_regimes)
+        ],
+        "seq_len": model.seq_len,
+        "z_dim": model.latent_dim,
+        "start": model.start.tolist(),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    for k, dec in model.decoders.items():
+        save_torch_checkpoint(
+            {
+                "state_dict": OrderedDict(
+                    [
+                        ("decoder.weight", dec["w"]),
+                        ("decoder.bias", dec["b"]),
+                    ]
+                ),
+                "data_mean": float(dec["mean"]),
+                "data_std": float(dec["std"]),
+            },
+            os.path.join(path, f"gen_regime_{k}.pt"),
+        )
+
+
+def load_regime_gan(path: str) -> RegimeGanModel:
+    """Load a reference-layout artifact dir; absent gen_regime_{k}.pt =
+    sparse regime = parametric fallback (the reference's None slot)."""
+    import json
+    import os
+
+    from ..ml.torch_io import load_torch_checkpoint
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    k_total = meta["n_regimes"]
+    decoders: dict[int, dict] = {}
+    for k in range(k_total):
+        pt = os.path.join(path, f"gen_regime_{k}.pt")
+        if not os.path.exists(pt):
+            continue
+        ckpt = load_torch_checkpoint(pt)
+        sd = ckpt["state_dict"]
+        decoders[k] = {
+            "w": np.asarray(sd["decoder.weight"], dtype=np.float64),
+            "b": np.asarray(sd["decoder.bias"], dtype=np.float64),
+            "mean": float(ckpt["data_mean"]),
+            "std": float(ckpt["data_std"]),
+        }
+    stats = {
+        i: s for i, s in enumerate(meta["regime_stats"]) if s
+    }
+    start = np.array(
+        meta.get("start", [1.0 / k_total] * k_total), dtype=np.float64
+    )
+    return RegimeGanModel(
+        n_regimes=k_total,
+        seq_len=meta["seq_len"],
+        trans=np.array(meta["transitions"], dtype=np.float64),
+        start=start,
+        stats=stats,
+        decoders=decoders,
+        latent_dim=meta["z_dim"],
+    )
+
+
 def generate(
     model: RegimeGanModel,
     spark: SparkSession,

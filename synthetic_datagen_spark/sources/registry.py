@@ -99,11 +99,13 @@ def load_multiple_csv(spark: SparkSession, paths: list[str]) -> DataFrame:
     return df.dropDuplicates(["DATE_TIME"]).orderBy("DATE_TIME")
 
 
-def save_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+def save_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """S3 — CSV sink (reference: app/data_processor.py:37-39).
 
-    ``single_file`` mirrors the reference's one-file output; at scale we
-    leave coalesce off and write one file per partition.
+    The engine default is one file per partition — a distributed write.
+    ``single_file=True`` opts into the reference's one-file output for
+    parity tests and small exports; a coalesce(1) funnels the whole
+    dataset through one task, which is never the right default at scale.
     """
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)

@@ -207,3 +207,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_curation_state_is_watermark_bounded(spark):
+    """The streaming corpus-curation dedup must use the
+    watermark-expiring state operator (DeduplicateWithinWatermark), not
+    unbounded Deduplicate — the difference between O(watermark) and
+    O(corpus) state on a continuous feed."""
+    from synthetic_datagen_spark.operators.source_queries import curated_doc_stream
+    from synthetic_datagen_spark.sources import Catalog
+
+    docs = Catalog(spark, SF).table("documents")
+    base = "/tmp/spark_graft_stream/plan_pin_docs"
+    docs.limit(10).write.mode("overwrite").parquet(base)
+    stream = spark.readStream.schema(docs.schema).parquet(base)
+    curated = curated_doc_stream(stream)
+    plan = curated._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan
+    assert "EventTimeWatermark" in plan
