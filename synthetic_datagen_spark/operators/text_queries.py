@@ -480,55 +480,15 @@ FROM reach GROUP BY a ORDER BY doc_id
     "cluster' step that completes the dedup pipeline.",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # localCheckpoint (not just persist) after every round: an iterative
-    # plan that references its previous round TWICE doubles in size per
-    # iteration — lineage must be CUT, not merely cached, or analysis
-    # alone goes exponential (SURVEY §4.2: "lineage cut via
-    # localCheckpoint between generations").
-    retained: list[DataFrame] = []  # checkpoint blocks pin executor
-    # memory for the session; release everything but the final labels
-    # or the leaked blocks slow every LATER query (seen in bench order)
+    # shared min-label kernel (functions/graph.py): O(log diameter)
+    # rounds of join + groupBy-min, lineage cut per round via
+    # localCheckpoint, intermediates released before returning
+    from ..functions.graph import min_label_components
 
-    pairs = _lsh_candidates(spark, sf_dir).localCheckpoint()
-    retained.append(pairs)
-    # undirected edge list, both directions
-    edges = (
-        pairs.selectExpr("id_a AS src", "id_b AS dst")
-        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
-        .localCheckpoint()
-    )
-    retained.append(edges)
-    labels_cp = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    labels = labels_cp
-    for _ in range(12):  # log2(n) bound; diameter of dup clusters ≪ this
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nl"))
-        )
-        new_cp = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-                (F.coalesce("nl", "label") < F.col("label")).alias("_chg"),
-            )
-            .localCheckpoint()  # eager: one job materializes round + flag
-        )
-        changed = new_cp.filter("_chg").limit(1).count()  # scan of cached rows
-        retained.append(labels_cp)
-        labels_cp = new_cp
-        labels = new_cp.drop("_chg")
-        if changed == 0:
-            break
-    for df in retained:
-        df.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_id")).orderBy("doc_id")
+    labels = min_label_components(_lsh_candidates(spark, sf_dir), "id_a", "id_b")
+    return labels.select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
 
 
 _WG_SQL = (

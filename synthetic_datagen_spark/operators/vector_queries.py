@@ -129,6 +129,66 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _semantic_cluster_oracle_sql() -> str:
+    """Recursive transitive closure over the exact near-dup pair graph
+    (same 8×4 literal hyperplanes + 0.35 rescore as
+    embedding_near_dup_pairs): component min == propagated min label."""
+    cos = (
+        f"{_DOT.format(a='ea', b='eb')} / (sqrt({_DOT.format(a='ea', b='ea')})"
+        f" * sqrt({_DOT.format(a='eb', b='eb')}))"
+    )
+    return f"""
+WITH RECURSIVE {_bucket_cte_sql(8, 4).strip()}
+, cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT vec_id, embedding AS ea, tbl, bucket FROM tables) a
+  JOIN (SELECT vec_id, embedding AS eb, tbl, bucket FROM tables) b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id AND {cos} >= 0.35
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS vec_id,
+       CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id,
+       a = LEAST(a, MIN(b)) AS keep
+FROM reach GROUP BY a ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=_semantic_cluster_oracle_sql(),
+    doc="Semantic (embedding-cosine) duplicate clustering end-to-end — "
+    "the embedding analogue of the text curation funnel's near-dup "
+    "stage: sign-LSH candidate pairs (8×4, exact 0.35 rescore) → "
+    "connected components via the shared min-label kernel "
+    "(functions/graph.py, O(log diameter) join+min rounds) → one row "
+    "per clustered vector with its canonical (min) vec_id and the "
+    "keep-one-per-cluster flag. Fully SQL-oracled: literal hyperplanes "
+    "+ recursive-CTE closure give DuckDB the identical clustering.",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import min_label_components
+
+    pairs = V.lsh_near_dup_pairs(
+        _emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42
+    ).select("id_a", "id_b")
+    labels = min_label_components(pairs, "id_a", "id_b")
+    return (
+        labels.select(
+            F.col("node_id").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (F.col("node_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def _lsh_oracle_sql() -> str:
     """Sign-LSH kNN oracle: 4-table × 6-plane literal-hyperplane
     buckets (see _bucket_cte_sql), query-side filtered, rescored and

@@ -78,3 +78,30 @@ def test_ivf_deterministic_same_layout(spark, sf_smoke):
     a = V.ivf_knn(q, emb, 5, seed=42).collect()
     b = V.ivf_knn(q, emb, 5, seed=42).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_embedding_dedup_clusters_invariants(spark, sf_smoke):
+    """Semantic dedup clustering: labels are the component minimum,
+    exactly one keep=true per cluster (the minimum itself), and both
+    endpoints of every near-dup pair land in the same cluster."""
+    from synthetic_datagen_spark.operators.vector_queries import (
+        embedding_dedup_clusters,
+    )
+
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    cl = embedding_dedup_clusters(spark, sf_smoke).collect()
+    by_id = {r["vec_id"]: r for r in cl}
+    clusters: dict[int, list] = {}
+    for r in cl:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        ids = [m["vec_id"] for m in members]
+        assert cid == min(ids), (cid, ids)
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["vec_id"] == cid
+
+    pairs = V.lsh_near_dup_pairs(
+        emb, 0.35, dim=64, n_tables=8, n_planes=4, seed=42
+    ).collect()
+    for p in pairs:
+        assert by_id[p["id_a"]]["cluster_id"] == by_id[p["id_b"]]["cluster_id"], p
