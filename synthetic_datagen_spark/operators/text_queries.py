@@ -934,3 +934,32 @@ def stratified_hash_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "udf_token_count_parity",
+    oracle=r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+         FILTER (WHERE length(trim(text)) > 0) AS vec_tokens
+FROM documents
+GROUP BY lang
+""",
+    doc="SURVEY §2.12(b) surface proof: the Arrow-vectorized pandas UDF "
+    "`token_count_vec` (plugins.register_vectorized_functions) summed "
+    "per language must reproduce the whitespace token count exactly — "
+    "integer outputs, so the parity is hash-exact. The row-at-a-time "
+    "`token_count_py` and the JVM column expression compute the same "
+    "thing; this query pins the FAST path (one Python call per Arrow "
+    "batch) into the driver-checked catalog.",
+)
+def udf_token_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plugins import register_vectorized_functions
+
+    register_vectorized_functions(spark)
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("token_count_vec(text)").cast("long")).alias("vec_tokens"),
+    )

@@ -19,6 +19,11 @@ from __future__ import annotations
 
 from typing import Any
 
+# module-level so pandas-UDF type hints (stringified by the __future__
+# import above) resolve against module globals at registration time
+import numpy as np
+import pandas as pd
+
 GROUPS = ("sdg.trainer", "sdg.generator", "sdg.evaluator", "sdg.optimizer")
 
 _REGISTRY: dict[str, dict[str, type]] = {g: {} for g in GROUPS}
@@ -129,3 +134,66 @@ def register_sql_functions(spark) -> None:
 
     spark.udf.register("token_count_py", token_count_py, "int")
     spark.udf.register("quality_score_py", quality_score_py, "double")
+
+
+def register_vectorized_functions(spark) -> None:
+    """SURVEY §2.12(b) — the FAST UDF path: Arrow-batched pandas UDFs,
+    scalar and grouped-agg, registered beside the row-at-a-time
+    demonstrators above. Same results, ~10-100× the throughput: one
+    Python invocation per Arrow batch instead of per row, columnar
+    transfer both ways.
+
+    * ``token_count_vec(text)``  — scalar: whitespace token count
+    * ``quality_score_vec(text)`` — scalar: composite quality heuristic
+      (mirrors functions/text.quality_score exactly)
+    * ``ar1_agg(idx, x)`` — grouped aggregate: lag-1 autocorrelation of
+      the group's values ordered by ``idx`` (the per-regime AR(1)
+      statistic, A8/J1, as a reusable UDAF). The explicit order column
+      makes it partition-order-independent — grouped-agg input order is
+      otherwise unspecified.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions.text import STOPWORDS
+
+    sw = frozenset(STOPWORDS["en"])
+    punct_re = r"[\.,;:!\?\'\"\(\)\[\]\-]"
+
+    @pandas_udf("int")
+    def token_count_vec(s: pd.Series) -> pd.Series:
+        toks = s.fillna("").str.split()
+        return toks.str.len().fillna(0).astype("int32")
+
+    @pandas_udf("double")
+    def quality_score_vec(s: pd.Series) -> pd.Series:
+        t = s.fillna("")
+        n = t.str.len().to_numpy(dtype=np.float64)
+        punct = t.str.count(punct_re).to_numpy(dtype=np.float64)
+        len_score = np.minimum(n / 200.0, 1.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            punct_pen = np.where(n > 0, np.maximum(0.0, 1.0 - 4.0 * punct / np.where(n > 0, n, 1.0)), 1.0)
+        sw_ratio = np.array(
+            [
+                (sum(tok in sw for tok in txt.strip().lower().split()) / nt if nt else 0.0)
+                for txt, nt in zip(t, t.str.split().str.len().fillna(0))
+            ],
+            dtype=np.float64,
+        )
+        sw_score = np.minimum(sw_ratio * 5.0, 1.0)
+        out = 0.5 * len_score + 0.3 * punct_pen + 0.2 * sw_score
+        return pd.Series(np.where(n > 0, out, 0.0))
+
+    @pandas_udf("double")
+    def ar1_agg(idx: pd.Series, x: pd.Series) -> float:
+        order = np.argsort(idx.to_numpy(), kind="stable")
+        v = x.to_numpy(dtype=np.float64)[order]
+        if len(v) < 3:
+            return 0.0
+        a, b = v[1:], v[:-1]
+        if a.std() == 0.0 or b.std() == 0.0:
+            return 0.0
+        return float(np.corrcoef(a, b)[0, 1])
+
+    spark.udf.register("token_count_vec", token_count_vec)
+    spark.udf.register("quality_score_vec", quality_score_vec)
+    spark.udf.register("ar1_agg", ar1_agg)

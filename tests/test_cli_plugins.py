@@ -129,3 +129,73 @@ def test_decoder_artifact_roundtrip(tmp_path):
     back = load_decoder(str(tmp_path / "dec.parts"))
     z = np.ones(4)
     assert np.array_equal(dec.decode(z), back.decode(z))
+
+
+def test_vectorized_udfs_match_row_udfs(spark, sf_smoke):
+    """§2.12(b): the Arrow-vectorized pandas UDFs agree with the
+    row-at-a-time demonstrators on the real documents table (token
+    counts exactly; quality scores to fp tolerance)."""
+    from synthetic_datagen_spark.plugins import (
+        register_sql_functions,
+        register_vectorized_functions,
+    )
+    from synthetic_datagen_spark.sources import Catalog
+
+    register_sql_functions(spark)
+    register_vectorized_functions(spark)
+    Catalog(spark, sf_smoke).table("documents").createOrReplaceTempView("docs_udf")
+    rows = spark.sql(
+        """
+        SELECT token_count_py(text) AS tc_row, token_count_vec(text) AS tc_vec,
+               quality_score_py(text) AS q_row, quality_score_vec(text) AS q_vec
+        FROM docs_udf
+        """
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["tc_row"] == r["tc_vec"], (r["tc_row"], r["tc_vec"])
+        assert abs(r["q_row"] - r["q_vec"]) < 1e-12, (r["q_row"], r["q_vec"])
+
+
+def test_grouped_agg_ar1_udaf(spark):
+    """§2.12(b) grouped-agg pandas UDF: ar1_agg(idx, x) equals the
+    window-function AR(1) (corr of x with lag(x) ordered by idx) and is
+    partition-order-independent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.plugins import register_vectorized_functions
+
+    register_vectorized_functions(spark)
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in range(3):
+        v = 0.0
+        for i in range(200):
+            v = 0.6 * v + rng.normal()
+            rows.append((g, i, float(v)))
+    df = spark.createDataFrame(rows, "g INT, idx INT, x DOUBLE")
+    got = {
+        r["g"]: r["ar1"]
+        for r in df.groupBy("g").agg(F.expr("ar1_agg(idx, x)").alias("ar1")).collect()
+    }
+    # reference: numpy corr of ordered series
+    import collections
+
+    series = collections.defaultdict(list)
+    for g, i, x in rows:
+        series[g].append(x)
+    for g, xs in series.items():
+        a = np.asarray(xs)
+        want = float(np.corrcoef(a[1:], a[:-1])[0, 1])
+        assert abs(got[g] - want) < 1e-9, (g, got[g], want)
+    # shuffled input partitioning: identical results (idx orders inside)
+    got2 = {
+        r["g"]: r["ar1"]
+        for r in df.repartition(7)
+        .groupBy("g")
+        .agg(F.expr("ar1_agg(idx, x)").alias("ar1"))
+        .collect()
+    }
+    assert got == got2
