@@ -194,6 +194,46 @@ def register_vectorized_functions(spark) -> None:
             return 0.0
         return float(np.corrcoef(a, b)[0, 1])
 
+    @pandas_udf("double")
+    def hurst_agg(idx: pd.Series, x: pd.Series) -> float:
+        # numpy twin of functions/distances.hurst_rs (SURVEY §4.3's
+        # "metrics callable from SQL"): same R/S estimator — full
+        # segments only, S > 1e-10 gate, mean(R/S) per lag, log-log
+        # slope via corr·sy/sx, clipped to [0, 1]. Right for one
+        # driver-sized series; the distributed hurst_rs is the scale
+        # path (tests assert they agree).
+        order = np.argsort(idx.to_numpy(), kind="stable")
+        v = x.to_numpy(dtype=np.float64)[order]
+        d = np.diff(v)
+        if len(d) < 4:
+            return 0.5
+        lxs, lys = [], []
+        for lag in range(2, 101):
+            m = len(d) // lag
+            if m == 0:
+                continue
+            segs = d[: m * lag].reshape(m, lag)
+            mu = segs.mean(axis=1)
+            s = segs.std(axis=1)
+            dev = np.cumsum(segs - mu[:, None], axis=1)
+            r = dev.max(axis=1) - dev.min(axis=1)
+            mask = s > 1e-10
+            if not mask.any():
+                continue
+            rs = float(np.mean(r[mask] / s[mask]))
+            if rs > 0:
+                lxs.append(np.log(lag))
+                lys.append(np.log(rs))
+        if len(lxs) < 2:
+            return 0.5
+        lx, ly = np.asarray(lxs), np.asarray(lys)
+        sx, sy = lx.std(ddof=1), ly.std(ddof=1)
+        if sx == 0.0 or sy == 0.0:
+            return 0.5
+        slope = float(np.corrcoef(lx, ly)[0, 1]) * sy / sx
+        return float(min(max(slope, 0.0), 1.0))
+
     spark.udf.register("token_count_vec", token_count_vec)
     spark.udf.register("quality_score_vec", quality_score_vec)
     spark.udf.register("ar1_agg", ar1_agg)
+    spark.udf.register("hurst_agg", hurst_agg)

@@ -199,3 +199,24 @@ def test_grouped_agg_ar1_udaf(spark):
         .collect()
     }
     assert got == got2
+
+
+def test_hurst_agg_matches_distributed_estimator(spark):
+    """§4.3 SQL-callable Hurst: the grouped-agg UDAF agrees with the
+    distributed hurst_rs pipeline on the same series."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.functions.distances import hurst_rs
+    from synthetic_datagen_spark.plugins import register_vectorized_functions
+
+    register_vectorized_functions(spark)
+    rng = np.random.default_rng(11)
+    walk = np.cumsum(rng.normal(size=3000))  # random walk: H ≈ 0.5
+    rows = [(0, i, float(v)) for i, v in enumerate(100.0 + walk)]
+    df = spark.createDataFrame(rows, "g INT, idx INT, x DOUBLE")
+    want = hurst_rs(df, "x", ["g"], ["idx"]).first()["hurst"]
+    got = df.groupBy("g").agg(F.expr("hurst_agg(idx, x)").alias("h")).first()["h"]
+    assert abs(got - want) < 1e-6, (got, want)
+    assert 0.3 < got < 0.7  # random walk sanity
