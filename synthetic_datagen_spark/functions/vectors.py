@@ -304,62 +304,127 @@ def ivf_knn(
     Determinism contract: same seed + same input layout ⇒ identical
     index. Across different partitionings the k-means|| init may choose
     different centroids — as with FAISS, an IVF index is trained once
-    and persisted, then queried; it is not rebuilt per query.
+    and persisted, then queried; it is not rebuilt per query
+    (`IvfIndex.save`/`load` is that persistence).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
-    ).withColumn("cn", l2_norm(F.col("cv")))
-    cv = c.withColumn("_fv", array_to_vector("cv"))
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_fv", predictionCol="list_id")
-    model = km.fit(cv)
-    lists = model.transform(cv).select("neighbor_id", "cv", "cn", "list_id")
-
-    centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-
-    q = queries.select(
-        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
-    ).withColumn("qn", l2_norm(F.col("qv")))
-    # rank centroids per query by cosine, keep n_probe list ids — tiny
-    # (n_lists per query), computed as an exploded literal-array scan
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("list_id"),
-                F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
-            )
-            for i, ctr in enumerate(centroids)
-        ]
+    return IvfIndex.build(corpus, n_lists, seed, c_id, c_vec).query(
+        queries, k, n_probe, q_id, q_vec
     )
-    probes = (
-        q.select("query_id", "qv", "qn", F.explode(cent).alias("c"))
-        .select(
-            "query_id",
-            "qv",
-            "qn",
-            F.col("c.list_id").alias("list_id"),
-            (dot(F.col("qv"), F.col("c.ctr")) / (F.col("qn") * l2_norm(F.col("c.ctr")))).alias("_sim"),
+
+
+class IvfIndex:
+    """Persistable IVF index: KMeans centroids (driver-sized) + the
+    inverted lists as a distributed frame.
+
+    Mirrors the FAISS lifecycle — train once (`build`), `save` to an
+    artifact dir (centroids.json + lists.parquet), `load` in any later
+    session, `query` many times. The on-disk lists can also be written
+    partitioned by list_id so a cluster-side query prunes file groups
+    to its probed lists.
+    """
+
+    def __init__(self, centroids: list[list[float]], lists: DataFrame):
+        self.centroids = centroids
+        self.lists = lists  # (neighbor_id, cv, cn, list_id)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        n_lists: int = 16,
+        seed: int = 42,
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+    ) -> "IvfIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c = corpus.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        cv = c.withColumn("_fv", array_to_vector("cv"))
+        km = KMeans(k=n_lists, seed=seed, featuresCol="_fv", predictionCol="list_id")
+        model = km.fit(cv)
+        lists = model.transform(cv).select("neighbor_id", "cv", "cn", "list_id")
+        centroids = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+        return cls(centroids, lists)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "centroids.json"), "w") as f:
+            json.dump(self.centroids, f)
+        # partitioned by list_id: a probing query reads only its lists
+        self.lists.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(path, "lists.parquet")
         )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("list_id"))
-    probed = (
-        probes.withColumn("_pr", F.row_number().over(w_probe))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "qv", "qn", "list_id")
-    )
-    cand = lists.join(F.broadcast(probed), "list_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "centroids.json")) as f:
+            centroids = json.load(f)
+        lists = spark.read.parquet(os.path.join(path, "lists.parquet")).select(
+            "neighbor_id", "cv", "cn", "list_id"
+        )
+        return cls(centroids, lists)
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        q_id: str = "vec_id",
+        q_vec: str = "embedding",
+    ) -> DataFrame:
+        q = queries.select(
+            F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+        ).withColumn("qn", l2_norm(F.col("qv")))
+        # rank centroids per query by cosine, keep n_probe list ids —
+        # tiny (n_lists per query), an exploded literal-array scan
+        cent = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("list_id"),
+                    F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
+                )
+                for i, ctr in enumerate(self.centroids)
+            ]
+        )
+        probes = (
+            q.select("query_id", "qv", "qn", F.explode(cent).alias("c"))
+            .select(
+                "query_id",
+                "qv",
+                "qn",
+                F.col("c.list_id").alias("list_id"),
+                (
+                    dot(F.col("qv"), F.col("c.ctr"))
+                    / (F.col("qn") * l2_norm(F.col("c.ctr")))
+                ).alias("_sim"),
+            )
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("list_id"))
+        probed = (
+            probes.withColumn("_pr", F.row_number().over(w_probe))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "qv", "qn", "list_id")
+        )
+        cand = self.lists.join(F.broadcast(probed), "list_id").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )

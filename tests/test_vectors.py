@@ -105,3 +105,23 @@ def test_embedding_dedup_clusters_invariants(spark, sf_smoke):
     ).collect()
     for p in pairs:
         assert by_id[p["id_a"]]["cluster_id"] == by_id[p["id_b"]]["cluster_id"], p
+
+
+def test_ivf_index_save_load_query_parity(spark, sf_smoke, tmp_path):
+    """FAISS-style IVF lifecycle: build → save → load → query gives the
+    exact same results as querying the freshly built index (centroids
+    round-trip through JSON, lists through partitioned parquet)."""
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = V.IvfIndex.build(emb, n_lists=8, seed=42)
+    fresh = idx.query(q, 5, n_probe=3).collect()
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    import os
+
+    assert os.path.exists(os.path.join(path, "centroids.json"))
+    assert os.path.exists(os.path.join(path, "lists.parquet", "_SUCCESS"))
+    loaded = V.IvfIndex.load(spark, path)
+    assert loaded.centroids == idx.centroids
+    back = loaded.query(q, 5, n_probe=3).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, back))
