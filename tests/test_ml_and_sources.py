@@ -334,3 +334,31 @@ def test_timegan_save_load_roundtrip(spark, tmp_path):
     tg2 = load_timegan(path)
     z = np.random.default_rng(5).standard_normal((3, 16, 4))
     assert np.array_equal(tg.decode(z), tg2.decode(z))
+
+
+def test_catalog_normalizes_timestamp_ntz(spark):
+    """Round-2 regression pin: with NTZ inference on (the plain driver
+    session's default view of tz-less parquet timestamp[us]), the
+    catalog must still hand downstream operators a TIMESTAMP_LTZ ts —
+    unix_micros/cast(double) on TIMESTAMP_NTZ throw AnalysisException
+    and took down 4 queries, pytest, and the round-2 bench."""
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    prev_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        ev = Catalog(spark, SF).table("events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        # the three expression families the NTZ breakage killed
+        row = ev.select(
+            F.unix_micros("ts").alias("us"),
+            F.unix_seconds("ts").alias("s"),
+            F.col("ts").cast("double").alias("d"),
+        ).first()
+        assert row["us"] is not None and row["d"] is not None
+        assert row["us"] // 1_000_000 == row["s"]
+    finally:
+        if prev_nanos is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+        if prev_ntz is not None:
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz)
