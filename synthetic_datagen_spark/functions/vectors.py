@@ -96,13 +96,20 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per hyperplane (sign of the dot),
     packed big-endian. Planes ship as plan literals, so the expression
-    is engine-independent (the oracle inlines the same floats)."""
+    is engine-independent (the oracle inlines the same floats).
+
+    Each plane is ONE ArrayType literal (``F.lit(plane)``), not 64
+    element literals — with 8 tables × 4 planes × 64 dims the per-leaf
+    form put ~2k literal nodes in the tree and Catalyst analysis alone
+    cost seconds per invocation. The fold order (left-to-right
+    zip_with + aggregate) is unchanged, so buckets stay bit-identical
+    to the DuckDB oracle's sequential list_sum."""
     bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(p) for p in plane]),
+                    F.lit([float(x) for x in plane]),
                     lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
