@@ -44,6 +44,11 @@ def _parse(argv: list[str]) -> dict:
     p.add_argument("--model-file", help="model artifact path (train/generate)")
     p.add_argument("--generator")
     p.add_argument("--evaluator")
+    p.add_argument(
+        "--trainer",
+        help="train-mode plugin: regime (HMM+GARCH) or a deep trainer "
+        "by registry name (gan / vae_gan / timegan)",
+    )
     p.add_argument("--seed", type=int)
     p.add_argument("--n-samples", type=int)
     p.add_argument("--block-size", type=int)
@@ -107,10 +112,17 @@ def _generate(spark, config: dict) -> dict:
     elif name == "grasynda":
         gen = cls(n_states=int(config["n_states"]))
         gen.fit(df, "value", ["ts"])
-    else:  # linear_decoder
+    else:  # linear_decoder — fresh, or a trained artifact via --model-file
         import numpy as np
 
-        dec = cls(window_rows=32)
+        if config.get("model_file"):
+            # generate from a train-mode artifact (reference flow:
+            # train --save-model → generate --load-model)
+            from .ml.decoder import load_decoder
+
+            dec = load_decoder(config["model_file"])
+        else:
+            dec = cls(window_rows=32)
         pool = np.array([r[0] for r in df.select("value").limit(4000).collect()])
         syn = dec.generate(spark, pool, int(config["seed"]), int(config["n_samples"]))
         return _sink_series(spark, syn, df, config)
@@ -154,9 +166,43 @@ def _evaluate(spark, config: dict) -> dict:
 def _train(spark, config: dict) -> dict:
     from pyspark.sql import functions as F
 
+    name = config.get("trainer", "regime")
+    df = _load_series(spark, config["input_file"])
+
+    if name != "regime":
+        # deep trainer by plugin name — the reference's train mode
+        # (main.py:47-60 resolves sdg.trainer entry points: vae / gan /
+        # vae-gan / timegan) with the shared prepare → fit → save flow
+        from .ml.decoder import save_decoder
+        from .plugins import load_plugin
+
+        cls = load_plugin("sdg.trainer", name)
+        tr = cls(
+            window_rows=32,
+            latent_dim=int(config.get("latent_dim", 16)),
+            train_seed=int(config["seed"]),
+            epochs=int(config.get("epochs", 20)),
+        )
+        tr.prepare([df.select("ts", "value")], "value", "ts")
+        fitted = tr.fit()
+        out = {"trainer": name, "model_file": config.get("model_file")}
+        if name == "timegan":
+            from .ml.timegan import save_timegan
+
+            if config.get("model_file"):
+                save_timegan(fitted, config["model_file"])
+        else:
+            if config.get("model_file"):
+                save_decoder(fitted, config["model_file"])
+            hist = getattr(tr.vae, "loss_history", None) or getattr(
+                tr.vae, "g_loss_history", []
+            )
+            if hist:
+                out["final_loss"] = float(hist[-1])
+        return out
+
     from .regime import RegimeModel, regime_features
 
-    df = _load_series(spark, config["input_file"])
     feats = regime_features(df, "value", [], ["ts"]).withColumn("series", F.lit(0))
     model = RegimeModel(
         n_regimes=int(config["n_regimes"]), seed=int(config["seed"])

@@ -220,3 +220,40 @@ def test_hurst_agg_matches_distributed_estimator(spark):
     got = df.groupBy("g").agg(F.expr("hurst_agg(idx, x)").alias("h")).first()["h"]
     assert abs(got - want) < 1e-6, (got, want)
     assert 0.3 < got < 0.7  # random walk sanity
+
+
+def test_cli_deep_trainer_then_generate_from_artifact(spark, price_csv, tmp_path):
+    """Reference train→generate flow by plugin name: --mode train
+    --trainer gan saves a decoder artifact; --mode generate with
+    --model-file generates from it (deterministic in seed)."""
+    model_dir = str(tmp_path / "gan_model")
+    r = main(
+        [
+            "--mode", "train",
+            "--trainer", "gan",
+            "--input-file", price_csv,
+            "--model-file", model_dir,
+        ],
+        spark=spark,
+    )
+    assert r["trainer"] == "gan" and r["model_file"] == model_dir
+    import os
+
+    assert os.path.exists(os.path.join(model_dir, "weights.npy"))
+
+    out_csv = str(tmp_path / "from_artifact")
+    g = main(
+        [
+            "--mode", "generate",
+            "--generator", "linear_decoder",
+            "--input-file", price_csv,
+            "--model-file", model_dir,
+            "--output-file", out_csv,
+            "--seed", "5",
+            "--n-samples", "96",
+        ],
+        spark=spark,
+    )
+    assert g["n_samples"] == 96
+    back = spark.read.option("header", True).csv(out_csv)
+    assert back.count() == 96
