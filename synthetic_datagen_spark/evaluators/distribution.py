@@ -83,7 +83,11 @@ class DistributionEvaluator:
         tag_real: str,
         tag_syn: str,
         order_cols: list[str],
+        include_raw: bool = False,
     ) -> dict[str, float]:
+        """``include_raw`` adds per-tag raw stats (means/stds/raw ACF)
+        for the reference-keyed surface; default off so long-standing
+        consumers (d8's per-metric row emission) keep a stable key set."""
         out: dict[str, float] = {}
         rng = df.filter(F.col(tag_col).isin(tag_real, tag_syn)).agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
@@ -174,6 +178,9 @@ class DistributionEvaluator:
             a_, b_ = ra[f"ac{k}"], rb[f"ac{k}"]
             out[f"ac{k}_diff"] = abs((b_ or 0.0) - (a_ or 0.0))
             out[f"ac_lag{k}"] = ratio_dev(a_, b_)
+            if include_raw:
+                out[f"real_autocorr_lag{k}"] = float(a_ or 0.0)
+                out[f"synthetic_autocorr_lag{k}"] = float(b_ or 0.0)
         out["vol_cluster_diff"] = abs((rb["vol_cluster"] or 0.0) - (ra["vol_cluster"] or 0.0))
         out["vol_cluster"] = ratio_dev(ra["vol_cluster"], rb["vol_cluster"])
         out["skew_diff"] = abs((rb["skew"] or 0.0) - (ra["skew"] or 0.0))
@@ -181,4 +188,59 @@ class DistributionEvaluator:
         kr = ra["kurt_raw"] or 3.0
         out["kurt_diff"] = abs((rb["kurt_raw"] or 3.0) - kr) / max(kr, 1.0)
         out["hurst_diff"] = abs(hurst.get(tag_syn, 0.5) - hurst.get(tag_real, 0.5))
+        if include_raw:
+            out["real_return_mean"] = float(ra["mean"] or 0.0)
+            out["synthetic_return_mean"] = float(rb["mean"] or 0.0)
+            out["real_return_std"] = float(ra["std"] or 0.0)
+            out["synthetic_return_std"] = float(rb["std"] or 0.0)
+        return out
+
+    # reference key names → this evaluator's metrics. The reference's
+    # "kl_divergence" is its histogram divergence over shared-range bins
+    # (distribution_evaluator.py:94 — actually Jensen-Shannon, see the
+    # d1 docstring), which is exactly `js_div` here.
+    def evaluate_reference_keys(
+        self,
+        df: DataFrame,
+        value_col: str,
+        tag_col: str,
+        tag_real: str,
+        tag_syn: str,
+        order_cols: list[str],
+    ) -> dict[str, float]:
+        """The reference's `DistributionEvaluator.evaluate` output keys
+        (distribution_evaluator.py:85-116): kl_divergence,
+        wasserstein_distance, {real,synthetic}_return_{mean,std},
+        {real,synthetic}_autocorr_lag{1,5,10},
+        {real,synthetic}_adf_pvalue, quality_score — so a reference
+        caller can switch without touching its key handling."""
+        from .adf_autolag import adf_autolag_panel
+        from ..functions import timeseries as TS
+
+        m = self.evaluate(
+            df, value_col, tag_col, tag_real, tag_syn, order_cols, include_raw=True
+        )
+        out: dict[str, float] = {
+            "kl_divergence": m["js_div"],
+            "wasserstein_distance": m["wasserstein"],
+            "real_return_mean": m["real_return_mean"],
+            "synthetic_return_mean": m["synthetic_return_mean"],
+            "real_return_std": m["real_return_std"],
+            "synthetic_return_std": m["synthetic_return_std"],
+        }
+        for k in (1, 5, 10):
+            out[f"real_autocorr_lag{k}"] = m[f"real_autocorr_lag{k}"]
+            out[f"synthetic_autocorr_lag{k}"] = m[f"synthetic_autocorr_lag{k}"]
+        rets = TS.log_returns(df, value_col, [tag_col], order_cols, out_col="_r")
+        adf = {
+            r[tag_col]: r
+            for r in adf_autolag_panel(rets, "_r", [tag_col], order_cols)
+        }
+        out["real_adf_pvalue"] = float(adf[tag_real]["p_value"])
+        out["synthetic_adf_pvalue"] = float(adf[tag_syn]["p_value"])
+        out["quality_score"] = (
+            out["kl_divergence"]
+            + 0.1 * out["wasserstein_distance"]
+            + abs(out["real_return_std"] - out["synthetic_return_std"])
+        )
         return out

@@ -278,3 +278,44 @@ def test_external_predictor_protocol(spark, sf_smoke, tmp_path):
     assert calls_second == calls_first - 1
     assert out2["baseline_val_mae"] == out["baseline_val_mae"]
     assert json.load(open(memo))  # memo file populated
+
+
+def test_distribution_reference_key_surface(spark, sf_smoke):
+    """A reference caller's key handling works unchanged: the compat
+    surface emits exactly the reference's evaluate() keys
+    (distribution_evaluator.py:85-116) with the documented
+    quality_score composition."""
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.evaluators import DistributionEvaluator
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = Catalog(spark, sf_smoke).table("events")
+    real = ev.filter(F.col("event_type") == "click").select(
+        "ts", F.col("value").alias("v")
+    ).withColumn("tag", F.lit("real"))
+    syn = ev.filter(F.col("event_type") == "view").select(
+        "ts", F.col("value").alias("v")
+    ).withColumn("tag", F.lit("syn"))
+    both = real.unionByName(syn)
+    m = DistributionEvaluator().evaluate_reference_keys(
+        both, "v", "tag", "real", "syn", ["ts"]
+    )
+    want = {
+        "kl_divergence", "wasserstein_distance",
+        "real_return_mean", "synthetic_return_mean",
+        "real_return_std", "synthetic_return_std",
+        "real_autocorr_lag1", "synthetic_autocorr_lag1",
+        "real_autocorr_lag5", "synthetic_autocorr_lag5",
+        "real_autocorr_lag10", "synthetic_autocorr_lag10",
+        "real_adf_pvalue", "synthetic_adf_pvalue",
+        "quality_score",
+    }
+    assert set(m) == want
+    assert m["real_return_std"] > 0 and m["synthetic_return_std"] > 0
+    assert 0.0 <= m["real_adf_pvalue"] <= 1.0
+    assert abs(
+        m["quality_score"]
+        - (m["kl_divergence"] + 0.1 * m["wasserstein_distance"]
+           + abs(m["real_return_std"] - m["synthetic_return_std"]))
+    ) < 1e-12
