@@ -198,3 +198,29 @@ class PredictiveEvaluator:
         for d in (xy_real, xy_val, xy_test, xy_aug):
             d.unpersist()
         return out
+
+    def evaluate_reference_keys(self, *args, **kwargs) -> dict[str, float]:
+        """The reference's exact output keys
+        (predictive_evaluator.py:169-287 / tests/test_predictive_
+        evaluator.py:45-58): {baseline,augmented}_mae_{val,test},
+        mae_delta_*, mae_pct_change_*, synthetic_helps_* — so a
+        reference caller's key handling works unchanged. Per-split
+        verdicts mirror the reference (delta < 0 per split); the
+        internal `helps` requires both splits."""
+        m = self.evaluate(*args, **kwargs)
+        out = {
+            "baseline_mae_val": m["baseline_val_mae"],
+            "baseline_mae_test": m["baseline_test_mae"],
+            "augmented_mae_val": m["augmented_val_mae"],
+            "augmented_mae_test": m["augmented_test_mae"],
+            "mae_delta_val": m["delta_val_mae"],
+            "mae_delta_test": m["delta_test_mae"],
+            "synthetic_helps_val": m["delta_val_mae"] < 0,
+            "synthetic_helps_test": m["delta_test_mae"] < 0,
+        }
+        for split in ("val", "test"):
+            base = out[f"baseline_mae_{split}"]
+            out[f"mae_pct_change_{split}"] = (
+                100.0 * out[f"mae_delta_{split}"] / base if base else 0.0
+            )
+        return out

@@ -319,3 +319,40 @@ def test_distribution_reference_key_surface(spark, sf_smoke):
         - (m["kl_divergence"] + 0.1 * m["wasserstein_distance"]
            + abs(m["real_return_std"] - m["synthetic_return_std"]))
     ) < 1e-12
+
+
+def test_predictive_reference_key_surface(spark, sf_smoke):
+    """Reference predictive-evaluator key compatibility
+    (tests/test_predictive_evaluator.py:45-58): exact key set, delta
+    identity, and per-split verdict signs."""
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.evaluators import PredictiveEvaluator
+    from synthetic_datagen_spark.functions import timeseries as TS
+    from synthetic_datagen_spark.sources import Catalog
+
+    ev = (
+        Catalog(spark, sf_smoke)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    train, rest = TS.chrono_split(ev, 0.6, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    syn = train.withColumn("value", F.col("value") * 1.01)
+    m = PredictiveEvaluator(window=8).evaluate_reference_keys(
+        train, syn, val, test, "value", [], ["ts", "event_id"]
+    )
+    want = {
+        "baseline_mae_val", "baseline_mae_test",
+        "augmented_mae_val", "augmented_mae_test",
+        "mae_delta_val", "mae_delta_test",
+        "mae_pct_change_val", "mae_pct_change_test",
+        "synthetic_helps_val", "synthetic_helps_test",
+    }
+    assert set(m) == want
+    assert m["baseline_mae_val"] > 0 and m["baseline_mae_test"] > 0
+    assert abs(
+        m["mae_delta_test"] - (m["augmented_mae_test"] - m["baseline_mae_test"])
+    ) < 1e-8
+    assert m["synthetic_helps_test"] == (m["mae_delta_test"] < 0)
