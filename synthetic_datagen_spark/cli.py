@@ -153,12 +153,25 @@ def _sink_series(spark, syn, train_df, config: dict) -> dict:
 def _evaluate(spark, config: dict) -> dict:
     from pyspark.sql import functions as F
 
+    from .functions import timeseries as TS
     from .plugins import load_plugin
 
+    name = config["evaluator"]
+    if name == "predictive":
+        # THE metric (reference predictive_evaluator.py:169-287): the
+        # real series chrono-splits into train/val/test (the reference's
+        # d4/d5/d6 roles) and the synthetic series augments training
+        real = _load_series(spark, config["input_file"])
+        syn = _load_series(spark, config["synthetic_file"])
+        train, rest = TS.chrono_split(real, 0.6, [], ["ts"])
+        val, test = TS.chrono_split(rest, 0.5, [], ["ts"])
+        ev = load_plugin("sdg.evaluator", name)(window=20)
+        m = ev.evaluate_reference_keys(train, syn, val, test, "value", [], ["ts"])
+        return {k: (float(v) if not isinstance(v, bool) else bool(v)) for k, v in m.items()}
     real = _load_series(spark, config["input_file"]).withColumn("tag", F.lit("real"))
     syn = _load_series(spark, config["synthetic_file"]).withColumn("tag", F.lit("syn"))
     both = real.unionByName(syn)
-    ev = load_plugin("sdg.evaluator", config["evaluator"])()
+    ev = load_plugin("sdg.evaluator", name)()
     metrics = ev.evaluate(both, "value", "tag", "real", "syn", ["ts"])
     return {k: float(v) for k, v in metrics.items()}
 

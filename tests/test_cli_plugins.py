@@ -257,3 +257,26 @@ def test_cli_deep_trainer_then_generate_from_artifact(spark, price_csv, tmp_path
     assert g["n_samples"] == 96
     back = spark.read.option("header", True).csv(out_csv)
     assert back.count() == 96
+
+
+def test_cli_predictive_evaluate(spark, price_csv, tmp_path):
+    """--mode evaluate --evaluator predictive runs the full A/B protocol
+    from two CSVs and emits the reference's metric keys (this path
+    previously raised TypeError — signature mismatch)."""
+    syn_csv = str(tmp_path / "syn_prices")
+    real = spark.read.option("header", True).csv(price_csv)
+    real.withColumn(
+        "typical_price", F.col("typical_price").cast("double") * 1.01
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(syn_csv)
+    r = main(
+        [
+            "--mode", "evaluate",
+            "--evaluator", "predictive",
+            "--input-file", price_csv,
+            "--synthetic-file", syn_csv,
+        ],
+        spark=spark,
+    )
+    assert {"baseline_mae_val", "augmented_mae_test", "mae_delta_test",
+            "synthetic_helps_test", "mae_pct_change_val"} <= set(r)
+    assert r["baseline_mae_val"] > 0
