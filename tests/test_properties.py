@@ -236,3 +236,45 @@ def test_transition_counts_laplace_covers_unseen(spark):
         sums[s] += r["prob"]
     for s, v in sums.items():
         assert abs(v - 1.0) < 1e-12, (s, v)
+
+
+# ------------------------------------------------- CC kernel (graph) --
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ).map(lambda es: [(a, b) for a, b in es if a != b])
+)
+@settings(max_examples=12, deadline=None)
+def test_min_label_components_matches_union_find(spark, edges):
+    """The distributed min-label kernel must agree with a driver-side
+    union-find on arbitrary small graphs (components AND canonical
+    min labels)."""
+    if not edges:
+        return
+    from synthetic_datagen_spark.functions.graph import min_label_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in min_label_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == want
