@@ -75,6 +75,31 @@ class DistributionEvaluator:
         self.bins = bins
         self.acf_lags = acf_lags
 
+    def evaluate_reference(self, spark, synthetic=None, real=None) -> dict[str, float]:
+        """The reference's exact call form
+        (distribution_evaluator.py:73-83: ``evaluate(synthetic=…,
+        real=…)`` with pandas DataFrames or CSV paths carrying
+        DATE_TIME/typical_price) returning its exact key set — the full
+        drop-in: only the import changes for a switching user."""
+        import pandas as pd
+
+        def to_spark(arg, tag):
+            if isinstance(arg, str):
+                from ..sources.csv_io import TYPICAL_PRICE, load_csv
+
+                df = load_csv(spark, arg, schema=TYPICAL_PRICE)
+            elif isinstance(arg, pd.DataFrame):
+                df = spark.createDataFrame(arg)
+            else:
+                raise ValueError(f"provide a pandas DataFrame or CSV path for {tag!r}")
+            return df.select(
+                F.col("DATE_TIME").alias("ts"),
+                F.col("typical_price").cast("double").alias("value"),
+            ).withColumn("tag", F.lit(tag))
+
+        both = to_spark(real, "real").unionByName(to_spark(synthetic, "syn"))
+        return self.evaluate_reference_keys(both, "value", "tag", "real", "syn", ["ts"])
+
     def evaluate(
         self,
         df: DataFrame,

@@ -356,3 +356,27 @@ def test_predictive_reference_key_surface(spark, sf_smoke):
         m["mae_delta_test"] - (m["augmented_mae_test"] - m["baseline_mae_test"])
     ) < 1e-8
     assert m["synthetic_helps_test"] == (m["mae_delta_test"] < 0)
+
+
+def test_distribution_reference_call_form(spark):
+    """Full drop-in: the reference's evaluate(synthetic=df, real=df)
+    pandas call form works against Spark underneath."""
+    import numpy as np
+    import pandas as pd
+
+    from synthetic_datagen_spark.evaluators import DistributionEvaluator
+
+    rng = np.random.default_rng(0)
+    mk = lambda seed: pd.DataFrame(  # noqa: E731
+        {
+            "DATE_TIME": pd.date_range("2020-01-01", periods=400, freq="4h"),
+            "typical_price": 1.3
+            + np.cumsum(np.random.default_rng(seed).normal(0, 0.001, 400)),
+        }
+    )
+    m = DistributionEvaluator().evaluate_reference(
+        spark, synthetic=mk(1), real=mk(2)
+    )
+    assert "kl_divergence" in m and "quality_score" in m
+    assert m["real_return_std"] > 0
+    assert 0.0 <= m["real_adf_pvalue"] <= 1.0
