@@ -18,7 +18,7 @@ from .base import register
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -45,7 +45,7 @@ SELECT upper(c_mktsegment) AS segment,
        COUNT(*) AS n,
        MIN(length(c_name)) AS min_name_len,
        MAX(length(c_name)) AS max_name_len,
-       SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS names_with_1
+       CAST(SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS names_with_1
 FROM customer
 GROUP BY upper(c_mktsegment)
 """,

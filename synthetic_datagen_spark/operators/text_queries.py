@@ -51,7 +51,7 @@ WITH d AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
        ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio,
        ROUND(AVG(n_chars), 6) AS avg_chars
@@ -106,7 +106,7 @@ WITH t AS (
   FROM unp
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_correct,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        ROUND(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
 FROM best WHERE rn = 1
 GROUP BY lang
@@ -375,7 +375,7 @@ WITH t AS (
   FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b
   GROUP BY doc_id, b.b
 )
-SELECT doc_id, SUM(v * (1::BIGINT << (31 - bit))) AS simhash
+SELECT doc_id, CAST(SUM(v * (1::BIGINT << (31 - bit))) AS BIGINT) AS simhash
 FROM bit_votes GROUP BY doc_id
 """,
     doc="SimHash document signatures (32-bit, token-level, MD5-derived "
@@ -393,9 +393,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)) AS ws_tokens,
-       SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS bpe_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS n_chars
+       CAST(SUM(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)) AS BIGINT) AS ws_tokens,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
 FROM documents
 GROUP BY lang
 """,
@@ -941,8 +941,8 @@ def stratified_hash_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
-         FILTER (WHERE length(trim(text)) > 0) AS vec_tokens
+       CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+         FILTER (WHERE length(trim(text)) > 0) AS BIGINT) AS vec_tokens
 FROM documents
 GROUP BY lang
 """,

@@ -235,8 +235,8 @@ WITH ranked AS (
   FROM events
 )
 SELECT event_type,
-       SUM(CASE WHEN pr <= 0.85 THEN 1 ELSE 0 END) AS n_train,
-       SUM(CASE WHEN pr > 0.85 THEN 1 ELSE 0 END) AS n_val
+       CAST(SUM(CASE WHEN pr <= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN pr > 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_val
 FROM ranked
 GROUP BY event_type
 """,
