@@ -17,11 +17,12 @@ from .decoder import (
     GanTrainer,
     LinearDecoder,
     LinearVaeTrainer,
+    MlpDecoder,
     TimeGanTrainer,
     VaeGanTrainer,
 )
-from .gan import LinearGan
-from .vae import LinearVae
+from .gan import LinearGan, MlpGan
+from .vae import LinearVae, MlpVae
 
 __all__ = [
     "prepare_training_windows",
@@ -30,6 +31,9 @@ __all__ = [
     "LinearGan",
     "LinearVae",
     "LinearVaeTrainer",
+    "MlpDecoder",
+    "MlpGan",
+    "MlpVae",
     "VaeGanTrainer",
     "TimeGanTrainer",
 ]

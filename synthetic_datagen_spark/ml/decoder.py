@@ -124,6 +124,144 @@ class LinearDecoder:
         return out.filter(F.col("t") < n_samples)
 
 
+class MlpDecoder:
+    """Nonlinear decoder: [z ⊕ temporal] → tanh hidden stack → linear
+    window head (the decoder half of the reference's MLP VAE-GAN,
+    vae_gan_trainer.py:80-103). Optionally CONDITIONAL: when
+    ``n_temporal > 0``, generation mirrors
+    typical_price_generator.py:120-136 — per window the 6 cyclical
+    features of the window's LAST timestamp concat onto z before
+    decoding, so the model is season-aware.
+
+    Runs the same broadcast-weights mapInPandas generate plan as
+    LinearDecoder; the temporal features are computed INSIDE the
+    batches from (start_dt, interval_hours, window_id) so the plan
+    stays fully distributed and deterministic.
+    """
+
+    def __init__(
+        self,
+        latent_dim: int,
+        window_rows: int,
+        hidden: list,
+        out_head: tuple,
+        n_temporal: int = 0,
+    ):
+        self.latent_dim = latent_dim
+        self.window_rows = window_rows
+        self.hidden = [(np.asarray(W, dtype=np.float64), np.asarray(b, dtype=np.float64))
+                       for W, b in hidden]
+        self.out_head = (np.asarray(out_head[0], dtype=np.float64),
+                         np.asarray(out_head[1], dtype=np.float64))
+        self.n_temporal = n_temporal
+
+    # driver-side forward (tests / reconstruction)
+    def decode(self, z: np.ndarray, temporal: np.ndarray | None = None) -> np.ndarray:
+        h = np.concatenate([z, temporal], axis=1) if self.n_temporal else z
+        for W, b in self.hidden:
+            h = np.tanh(h @ W + b)
+        return h @ self.out_head[0] + self.out_head[1]
+
+    def flat_weights(self) -> np.ndarray:
+        """All parameters as one vector (determinism comparisons)."""
+        parts = []
+        for W, b in [*self.hidden, self.out_head]:
+            parts.extend([W.ravel(), b.ravel()])
+        return np.concatenate(parts)
+
+    def generate(
+        self,
+        spark: SparkSession,
+        anchor_pool: np.ndarray,
+        seed: int,
+        n_samples: int,
+        n_series: int = 1,
+        start_dt: str = "2020-01-01 00:00:00",
+        interval_hours: int = 4,
+    ) -> DataFrame:
+        """G1→G2→G3 with the MLP forward pass per window; conditional
+        models stamp each window with the cyclical features of its last
+        timestamp (typical_price_generator.py:120-136)."""
+        W = self.window_rows
+        n_windows = int(np.ceil(n_samples / W))
+        hidden = self.hidden
+        out_head = self.out_head
+        pool = np.asarray(anchor_pool, dtype=np.float64)
+        latent = self.latent_dim
+        n_temporal = self.n_temporal
+        start = pd.Timestamp(start_dt)
+        step_ns = int(interval_hours) * 3_600_000_000_000
+
+        schema = T.StructType(
+            [
+                T.StructField("series_id", T.LongType()),
+                T.StructField("t", T.LongType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+
+        def temporal_row(wid: int) -> np.ndarray:
+            # last timestamp of window wid; conventions match
+            # functions/timeseries.cyclical_time_features (hour/24,
+            # pandas-weekday/5, (month-1)/12)
+            ts = pd.Timestamp(start.value + ((wid + 1) * W - 1) * step_ns)
+            two_pi = 2.0 * np.pi
+            return np.array(
+                [
+                    np.sin(two_pi * ts.hour / 24.0),
+                    np.cos(two_pi * ts.hour / 24.0),
+                    np.sin(two_pi * ts.weekday() / 5.0),
+                    np.cos(two_pi * ts.weekday() / 5.0),
+                    np.sin(two_pi * (ts.month - 1) / 12.0),
+                    np.cos(two_pi * (ts.month - 1) / 12.0),
+                ]
+            )
+
+        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                frames = []
+                for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
+                    rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
+                    z = rng.standard_normal(latent)
+                    h = (
+                        np.concatenate([z, temporal_row(int(wid))])
+                        if n_temporal
+                        else z
+                    )
+                    for Wl, bl in hidden:
+                        h = np.tanh(h @ Wl + bl)
+                    rets = h @ out_head[0] + out_head[1]       # G2 decode
+                    rets = rets - rets.mean()                  # W11 zero-mean
+                    anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
+                    prices = anchor * np.exp(np.cumsum(rets))
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "series_id": np.full(W, sid, dtype=np.int64),
+                                "t": int(wid) * W + np.arange(W, dtype=np.int64),
+                                "price": prices,
+                            }
+                        )
+                    )
+                yield pd.concat(frames) if frames else pd.DataFrame(
+                    {"series_id": [], "t": [], "price": []}
+                )
+
+        grid = (
+            spark.range(n_series * n_windows)
+            .select(
+                (F.col("id") / n_windows).cast("long").alias("series_id"),
+                (F.col("id") % n_windows).alias("window_id"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
+        )
+        out = grid.mapInPandas(decode_batches, schema)
+        return out.filter(F.col("t") < n_samples)
+
+
+_TEMPORAL_COLS = ["hour_sin", "hour_cos", "dow_sin", "dow_cos", "month_sin", "month_cos"]
+
+
 class _TrainerBase:
     """Shared trainer shape: `prepare()` is the distributed half (scan →
     union → returns → windows), `fit()` the driver half."""
@@ -132,63 +270,84 @@ class _TrainerBase:
 
     def __init__(self, window_rows: int = 32, use_returns: bool = True,
                  latent_dim: int = 16, train_seed: int = 42,
-                 epochs: int = 40, max_windows: int = 4096):
+                 epochs: int = 40, max_windows: int = 4096,
+                 hidden: tuple[int, ...] = (48, 24), mmd_lambda: float = 1e-2,
+                 kl_anneal_epochs: int = 0, conditional: bool = False):
         self.window_rows = window_rows
         self.use_returns = use_returns
         self.latent_dim = latent_dim
         self.train_seed = train_seed
         self.epochs = epochs
         self.max_windows = max_windows
+        self.hidden = tuple(hidden)
+        self.mmd_lambda = mmd_lambda
+        self.kl_anneal_epochs = kl_anneal_epochs
+        self.conditional = conditional
         self.windows: DataFrame | None = None
-        self.decoder: LinearDecoder | None = None
+        self.decoder = None
         self.vae = None
+        self._temporal: np.ndarray | None = None
 
     def prepare(self, sources: list[DataFrame], value_col: str, ts_col: str) -> DataFrame:
         self.windows = prepare_training_windows(
-            sources, value_col, ts_col, self.window_rows, self.use_returns
+            sources, value_col, ts_col, self.window_rows, self.use_returns,
+            temporal_features=self.conditional,
         )
         return self.windows
 
     def _collect_windows(self) -> np.ndarray:
         """Bounded, deterministically-ordered window sample (SURVEY
         §4.2 ≤10⁴-point driver-fallback rule): sorted by window_id so
-        partitioning can never reorder the training stream."""
+        partitioning can never reorder the training stream. Conditional
+        trainers also stash the aligned temporal matrix."""
         if self.windows is None:
             raise RuntimeError("prepare() first")
         key = [c for c in self.windows.columns if c != "window_vec"]
         rows = (
             self.windows.orderBy(*key).limit(self.max_windows).collect()
         )
+        if self.conditional:
+            self._temporal = np.array(
+                [[r[c] for c in _TEMPORAL_COLS] for r in rows], dtype=np.float64
+            )
         return np.array([r["window_vec"] for r in rows], dtype=np.float64)
 
     _ADVERSARIAL = False
 
-    def fit(self) -> LinearDecoder:
-        """Train the numpy linear VAE (ml/vae.py) on the Spark-prepared
-        windows and export its decoder into the generate plan."""
-        from .vae import LinearVae
+    def fit(self) -> MlpDecoder:
+        """Train the numpy MLP VAE (ml/vae.py MlpVae — the reference's
+        tanh-Dense architecture + MMD) on the Spark-prepared windows and
+        export its decoder into the generate plan."""
+        from .vae import MlpVae
 
         X = self._collect_windows()
-        vae = LinearVae(
+        vae = MlpVae(
             window_rows=self.window_rows,
             latent_dim=self.latent_dim,
+            hidden=self.hidden,
+            mmd_lambda=self.mmd_lambda,
+            kl_anneal_epochs=self.kl_anneal_epochs,
             adversarial=self._ADVERSARIAL,
             epochs=self.epochs,
             train_seed=self.train_seed,
-        ).fit(X)
+            n_temporal=6 if self.conditional else 0,
+        ).fit(X, temporal=self._temporal)
         self.vae = vae
-        w, b = vae.decoder_weights()
-        dec = LinearDecoder(
-            latent_dim=self.latent_dim, window_rows=self.window_rows
+        hidden, out, n_temporal = vae.decoder_export()
+        dec = MlpDecoder(
+            latent_dim=self.latent_dim,
+            window_rows=self.window_rows,
+            hidden=hidden,
+            out_head=out,
+            n_temporal=n_temporal,
         )
-        dec.w = w
-        dec.b = b
         self.decoder = dec
         return dec
 
 
 class LinearVaeTrainer(_TrainerBase):
-    """M2 (reference: vae_trainer.py:46-113) — pure VAE."""
+    """M2 (reference: vae_trainer.py:46-113) — pure VAE (MLP tier; the
+    historical name is kept for the plugin registry)."""
 
     name = "vae"
     _ADVERSARIAL = False
@@ -196,7 +355,8 @@ class LinearVaeTrainer(_TrainerBase):
 
 class VaeGanTrainer(_TrainerBase):
     """M1 (reference: vae_gan_trainer.py:33-316) — VAE + discriminator
-    + generator-adversarial steps per batch, linear special case."""
+    + generator-adversarial steps per batch, tanh-MLP architecture with
+    the Gaussian-kernel MMD term."""
 
     name = "vae-gan"
     _ADVERSARIAL = True
@@ -205,30 +365,34 @@ class VaeGanTrainer(_TrainerBase):
 class GanTrainer(_TrainerBase):
     """M3 (reference: gan_trainer.py:31-108) — plain GAN, no VAE
     encoder: alternating discriminator/generator BCE steps over the
-    Spark-prepared windows (ml/gan.py, linear special case). The fitted
-    generator exports into the same LinearDecoder generate plan; like
-    the reference (gan_trainer.py:105-107 writes a dummy encoder), the
-    artifact keeps the VAE-GAN layout."""
+    Spark-prepared windows (ml/gan.py MlpGan — tanh-MLP generator vs
+    LeakyReLU-MLP discriminator). The fitted generator exports into the
+    same MlpDecoder generate plan; like the reference
+    (gan_trainer.py:105-107 writes a dummy encoder), the artifact keeps
+    the VAE-GAN layout."""
 
     name = "gan"
 
-    def fit(self) -> LinearDecoder:
-        from .gan import LinearGan
+    def fit(self) -> MlpDecoder:
+        from .gan import MlpGan
 
         X = self._collect_windows()
-        gan = LinearGan(
+        gan = MlpGan(
             window_rows=self.window_rows,
             latent_dim=self.latent_dim,
+            hidden=tuple(reversed(self.hidden)),
             epochs=self.epochs,
             train_seed=self.train_seed,
         ).fit(X)
         self.vae = gan  # trainer-state slot; duck-typed loss history
-        w, b = gan.generator_weights()
-        dec = LinearDecoder(
-            latent_dim=self.latent_dim, window_rows=self.window_rows
+        hidden, out, n_temporal = gan.generator_export()
+        dec = MlpDecoder(
+            latent_dim=self.latent_dim,
+            window_rows=self.window_rows,
+            hidden=hidden,
+            out_head=out,
+            n_temporal=n_temporal,
         )
-        dec.w = w
-        dec.b = b
         self.decoder = dec
         return dec
 
@@ -268,29 +432,59 @@ class TimeGanTrainer(_TrainerBase):
         return tg
 
 
-def save_decoder(dec: LinearDecoder, path: str) -> None:
+def save_decoder(dec, path: str) -> None:
     """S5: `.parts/`-style artifact layout (reference:
-    vae_gan_trainer.py:320-351 — weights + meta.json side by side)."""
+    vae_gan_trainer.py:320-351 — weights + meta.json side by side).
+    Linear decoders keep the v2 layout; MLP decoders write v3 with the
+    layer stack in one npz and the reference's `conditional` /
+    `n_temporal` meta keys (vae_gan_trainer.py:339-345)."""
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
-    np.save(os.path.join(path, "weights.npy"), dec.w)
-    np.save(os.path.join(path, "bias.npy"), dec.b)
+    if isinstance(dec, MlpDecoder):
+        arrays = {}
+        for i, (W, b) in enumerate(dec.hidden):
+            arrays[f"hidden_{i}_W"] = W
+            arrays[f"hidden_{i}_b"] = b
+        arrays["out_W"], arrays["out_b"] = dec.out_head
+        np.savez(os.path.join(path, "layers.npz"), **arrays)
+        meta = {
+            "latent_dim": dec.latent_dim,
+            "window_rows": dec.window_rows,
+            "n_hidden": len(dec.hidden),
+            "conditional": bool(dec.n_temporal),
+            "n_temporal": dec.n_temporal,
+            "kind": "mlp",
+            "format_version": 3,
+        }
+    else:
+        np.save(os.path.join(path, "weights.npy"), dec.w)
+        np.save(os.path.join(path, "bias.npy"), dec.b)
+        meta = {"latent_dim": dec.latent_dim, "window_rows": dec.window_rows,
+                "format_version": 2}
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
-            {"latent_dim": dec.latent_dim, "window_rows": dec.window_rows,
-             "format_version": 2},
-            f,
-        )
+        json.dump(meta, f)
 
 
-def load_decoder(path: str) -> LinearDecoder:
+def load_decoder(path: str):
     import json
     import os
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("kind") == "mlp":
+        z = np.load(os.path.join(path, "layers.npz"))
+        hidden = [
+            (z[f"hidden_{i}_W"], z[f"hidden_{i}_b"]) for i in range(meta["n_hidden"])
+        ]
+        return MlpDecoder(
+            latent_dim=meta["latent_dim"],
+            window_rows=meta["window_rows"],
+            hidden=hidden,
+            out_head=(z["out_W"], z["out_b"]),
+            n_temporal=meta.get("n_temporal", 0),
+        )
     dec = LinearDecoder(latent_dim=meta["latent_dim"], window_rows=meta["window_rows"])
     dec.w = np.load(os.path.join(path, "weights.npy"))
     bias_path = os.path.join(path, "bias.npy")

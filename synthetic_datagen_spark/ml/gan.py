@@ -111,3 +111,139 @@ class LinearGan:
         if self.Wg is None:
             raise RuntimeError("fit() first")
         return self.Wg * self.x_scale, self.bg * self.x_scale
+
+
+class MlpGan:
+    """Reference-architecture pure GAN: tanh MLP generator (the decoder
+    stack of vae_gan_trainer.py:80-103, reused by gan_trainer.py) vs a
+    LeakyReLU(0.2) MLP discriminator (vae_gan_trainer.py:106-124;
+    dropout omitted for determinism — declared). Same alternating BCE
+    protocol as LinearGan (gan_trainer.py:77-97) but with full
+    backprop through both stacks; unlike a linear generator this can
+    push the prior onto NON-GAUSSIAN (e.g. bimodal) window
+    distributions — pinned in tests/test_generators.py.
+    """
+
+    def __init__(
+        self,
+        window_rows: int = 32,
+        latent_dim: int = 16,
+        hidden: tuple[int, ...] = (24, 48),
+        disc_hidden: tuple[int, ...] = (64, 32),
+        epochs: int = 40,
+        batch_size: int = 128,
+        lr: float = 5e-3,
+        disc_lr: float = 1e-3,
+        train_seed: int = 42,
+    ):
+        self.window_rows = window_rows
+        self.latent_dim = latent_dim
+        self.hidden = tuple(max(h, latent_dim) for h in hidden)
+        self.disc_hidden = tuple(disc_hidden)
+        self.epochs = epochs
+        self.batch_size = batch_size
+        self.lr = lr
+        self.disc_lr = disc_lr
+        self.train_seed = train_seed
+        self.gen_hidden: list = []
+        self.out_head = None
+        self.disc_layers: list = []
+        self.disc_head = None
+        self.x_scale = 1.0
+        self.d_loss_history: list[float] = []
+        self.g_loss_history: list[float] = []
+
+    def _gen_forward(self, z: np.ndarray):
+        from .mlp import tanh_stack_forward
+
+        h, acts = tanh_stack_forward(z, self.gen_hidden)
+        return h @ self.out_head[0] + self.out_head[1], (acts, h)
+
+    def _disc_forward(self, x: np.ndarray):
+        from .mlp import lrelu_stack_forward
+
+        h, acts = lrelu_stack_forward(x, self.disc_layers)
+        return _sigmoid((h @ self.disc_head[0] + self.disc_head[1])[:, 0]), acts
+
+    def fit(self, X: np.ndarray) -> "MlpGan":
+        """Alternating SGD. X: (N, window_rows) in deterministic order."""
+        from .mlp import dense_init, lrelu_stack_backward, sgd_step, tanh_stack_backward
+
+        D, L = self.window_rows, self.latent_dim
+        X = np.asarray(X, dtype=np.float64)
+        if X.ndim != 2 or X.shape[1] != D:
+            raise ValueError(f"expected (N, {D}) windows, got {X.shape}")
+        self.x_scale = float(X.std()) or 1.0
+        Xn = X / self.x_scale
+        rng = np.random.default_rng(self.train_seed)
+        self.gen_hidden = []
+        w = L
+        for units in self.hidden:
+            self.gen_hidden.append(dense_init(rng, w, units))
+            w = units
+        self.out_head = dense_init(rng, w, D)
+        self.disc_layers = []
+        w = D
+        for units in self.disc_hidden:
+            self.disc_layers.append(dense_init(rng, w, units))
+            w = units
+        self.disc_head = dense_init(rng, w, 1)
+        n = len(Xn)
+        self.d_loss_history, self.g_loss_history = [], []
+        for _ in range(self.epochs):
+            order = rng.permutation(n)
+            ep_d = ep_g = 0.0
+            for i0 in range(0, n, self.batch_size):
+                xb = Xn[order[i0 : i0 + self.batch_size]]
+                B = len(xb)
+                # --- discriminator step (generator frozen) ---
+                z = rng.standard_normal((B, L))
+                fake, _ = self._gen_forward(z)
+                pr, acts_r = self._disc_forward(xb)
+                pf, acts_f = self._disc_forward(fake)
+                d_loss = -0.5 * float(
+                    np.mean(np.log(np.clip(pr, 1e-12, 1.0)))
+                    + np.mean(np.log(np.clip(1.0 - pf, 1e-12, 1.0)))
+                )
+                for p, target, acts in ((pr, 1.0, acts_r), (pf, 0.0, acts_f)):
+                    ds = (0.5 * (p - target) / B)[:, None]
+                    g_head = (acts[-1].T @ ds, ds.sum(axis=0))
+                    _, g_disc = lrelu_stack_backward(
+                        ds @ self.disc_head[0].T, acts, self.disc_layers
+                    )
+                    sgd_step(self.disc_layers, g_disc, self.disc_lr)
+                    sgd_step([self.disc_head], [g_head], self.disc_lr)
+                # --- generator step (discriminator frozen) ---
+                z = rng.standard_normal((B, L))
+                fake, (acts_g, hg) = self._gen_forward(z)
+                pf, acts_f = self._disc_forward(fake)
+                g_loss = -float(np.mean(np.log(np.clip(pf, 1e-12, 1.0))))
+                ds = ((pf - 1.0) / B)[:, None]
+                dfake, _ = lrelu_stack_backward(
+                    ds @ self.disc_head[0].T, acts_f, self.disc_layers
+                )
+                g_out = (hg.T @ dfake, dfake.sum(axis=0))
+                dhg = dfake @ self.out_head[0].T
+                _, g_gen = tanh_stack_backward(dhg, acts_g, self.gen_hidden)
+                sgd_step(self.gen_hidden, g_gen, self.lr)
+                sgd_step([self.out_head], [g_out], self.lr)
+                ep_d += d_loss * B
+                ep_g += g_loss * B
+            self.d_loss_history.append(ep_d / n)
+            self.g_loss_history.append(ep_g / n)
+        return self
+
+    def generator_export(self):
+        """(hidden, out_head, n_temporal=0) in DATA units, drop-in for
+        the MlpDecoder broadcast-mapInPandas generate plan."""
+        if self.out_head is None:
+            raise RuntimeError("fit() first")
+        hidden = [(W.copy(), b.copy()) for W, b in self.gen_hidden]
+        out = (self.out_head[0] * self.x_scale, self.out_head[1] * self.x_scale)
+        return hidden, out, 0
+
+    def sample(self, n: int, seed: int) -> np.ndarray:
+        """Driver-side prior sampling in data units (for tests)."""
+        z = np.random.default_rng(seed).standard_normal((n, self.latent_dim))
+        out, _ = self._gen_forward(z)
+        return out * self.x_scale

@@ -73,15 +73,49 @@ def g1_g3_latent_decode_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g2_conditional_train_generate",
+    oracle=None,  # SGD training + seeded generation: rows-only + tests
+    doc="G2 CONDITIONAL decode path (reference: "
+    "typical_price_generator.py:120-136 + vae_gan_trainer.py:64-94): "
+    "a conditional tanh-MLP VAE-GAN trains on windows with the 6 "
+    "cyclical features of each window's last timestamp "
+    "(prep.py temporal_features), then generation concatenates the "
+    "generated date-range's features onto z inside the mapInPandas "
+    "decode — season-aware output, deterministic in "
+    "(data, train_seed, seed, start_dt).",
+)
+def g2_conditional_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..ml import VaeGanTrainer
+
+    src = _train_series(spark, sf_dir).select("ts", "value")
+    tr = VaeGanTrainer(
+        window_rows=32, latent_dim=16, epochs=6, train_seed=42, conditional=True,
+    )
+    tr.prepare([src], "value", "ts")
+    dec = tr.fit()
+    pool = np.array(
+        [r[0] for r in src.select("value").limit(2000).collect()], dtype=float
+    )
+    return dec.generate(
+        spark, pool, seed=42, n_samples=256, n_series=4,
+        start_dt="2021-03-01 00:00:00",
+    )
+
+
+@register(
     "m1_vae_train_generate",
     oracle=None,  # SGD training + seeded generation: rows-only + tests
     doc="M1 end-to-end train→generate: Spark-prepared return windows "
-    "(S2→W1→W3) feed the numpy-SGD linear VAE-GAN (analytic gradients, "
-    "VAE + discriminator + generator-adversarial steps per batch — "
-    "reference: vae_gan_trainer.py:220-309); the fitted decoder "
-    "broadcasts into the G1-G3 mapInPandas generate plan. Deterministic "
-    "in (data, train_seed, generate seed) — tests pin retrain-equality "
-    "under repartitioning.",
+    "(S2→W1→W3) feed the numpy-SGD tanh-MLP VAE-GAN (analytic "
+    "gradients through the reference's Dense stacks + Gaussian-kernel "
+    "MMD term, VAE + discriminator + generator-adversarial steps per "
+    "batch — reference: vae_gan_trainer.py:46-139,220-309); the fitted "
+    "MLP decoder broadcasts into the G1-G3 mapInPandas generate plan. "
+    "Deterministic in (data, train_seed, generate seed) — tests pin "
+    "retrain-equality under repartitioning and gradient-check the "
+    "backprop.",
 )
 def m1_vae_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np

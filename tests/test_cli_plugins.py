@@ -239,7 +239,9 @@ def test_cli_deep_trainer_then_generate_from_artifact(spark, price_csv, tmp_path
     assert r["trainer"] == "gan" and r["model_file"] == model_dir
     import os
 
-    assert os.path.exists(os.path.join(model_dir, "weights.npy"))
+    # v3 MLP artifact layout: layer stack npz + meta
+    assert os.path.exists(os.path.join(model_dir, "layers.npz"))
+    assert os.path.exists(os.path.join(model_dir, "meta.json"))
 
     out_csv = str(tmp_path / "from_artifact")
     g = main(

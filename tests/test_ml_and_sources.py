@@ -109,7 +109,7 @@ def test_vae_trainer_fit_generate_determinism(spark):
     tr2 = VaeGanTrainer(window_rows=16, latent_dim=8, epochs=8, train_seed=42)
     tr2.prepare([src.repartition(7)], "value", "ts")
     dec2 = tr2.fit()
-    assert np.array_equal(dec.w, dec2.w) and np.array_equal(dec.b, dec2.b)
+    assert np.array_equal(dec.flat_weights(), dec2.flat_weights())
 
 
 def test_gan_trainer_fit_generate_determinism(spark):
@@ -139,7 +139,7 @@ def test_gan_trainer_fit_generate_determinism(spark):
     tr2 = cls(window_rows=16, latent_dim=8, epochs=8, train_seed=42)
     tr2.prepare([src.repartition(7)], "value", "ts")
     dec2 = tr2.fit()
-    assert np.array_equal(dec.w, dec2.w) and np.array_equal(dec.b, dec2.b)
+    assert np.array_equal(dec.flat_weights(), dec2.flat_weights())
 
 
 def test_gan_learns_scale():
