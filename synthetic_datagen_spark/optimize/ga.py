@@ -65,27 +65,107 @@ class GAOptimizer:
     elite: int = 2
     patience: int = 4
     history: list[dict] = field(default_factory=list)
+    resume_file: str | None = None  # per-generation checkpoint JSON
+    meta_log: str | None = None     # append-only CSV of every evaluation
+    stage_num: int = 0              # stage column in the meta-log
+
+    # ------------------------------------------------------- durability --
+    # The search trajectory is a pure function of (genes, seed, data):
+    # the init rng, each generation's breeding rng, and every fitness
+    # evaluation seed derive from (seed, gen), never from a continuous
+    # stream. A checkpoint at any generation boundary therefore resumes
+    # BIT-IDENTICALLY — the reference persists the same way
+    # (ga_optimizer.py:580-589 _save_resume/_load_resume; meta-log CSV
+    # header + per-individual rows, :220-228,:430-439).
+
+    def _save_state(self, state: dict) -> None:
+        if not self.resume_file:
+            return
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(self.resume_file) or ".", exist_ok=True)
+        tmp = self.resume_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2)
+        os.replace(tmp, self.resume_file)  # atomic: never a torn JSON
+
+    def _load_state(self) -> dict | None:
+        if not self.resume_file:
+            return None
+        import json
+        import os
+
+        if not os.path.exists(self.resume_file):
+            return None
+        with open(self.resume_file) as f:
+            return json.load(f)
+
+    def _meta_append(self, gen: int, pop: list[dict], scores: np.ndarray) -> None:
+        """Reference meta-training log: one CSV row per individual per
+        generation — `stage,generation,individual,<sorted genes>,fitness`
+        (ga_optimizer.py:228,438)."""
+        if not self.meta_log:
+            return
+        import os
+
+        names = sorted(g.name for g in self.genes)
+        write_header = not os.path.exists(self.meta_log)
+        os.makedirs(os.path.dirname(self.meta_log) or ".", exist_ok=True)
+        with open(self.meta_log, "a") as f:
+            if write_header:
+                f.write("stage,generation,individual," + ",".join(names) + ",fitness\n")
+            for idx, (cand, sc) in enumerate(zip(pop, scores)):
+                vals = ",".join(str(cand.get(k, "")) for k in names)
+                f.write(f"{self.stage_num},{gen},{idx},{vals},{float(sc)}\n")
+            f.flush()
 
     # ------------------------------------------------------------------
     def optimize(self, spark: SparkSession, init_pop: list[dict] | None = None) -> dict:
         """Run the GA; returns {best, score, history, pop, scores} —
         final population + scores so a stage loop (M15) can carry elites
         into its next stage. ``init_pop`` seeds the population (padded
-        with random samples / truncated to pop_size)."""
-        rng = np.random.default_rng(derive_seed(self.seed, 0x6A))
-        pop = [dict(c) for c in (init_pop or [])][: self.pop_size]
-        pop = [
-            {g.name: g.clip(c.get(g.name, g.sample(rng))) for g in self.genes}
-            for c in pop
-        ]
-        while len(pop) < self.pop_size:
-            pop.append({g.name: g.sample(rng) for g in self.genes})
-        best: dict | None = None
-        best_score = float("inf")
-        stale = 0
-        scores = np.array([])
-        for gen in range(self.n_gens):
+        with random samples / truncated to pop_size).
+
+        With ``resume_file`` set, a checkpoint is written after every
+        generation; a killed run re-invoked with the same arguments
+        skips completed generations and finishes bit-identically to an
+        uninterrupted run (pinned in tests/test_optimize.py)."""
+        state = self._load_state()
+        if state is not None and state.get("done"):
+            return {
+                "best": state["best"],
+                "score": state["best_score"],
+                "history": state["history"],
+                "pop": state["pop"],
+                "scores": np.array(state["scores"]),
+            }
+        if state is not None:
+            pop = state["pop"]
+            best = state["best"]
+            best_score = state["best_score"]
+            stale = state["stale"]
+            self.history = list(state["history"])
+            scores = np.array(state["scores"])
+            start_gen = state["next_gen"]
+        else:
+            rng = np.random.default_rng(derive_seed(self.seed, 0x6A))
+            pop = [dict(c) for c in (init_pop or [])][: self.pop_size]
+            pop = [
+                {g.name: g.clip(c.get(g.name, g.sample(rng))) for g in self.genes}
+                for c in pop
+            ]
+            while len(pop) < self.pop_size:
+                pop.append({g.name: g.sample(rng) for g in self.genes})
+            best = None
+            best_score = float("inf")
+            stale = 0
+            scores = np.array([])
+            start_gen = 0
+        stopped = False
+        for gen in range(start_gen, self.n_gens):
             scores = self._evaluate(spark, pop, gen)
+            self._meta_append(gen, pop, scores)
             order = np.argsort(scores)
             gen_best = float(scores[order[0]])
             self.history.append(
@@ -98,11 +178,25 @@ class GAOptimizer:
             else:
                 stale += 1
                 if stale >= self.patience:
-                    break
-            if gen < self.n_gens - 1:
+                    stopped = True
+            if not stopped and gen < self.n_gens - 1:
                 pop = self._next_gen(
                     pop, scores, np.random.default_rng(derive_seed(self.seed, gen + 1))
                 )
+            self._save_state(
+                {
+                    "next_gen": gen + 1,
+                    "pop": pop,
+                    "scores": [float(s) for s in scores],
+                    "best": best,
+                    "best_score": best_score,
+                    "stale": stale,
+                    "history": self.history,
+                    "done": stopped or gen == self.n_gens - 1,
+                }
+            )
+            if stopped:
+                break
         return {
             "best": best,
             "score": best_score,

@@ -48,14 +48,37 @@ class StagedOptimizer:
     stages: list[Stage]
     seed: int = 42
     stage_results: list[dict] = field(default_factory=list)
+    resume_file: str | None = None  # stage-level resume JSON (reference layout)
+    meta_log: str | None = None     # shared meta-training CSV across stages
 
     def optimize(self, spark: SparkSession) -> dict:
         """Run all stages; returns {best, score, stages: [per-stage
-        summaries]}. The global best is monotone non-increasing."""
+        summaries]}. The global best is monotone non-increasing.
+
+        With ``resume_file`` set, stage completion persists the
+        reference's resume layout (`best_params` / `best_fitness` /
+        `completed_stages`, ga_optimizer.py:284-289 + carry-elites so
+        the next stage seeds identically) and each stage's GA
+        checkpoints per generation to `<resume_file>.stage<i>` — a
+        killed run resumes mid-stage, bit-identically."""
+        import json
+        import os
+
         global_best: dict | None = None
         global_score = float("inf")
         carry: list[dict] = []
+        start_stage = 0
+        if self.resume_file and os.path.exists(self.resume_file):
+            with open(self.resume_file) as f:
+                state = json.load(f)
+            global_best = state.get("best_params")
+            global_score = state.get("best_fitness", float("inf"))
+            carry = state.get("carry", [])
+            self.stage_results = state.get("stage_results", [])
+            start_stage = state.get("completed_stages", 0)
         for si, st in enumerate(self.stages):
+            if si < start_stage:
+                continue
             frozen = {
                 name: global_best[name]
                 for name in st.freeze
@@ -90,6 +113,11 @@ class StagedOptimizer:
                 tourn=st.tourn,
                 mut_sigma=st.mut_sigma,
                 elite=st.elite_keep,
+                resume_file=(
+                    f"{self.resume_file}.stage{si}" if self.resume_file else None
+                ),
+                meta_log=self.meta_log,
+                stage_num=si,
             )
             res = ga.optimize(spark, init_pop=init)
             n_evals = st.pop_size * len(res["history"])
@@ -121,6 +149,21 @@ class StagedOptimizer:
                     "frozen": ",".join(sorted(frozen)) or "",
                 }
             )
+            if self.resume_file:
+                tmp = self.resume_file + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {
+                            "best_params": global_best,
+                            "best_fitness": global_score,
+                            "completed_stages": si + 1,
+                            "carry": carry,
+                            "stage_results": self.stage_results,
+                        },
+                        f,
+                        indent=2,
+                    )
+                os.replace(tmp, self.resume_file)
         return {
             "best": global_best,
             "score": global_score,

@@ -249,3 +249,127 @@ def test_staged_optimizer_freeze_and_monotone(spark):
     # equals it by construction of the collapsed bounds)
     assert a["best"]["block_size"] == b["best"]["block_size"]
     assert a["score"] <= a["stages"][0]["global_best"] + 1e-12
+
+
+def test_ga_resume_bit_identical_after_kill(spark, tmp_path):
+    """M14 durability (reference ga_optimizer.py:580-589): kill a run
+    mid-generation; re-invoking with the same resume file skips the
+    completed generations and finishes BIT-identically to an
+    uninterrupted run — best, score, and full history. The meta-log
+    carries the reference's per-individual CSV rows across the kill."""
+    genes = [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)]
+
+    def make(fitness, resume=None, meta=None):
+        return GAOptimizer(
+            genes=genes, fitness=fitness, pop_size=10, n_gens=6, seed=42,
+            resume_file=resume, meta_log=meta,
+        )
+
+    # uninterrupted reference run (no persistence)
+    ref = make(_toy_fitness_factory()).optimize(spark)
+
+    class Bomb(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+    inner = _toy_fitness_factory()
+
+    def bombed(spark_, cands, gen):
+        calls["n"] += 1
+        if calls["n"] > 3:  # die during generation 3 (0-indexed gen 3)
+            raise Bomb()
+        return inner(spark_, cands, gen)
+
+    resume = str(tmp_path / "ga_resume.json")
+    meta = str(tmp_path / "meta_log.csv")
+    try:
+        make(bombed, resume, meta).optimize(spark)
+        raise AssertionError("bomb did not go off")
+    except Bomb:
+        pass
+
+    import json
+    import os
+
+    state = json.load(open(resume))
+    assert state["next_gen"] == 3 and not state["done"]
+
+    out = make(_toy_fitness_factory(), resume, meta).optimize(spark)
+    assert out["best"] == ref["best"]
+    assert out["score"] == ref["score"]
+    assert out["history"] == ref["history"]
+    assert json.load(open(resume))["done"] is True
+
+    # completed run short-circuits: a third invocation re-evaluates nothing
+    def explode(*a):
+        raise AssertionError("fitness called after done")
+
+    again = make(explode, resume, meta).optimize(spark)
+    assert again["best"] == ref["best"] and again["score"] == ref["score"]
+
+    # meta-log: header + pop_size rows per evaluated generation, no dupes
+    lines = open(meta).read().strip().splitlines()
+    assert lines[0] == "stage,generation,individual,block_size,lam,fitness"
+    n_gens_eval = len(ref["history"])
+    assert len(lines) == 1 + 10 * n_gens_eval
+    gen_of = [int(l.split(",")[1]) for l in lines[1:]]
+    assert gen_of == sorted(gen_of)
+    assert os.path.exists(resume)
+
+
+def test_staged_resume_skips_completed_stages(spark, tmp_path):
+    """M15 durability: the stage loop persists the reference's resume
+    layout after each stage; a kill between stages resumes from the
+    next stage with identical carry-elites and final result."""
+    import json
+
+    from synthetic_datagen_spark.optimize import Stage, StagedOptimizer
+
+    genes = [Gene("block_size", 4, 40, "int"), Gene("lam", 0.0, 1.0)]
+    stages = [
+        Stage("broad", pop_size=6, n_gens=2, mut_sigma=0.3),
+        Stage("polish", pop_size=4, n_gens=2, mut_sigma=0.1),
+    ]
+
+    def factory(weights):
+        return _toy_fitness_factory()
+
+    ref = StagedOptimizer(
+        genes=genes, fitness_factory=factory, stages=stages, seed=11
+    ).optimize(spark)
+
+    class Bomb(RuntimeError):
+        pass
+
+    stage_calls = {"n": 0}
+
+    def bombed_factory(weights):
+        inner = _toy_fitness_factory()
+
+        def fitness(spark_, cands, gen):
+            stage_calls["n"] += 1
+            if stage_calls["n"] > 2:  # survive stage 0 (2 gens), die in stage 1
+                raise Bomb()
+            return inner(spark_, cands, gen)
+
+        return fitness
+
+    resume = str(tmp_path / "staged_resume.json")
+    try:
+        StagedOptimizer(
+            genes=genes, fitness_factory=bombed_factory, stages=stages,
+            seed=11, resume_file=resume,
+        ).optimize(spark)
+        raise AssertionError("bomb did not go off")
+    except Bomb:
+        pass
+    assert json.load(open(resume))["completed_stages"] == 1
+
+    out = StagedOptimizer(
+        genes=genes, fitness_factory=factory, stages=stages,
+        seed=11, resume_file=resume,
+    ).optimize(spark)
+    assert out["best"] == ref["best"] and out["score"] == ref["score"]
+    assert [s["global_best"] for s in out["stages"]] == [
+        s["global_best"] for s in ref["stages"]
+    ]
