@@ -244,9 +244,15 @@ def save_torch_checkpoint(obj, path: str, archive_name: str = "archive") -> None
     buf = io.BytesIO()
     p = _CheckpointPickler(buf)
     p.dump(tagged)
+
+    def _entry(name: str) -> zipfile.ZipInfo:
+        # fixed timestamp: the checkpoint bytes are a pure function of
+        # the object graph (golden-file pinned in tests/test_torch_io.py)
+        return zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_STORED) as zf:
-        zf.writestr(f"{archive_name}/data.pkl", buf.getvalue())
+        zf.writestr(_entry(f"{archive_name}/data.pkl"), buf.getvalue())
         for key, raw in p.storages.items():
-            zf.writestr(f"{archive_name}/data/{key}", raw)
-        zf.writestr(f"{archive_name}/version", "3\n")
-        zf.writestr(f"{archive_name}/byteorder", "little")
+            zf.writestr(_entry(f"{archive_name}/data/{key}"), raw)
+        zf.writestr(_entry(f"{archive_name}/version"), "3\n")
+        zf.writestr(_entry(f"{archive_name}/byteorder"), "little")

@@ -144,12 +144,17 @@ class RegimeGanTrainer:
 
 
 def save_regime_gan(model: RegimeGanModel, path: str) -> None:
-    """S7 — the reference's exact artifact layout (regime_gan.py:233-252):
+    """S7 — the reference's artifact layout (regime_gan.py:233-252):
     ``meta.json`` beside one torch-format ``gen_regime_{k}.pt`` per
     trained regime, each holding ``{"state_dict", "data_mean",
     "data_std"}``. The .pt files are real zip-format torch checkpoints
-    (ml/torch_io.py), so torch.load reads them and load_regime_gan reads
-    artifacts a torch-based writer produced."""
+    (ml/torch_io.py) and the state_dict uses the reference Generator's
+    ``net.<i>.weight`` key schema in torch's (out, in) orientation, so
+    ``nn.Sequential(nn.Linear(z_dim, seq_len))`` loads ours directly.
+    DEPTH differs by declaration: the reference Generator is a 4-Linear
+    stack (regime_gan.py:128-144) while this trainer fits a single
+    linear decoder — load_regime_gan maps EITHER schema (deep reference
+    artifacts included), see MIGRATION.md."""
     import json
     import os
 
@@ -175,8 +180,9 @@ def save_regime_gan(model: RegimeGanModel, path: str) -> None:
             {
                 "state_dict": OrderedDict(
                     [
-                        ("decoder.weight", dec["w"]),
-                        ("decoder.bias", dec["b"]),
+                        # torch nn.Linear orientation: (out_features, in_features)
+                        ("net.0.weight", np.ascontiguousarray(dec["w"].T)),
+                        ("net.0.bias", dec["b"]),
                     ]
                 ),
                 "data_mean": float(dec["mean"]),
@@ -186,9 +192,72 @@ def save_regime_gan(model: RegimeGanModel, path: str) -> None:
         )
 
 
+# activation pattern of the reference Generator's nn.Sequential
+# (regime_gan.py:133-141): Linear → LeakyReLU(0.2) → Linear →
+# LeakyReLU(0.2) → Linear → Tanh → Linear. Keyed by the module indices
+# the Linears occupy in the Sequential.
+_REF_GENERATOR_ACTS = {(0,): ("none",), (0, 2, 4, 6): ("lrelu", "lrelu", "tanh", "none")}
+
+
+def _decoder_from_state_dict(sd) -> dict | None:
+    """Map a generator state_dict to a decoder slot dict.
+
+    Accepts the legacy flat schema (``decoder.weight`` in (latent, seq)
+    orientation), the single-Linear ``net.0.*`` schema this writer
+    emits, and the reference's 4-Linear ``net.0/2/4/6.*`` schema
+    (torch (out, in) orientation — transposed on load). Unknown
+    architectures return None = parametric fallback, the reference's
+    None-generator contract (ADVICE r3: a real reference artifact must
+    load, not KeyError)."""
+    if "decoder.weight" in sd:
+        return {
+            "w": np.asarray(sd["decoder.weight"], dtype=np.float64),
+            "b": np.asarray(sd["decoder.bias"], dtype=np.float64),
+        }
+    idxs = tuple(
+        sorted(
+            int(k.split(".")[1])
+            for k in sd
+            if k.startswith("net.") and k.endswith(".weight")
+        )
+    )
+    acts = _REF_GENERATOR_ACTS.get(idxs)
+    if acts is None:
+        return None
+    layers = [
+        (
+            np.asarray(sd[f"net.{i}.weight"], dtype=np.float64).T,  # → (in, out)
+            np.asarray(sd[f"net.{i}.bias"], dtype=np.float64),
+            act,
+        )
+        for i, act in zip(idxs, acts)
+    ]
+    if len(layers) == 1:  # single Linear: keep the fast flat path
+        return {"w": layers[0][0], "b": layers[0][1]}
+    return {"net": layers}
+
+
+def _decode_z(dec: dict, z: np.ndarray) -> np.ndarray:
+    """Run a decoder slot: flat linear or deep reference stack."""
+    if "net" in dec:
+        h = z
+        for W, b, act in dec["net"]:
+            h = h @ W + b
+            if act == "lrelu":
+                h = np.where(h > 0.0, h, 0.2 * h)
+            elif act == "tanh":
+                h = np.tanh(h)
+        return h
+    return z @ dec["w"] + dec["b"]
+
+
 def load_regime_gan(path: str) -> RegimeGanModel:
     """Load a reference-layout artifact dir; absent gen_regime_{k}.pt =
-    sparse regime = parametric fallback (the reference's None slot)."""
+    sparse regime = parametric fallback (the reference's None slot).
+    Reads artifacts from this writer AND from the reference's torch
+    writer (deep net.* Generators map with transposition; an
+    unrecognized architecture degrades to the parametric fallback
+    instead of raising)."""
     import json
     import os
 
@@ -203,13 +272,12 @@ def load_regime_gan(path: str) -> RegimeGanModel:
         if not os.path.exists(pt):
             continue
         ckpt = load_torch_checkpoint(pt)
-        sd = ckpt["state_dict"]
-        decoders[k] = {
-            "w": np.asarray(sd["decoder.weight"], dtype=np.float64),
-            "b": np.asarray(sd["decoder.bias"], dtype=np.float64),
-            "mean": float(ckpt["data_mean"]),
-            "std": float(ckpt["data_std"]),
-        }
+        slot = _decoder_from_state_dict(ckpt["state_dict"])
+        if slot is None:
+            continue
+        slot["mean"] = float(ckpt["data_mean"])
+        slot["std"] = float(ckpt["data_std"])
+        decoders[k] = slot
     stats = {
         i: s for i, s in enumerate(meta["regime_stats"]) if s
     }
@@ -268,7 +336,7 @@ def generate(
                 dec = decs.get(regime)
                 if dec is not None and chunk == S:
                     z = rng.standard_normal(L)
-                    r = (z @ dec["w"] + dec["b"]) * dec["std"] + dec["mean"]
+                    r = _decode_z(dec, z) * dec["std"] + dec["mean"]
                 else:
                     st = stats.get(regime, {"mu": 0.0, "sigma": 1e-3})
                     r = rng.normal(st["mu"], st["sigma"] or 1e-10, chunk)
