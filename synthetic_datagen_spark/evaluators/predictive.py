@@ -164,21 +164,30 @@ class PredictiveEvaluator:
                 self._mae_lstm(xy_test, m_base),
                 self._mae_lstm(xy_val, m_aug),
                 self._mae_lstm(xy_test, m_aug),
+                self._mae_lstm(xy_real, m_base),
+                self._mae_lstm(xy_aug, m_aug),
             ]
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            # the two Gram fits, then the four MAE scans, are independent
+            # the two Gram fits, then the six MAE scans, are independent
             # Spark jobs — overlap them from driver threads (same plans,
             # identical results; persisted inputs are shared)
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=6) as pool:
                 f_base = pool.submit(self._fit, xy_real)
                 f_aug = pool.submit(self._fit, xy_aug)
                 w_base, w_aug = f_base.result(), f_aug.result()
                 maes = list(
                     pool.map(
                         lambda p: self._mae(*p),
-                        [(xy_val, w_base), (xy_test, w_base), (xy_val, w_aug), (xy_test, w_aug)],
+                        [
+                            (xy_val, w_base), (xy_test, w_base),
+                            (xy_val, w_aug), (xy_test, w_aug),
+                            # train-split MAEs (reference
+                            # predictive_evaluator.py:99-135 fits report
+                            # mae_train alongside val/test)
+                            (xy_real, w_base), (xy_aug, w_aug),
+                        ],
                     )
                 )
         out = {
@@ -186,6 +195,8 @@ class PredictiveEvaluator:
             "baseline_test_mae": maes[1],
             "augmented_val_mae": maes[2],
             "augmented_test_mae": maes[3],
+            "baseline_train_mae": maes[4],
+            "augmented_train_mae": maes[5],
         }
         out["delta_val_mae"] = out["augmented_val_mae"] - out["baseline_val_mae"]
         out["delta_test_mae"] = out["augmented_test_mae"] - out["baseline_test_mae"]
@@ -202,15 +213,18 @@ class PredictiveEvaluator:
     def evaluate_reference_keys(self, *args, **kwargs) -> dict[str, float]:
         """The reference's exact output keys
         (predictive_evaluator.py:169-287 / tests/test_predictive_
-        evaluator.py:45-58): {baseline,augmented}_mae_{val,test},
-        mae_delta_*, mae_pct_change_*, synthetic_helps_* — so a
-        reference caller's key handling works unchanged. Per-split
-        verdicts mirror the reference (delta < 0 per split); the
-        internal `helps` requires both splits."""
+        evaluator.py:45-58): {baseline,augmented}_mae_{train,val,test}
+        (train included — predictive_evaluator.py:242,246), mae_delta_*,
+        mae_pct_change_*, synthetic_helps_* — so a reference caller's
+        key handling works unchanged. Per-split verdicts mirror the
+        reference (delta < 0 per split); the internal `helps` requires
+        both splits."""
         m = self.evaluate(*args, **kwargs)
         out = {
+            "baseline_mae_train": m["baseline_train_mae"],
             "baseline_mae_val": m["baseline_val_mae"],
             "baseline_mae_test": m["baseline_test_mae"],
+            "augmented_mae_train": m["augmented_train_mae"],
             "augmented_mae_val": m["augmented_val_mae"],
             "augmented_mae_test": m["augmented_test_mae"],
             "mae_delta_val": m["delta_val_mae"],

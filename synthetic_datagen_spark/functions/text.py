@@ -48,13 +48,19 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 def quality_score(text: Column) -> Column:
     """Composite heuristic quality score in [0,1]: length sweet-spot,
     moderate punctuation, presence of stopword-like short tokens.
-    Mirrors the length/punct/stopword ratio recipe from the brief."""
+    Mirrors the length/punct/stopword ratio recipe from the brief.
+
+    NULL/empty text scores 0.0, matching the row UDF and the pandas
+    UDF exactly (ADVICE r3: the surfaces used to disagree on empty
+    docs — NULL text even scored 0.8 because ``least(NULL/200, 1.0)``
+    skips the NULL)."""
     n = F.length(text).cast("double")
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))  # saturate at 200 chars
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - 4.0 * punct_ratio(text))
     sw = stopword_ratio(text, "en")
     sw_score = F.least(sw * 5.0, F.lit(1.0))
-    return (0.5 * len_score + 0.3 * punct_pen + 0.2 * sw_score)
+    score = 0.5 * len_score + 0.3 * punct_pen + 0.2 * sw_score
+    return F.when(n > 0, score).otherwise(F.lit(0.0))
 
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:

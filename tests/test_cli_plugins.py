@@ -156,6 +156,28 @@ def test_vectorized_udfs_match_row_udfs(spark, sf_smoke):
         assert r["tc_row"] == r["tc_vec"], (r["tc_row"], r["tc_vec"])
         assert abs(r["q_row"] - r["q_vec"]) < 1e-12, (r["q_row"], r["q_vec"])
 
+    # ADVICE r3 pin: NULL / empty / whitespace-only docs score
+    # IDENTICALLY on all three surfaces (column expr, row UDF, pandas
+    # UDF) — empty and NULL are 0.0, never NULL or a nonzero artifact
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.functions.text import quality_score
+
+    edge = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "the fox.")], "id LONG, text STRING"
+    )
+    out = edge.select(
+        "id",
+        quality_score(F.col("text")).alias("q_col"),
+        F.expr("quality_score_py(text)").alias("q_row"),
+        F.expr("quality_score_vec(text)").alias("q_vec"),
+    ).collect()
+    for r in out:
+        assert r["q_col"] is not None, r
+        assert abs(r["q_col"] - r["q_row"]) < 1e-12, (r["id"], r["q_col"], r["q_row"])
+        assert abs(r["q_col"] - r["q_vec"]) < 1e-12, (r["id"], r["q_col"], r["q_vec"])
+    assert out[0]["q_col"] == 0.0 and out[1]["q_col"] == 0.0
+
 
 def test_grouped_agg_ar1_udaf(spark):
     """§2.12(b) grouped-agg pandas UDF: ar1_agg(idx, x) equals the

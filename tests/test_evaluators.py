@@ -344,14 +344,18 @@ def test_predictive_reference_key_surface(spark, sf_smoke):
         train, syn, val, test, "value", [], ["ts", "event_id"]
     )
     want = {
-        "baseline_mae_val", "baseline_mae_test",
-        "augmented_mae_val", "augmented_mae_test",
+        "baseline_mae_train", "baseline_mae_val", "baseline_mae_test",
+        "augmented_mae_train", "augmented_mae_val", "augmented_mae_test",
         "mae_delta_val", "mae_delta_test",
         "mae_pct_change_val", "mae_pct_change_test",
         "synthetic_helps_val", "synthetic_helps_test",
     }
     assert set(m) == want
     assert m["baseline_mae_val"] > 0 and m["baseline_mae_test"] > 0
+    # train-split MAEs (predictive_evaluator.py:242,246): present,
+    # positive, and the baseline fits ITS OWN train split at least as
+    # well as the ridge generalizes to val (no exact bound — just sane)
+    assert m["baseline_mae_train"] > 0 and m["augmented_mae_train"] > 0
     assert abs(
         m["mae_delta_test"] - (m["augmented_mae_test"] - m["baseline_mae_test"])
     ) < 1e-8

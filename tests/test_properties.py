@@ -278,3 +278,25 @@ def test_min_label_components_matches_union_find(spark, edges):
         for r in min_label_components(pairs, "id_a", "id_b").collect()
     }
     assert got == want
+
+
+def test_cc_long_chain_pointer_doubling(spark):
+    """ADVICE r3: a chain-shaped component longer than max_rounds hops
+    must still collapse to ONE cluster (pointer doubling gives O(log d)
+    rounds), and an insufficient round budget must RAISE, never return
+    silently split clusters."""
+    import pytest
+
+    from synthetic_datagen_spark.functions.graph import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a LONG, id_b LONG"
+    )
+    out = min_label_components(chain).collect()
+    assert len(out) == 64 and all(r.cluster_id == 0 for r in out)
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        min_label_components(long_chain, max_rounds=2)
