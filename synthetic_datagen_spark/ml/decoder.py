@@ -402,17 +402,22 @@ class TimeGanTrainer(_TrainerBase):
     numpy 3-phase TimeGAN (ml/timegan.py): autoencoder → supervised →
     joint adversarial with moment matching, per-phase Adam, early
     stopping with best-weight restore, [0,1] min-max normalization —
-    the reference's protocol exactly, per-timestep linear special case
-    of its GRU stacks (TF is absent here). `fit()` returns the trained
-    `NumpyTimeGan`, whose `.generate()` runs the same broadcast-weights
-    mapInPandas plan as LinearDecoder (G11)."""
+    the reference's protocol exactly, over real GRU stacks (n_layers
+    GRU + Dense head per network, numpy BPTT; reference architecture
+    timegan_generator.py:273-316, default n_layers=3 as in its config
+    :43). `fit()` returns the trained `NumpyTimeGan`, whose
+    `.generate()` runs the same broadcast-weights mapInPandas plan as
+    LinearDecoder (G11)."""
 
     name = "timegan"
 
-    def __init__(self, hidden_dim: int = 16, epochs_joint: int = 40, **kw):
+    def __init__(
+        self, hidden_dim: int = 16, epochs_joint: int = 40, n_layers: int = 3, **kw
+    ):
         super().__init__(**kw)
         self.hidden_dim = hidden_dim
         self.epochs_joint = epochs_joint
+        self.n_layers = n_layers
         self.timegan = None
 
     def fit(self):
@@ -423,6 +428,7 @@ class TimeGanTrainer(_TrainerBase):
             seq_len=self.window_rows,
             hidden_dim=self.hidden_dim,
             latent_dim=self.latent_dim,
+            n_layers=self.n_layers,
             epochs_ae=self.epochs,
             epochs_sup=self.epochs,
             epochs_joint=self.epochs_joint,

@@ -139,8 +139,9 @@ def m1_vae_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the numpy 3-phase protocol (autoencoder L1 -> supervised one-step "
     "latent -> joint BCE + 10x supervised + 100x moment loss, per-phase "
     "Adam, early stop with best-weight restore - reference: "
-    "timegan_generator.py:321-551, per-timestep linear special case of "
-    "its GRU stacks); the trained chain z->G->S->R broadcasts into the "
+    "timegan_generator.py:321-551, real GRU stacks with numpy BPTT, "
+    "reduced-size config for the bench); the trained chain z->G->S->R "
+    "broadcasts into the "
     "same mapInPandas generate plan as G1-G3. Deterministic in "
     "(data, train_seed, generate seed).",
 )
@@ -151,8 +152,8 @@ def g11_timegan_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _train_series(spark, sf_dir).select("ts", "value")
     tr = TimeGanTrainer(
-        window_rows=24, latent_dim=8, hidden_dim=12, epochs=8, epochs_joint=6,
-        train_seed=42, max_windows=1024,
+        window_rows=24, latent_dim=8, hidden_dim=12, n_layers=1, epochs=6,
+        epochs_joint=4, train_seed=42, max_windows=512,
     )
     tr.prepare([src], "value", "ts")
     tg = tr.fit()

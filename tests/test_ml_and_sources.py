@@ -336,6 +336,100 @@ def test_timegan_save_load_roundtrip(spark, tmp_path):
     assert np.array_equal(tg.decode(z), tg2.decode(z))
 
 
+def test_timegan_gru_gradients_match_numerical():
+    """The GRU-stack BPTT gradients (ml/timegan.py) are exact: every
+    phase objective (autoencoder L1, supervised L1, generator step
+    BCE + 100·moment + 10·sup, discriminator BCE) matches central
+    differences. L1/moment kinks are avoided by a generic random
+    configuration and a small relative-error floor."""
+    from synthetic_datagen_spark.ml.timegan import NumpyTimeGan
+
+    tg = NumpyTimeGan(seq_len=6, hidden_dim=3, latent_dim=2, n_layers=2, seed=3)
+    p = tg._init_params(np.random.default_rng(5))
+    for k in p:
+        p[k] = p[k] + np.random.default_rng(hash(k) % 2**31).normal(0, 0.2, p[k].shape)
+    x = np.random.default_rng(9).standard_normal((8, 6)) * 0.5 + 0.5
+    z = np.random.default_rng(11).standard_normal((8, 6, 2))
+
+    cases = [
+        ("ae", lambda q: tg.ae_loss(q, x), lambda q: tg.ae_grads(q, x)),
+        ("sup", lambda q: tg.sup_loss(q, x), lambda q: tg.sup_grads(q, x)),
+        ("gen", lambda q: tg.gen_step_loss(q, x, z), lambda q: tg.gen_step_grads(q, x, z)),
+        ("disc", lambda q: tg.disc_loss(q, x, z), lambda q: tg.disc_grads(q, x, z)),
+    ]
+    eps = 1e-5
+    for label, loss_fn, grads_fn in cases:
+        g = grads_fn(p)
+        assert g, label
+        rs = np.random.default_rng(13)
+        for k in g:
+            flat = p[k].reshape(-1)
+            for idx in rs.choice(flat.size, size=min(4, flat.size), replace=False):
+                orig = flat[idx]
+                flat[idx] = orig + eps
+                lp = loss_fn(p)
+                flat[idx] = orig - eps
+                lm = loss_fn(p)
+                flat[idx] = orig
+                num = (lp - lm) / (2 * eps)
+                ana = g[k].reshape(-1)[idx]
+                denom = max(1e-4, abs(num), abs(ana))
+                assert abs(num - ana) / denom < 1e-3, (label, k, num, ana)
+
+
+def test_timegan_embedder_is_recurrent():
+    """Real GRUs, not the former per-timestep special case: perturbing
+    x at t=0 must change the embedder latent at the LAST timestep
+    (state carries forward through the recurrent weights)."""
+    from synthetic_datagen_spark.ml.timegan import NumpyTimeGan
+
+    tg = NumpyTimeGan(seq_len=8, hidden_dim=4, latent_dim=2, n_layers=1, seed=0)
+    p = tg._init_params(np.random.default_rng(1))
+    x = np.random.default_rng(2).standard_normal((2, 8))
+    h0, _ = tg._embed(p, x)
+    x2 = x.copy()
+    x2[:, 0] += 1.0
+    h1, _ = tg._embed(p, x2)
+    assert np.abs(h0[:, -1, :] - h1[:, -1, :]).max() > 1e-9
+
+
+def test_timegan_legacy_v1_artifact_loads(tmp_path):
+    """format_version 1 artifacts (per-timestep nets under bare We/Wr/…
+    keys) load as the n_layers=0 degenerate case and decode by the
+    exact legacy formula R(S(G(z))) with per-timestep Dense nets."""
+    import json
+    import os
+
+    from synthetic_datagen_spark.ml.timegan import _sigmoid, load_timegan
+
+    H, L, Tn = 5, 3, 7
+    rng = np.random.default_rng(21)
+    legacy = {
+        "We": rng.normal(0, 0.1, H), "be": rng.normal(0, 0.1, H),
+        "Wr": rng.normal(0, 0.1, H), "br": np.asarray(rng.normal()),
+        "Wg": rng.normal(0, 0.1, (L, H)), "bg": rng.normal(0, 0.1, H),
+        "Ws": rng.normal(0, 0.1, (H, H)), "bs": rng.normal(0, 0.1, H),
+        "Wd": rng.normal(0, 0.1, H), "bd": np.asarray(rng.normal()),
+    }
+    path = str(tmp_path / "tg_v1")
+    os.makedirs(path)
+    np.savez(os.path.join(path, "weights.npz"), **legacy)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"seq_len": Tn, "hidden_dim": H, "latent_dim": L,
+             "data_min": -0.2, "data_range": 0.4, "format_version": 1},
+            f,
+        )
+    tg = load_timegan(path)
+    assert tg.n_layers == 0
+    z = np.random.default_rng(33).standard_normal((4, Tn, L))
+    got = tg.decode(z)
+    e = _sigmoid(z @ legacy["Wg"] + legacy["bg"])
+    h = _sigmoid(e @ legacy["Ws"] + legacy["bs"])
+    want = (h @ legacy["Wr"] + legacy["br"]) * 0.4 + (-0.2)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
 def test_catalog_normalizes_timestamp_ntz(spark):
     """Round-2 regression pin: with NTZ inference on (the plain driver
     session's default view of tz-less parquet timestamp[us]), the
