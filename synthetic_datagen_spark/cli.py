@@ -190,12 +190,21 @@ def _train(spark, config: dict) -> dict:
         from .plugins import load_plugin
 
         cls = load_plugin("sdg.trainer", name)
-        tr = cls(
-            window_rows=32,
-            latent_dim=int(config.get("latent_dim", 16)),
-            train_seed=int(config["seed"]),
-            epochs=int(config.get("epochs", 20)),
-        )
+        kw = {
+            "window_rows": int(config.get("window_size", 32)),
+            "latent_dim": int(config.get("latent_dim", 16)),
+            "train_seed": int(config["seed"]),
+            "epochs": int(config.get("epochs", 20)),
+        }
+        # reference architecture keys (timegan_generator.py:42-43:
+        # hidden_dim=24, n_layers=3) pass through to trainers that
+        # take them
+        if name == "timegan":
+            if "hidden_dim" in config:
+                kw["hidden_dim"] = int(config["hidden_dim"])
+            if "n_layers" in config:
+                kw["n_layers"] = int(config["n_layers"])
+        tr = cls(**kw)
         tr.prepare([df.select("ts", "value")], "value", "ts")
         fitted = tr.fit()
         out = {"trainer": name, "model_file": config.get("model_file")}
