@@ -74,15 +74,35 @@ def min_label_components(
 ) -> DataFrame:
     """Connected components over an undirected pair list.
 
-    Returns (node_id, cluster_id) for every node appearing in ≥1 pair;
+    Returns (node_id, cluster_id) for every node appearing in >=1 pair;
     cluster_id is the component's minimum node id (the canonical
     representative — 'keep one per cluster' keeps cluster_id itself).
-    Each round = one-hop min propagation + pointer doubling, so
-    convergence needs ~log2(diameter) rounds; rounds only run while labels
-    are still changing, so a generous ``max_rounds=30`` budget costs
-    nothing once converged (the sf0.1 text LSH graph needs 14; measured,
-    not assumed). Raises RuntimeError if labels
-    have not stabilized within the budget (never silently truncates).
+
+    Each round does min-label propagation WITH EDGE CONTRACTION:
+
+      1. one-hop:          m(v) = min(v, min over v's neighbors)
+      2. pointer doubling: m(v) <- m(m(v))
+      3. contraction:      compose m into the node->label map, rewrite
+                           the edge list through m, drop self-loops,
+                           dedupe
+
+    Pointer doubling gives ~log2(diameter) rounds; contraction makes
+    each successive round run over a geometrically SHRINKING supernode
+    graph instead of the full edge set — on dense duplicate clusters
+    (m nodes, ~m^2/2 verified pairs) the first contraction collapses
+    almost the whole component, so total work stays near-linear in |E|
+    rather than |E|·rounds (the r4 sf1 probe measured the uncontracted
+    kernel at 10x edges going superlinear; contraction is
+    result-identical, components of the contracted graph ARE components
+    of the original). Converged when the contracted edge set is empty.
+    Raises RuntimeError if the budget runs out first (never silently
+    truncates).
+
+    localCheckpoint (not just persist) after every round: an iterative
+    plan that references its previous round TWICE doubles in size per
+    iteration — lineage must be CUT, not merely cached, or analysis
+    alone goes exponential (SURVEY §4.2). Intermediates are released
+    before returning; only the final labels frame stays checkpointed.
     """
     retained: list[DataFrame] = []
     p = pairs.localCheckpoint()
@@ -90,6 +110,8 @@ def min_label_components(
     edges = (
         p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
         .localCheckpoint()
     )
     retained.append(edges)
@@ -99,51 +121,84 @@ def min_label_components(
         .withColumn("label", F.col("node_id"))
         .localCheckpoint()
     )
+    retained.append(labels_cp)
     labels = labels_cp
     converged = False
     for _ in range(max_rounds):
-        # 1. one-hop: min over neighbors' labels
-        neigh = (
-            edges.join(labels, edges.src == labels.node_id)
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.min("label").alias("nl"))
-        )
-        hop = labels.join(neigh, "node_id", "left").select(
-            "node_id",
-            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-            F.col("label").alias("_prev"),
-        )
-        # 2. pointer doubling: label(v) ← label(label(v)). Labels are
-        # node ids, so the lookup table is `hop` itself re-keyed; the
-        # left join covers the round-boundary case where a label id's
-        # own row is still mid-shrink.
-        ptr = hop.select(
-            F.col("node_id").alias("_pd_id"), F.col("label").alias("_pd_label")
-        )
-        new_cp = (
-            hop.join(ptr, hop.label == ptr._pd_id, "left")
-            .select(
-                "node_id",
-                F.least(F.col("label"), F.coalesce("_pd_label", "label")).alias("label"),
-                (F.least(F.col("label"), F.coalesce("_pd_label", "label"))
-                 < F.col("_prev")).alias("_chg"),
-            )
-            .localCheckpoint()  # eager: one job materializes round + flag
-        )
-        changed = new_cp.filter("_chg").limit(1).count()  # scan of cached rows
-        retained.append(labels_cp)
-        labels_cp = new_cp
-        labels = new_cp.drop("_chg")
-        if changed == 0:
+        if edges.limit(1).count() == 0:
             converged = True
             break
+        # 1. one-hop min over the CURRENT supernode graph (edges are
+        # symmetric, so scanning in-neighbors of dst covers everyone)
+        m = (
+            edges.groupBy(F.col("dst").alias("v"))
+            .agg(F.min("src").alias("nl"))
+            .select("v", F.least(F.col("v"), F.col("nl")).alias("m1"))
+        )
+        # 2. pointer doubling ITERATED TO A FIXED POINT (bounded by
+        # max_rounds inner steps, so total reach per outer round is
+        # 2^max_rounds hops): the mapping frame holds one row per
+        # ACTIVE supernode — far smaller than the edge list — so
+        # compressing paths here is much cheaper than paying extra
+        # edge-join rounds. A chain of any diameter d collapses in ONE
+        # outer round (~log2 d inner self-joins).
+        m2 = m.select("v", F.col("m1").alias("mlab")).localCheckpoint()
+        retained.append(m2)
+        for _ in range(max_rounds):
+            look = m2.select(F.col("v").alias("_lv"), F.col("mlab").alias("_lm"))
+            nxt = (
+                m2.join(look, m2.mlab == look._lv, "left")
+                .select(
+                    "v",
+                    F.least(F.col("mlab"), F.coalesce("_lm", "mlab")).alias("mlab"),
+                    (F.least(F.col("mlab"), F.coalesce("_lm", "mlab"))
+                     < F.col("mlab")).alias("_chg"),
+                )
+                .localCheckpoint()
+            )
+            retained.append(nxt)
+            changed = nxt.filter("_chg").limit(1).count()
+            m2 = nxt.drop("_chg")
+            if changed == 0:
+                break
+        # 3a. compose into the full node->label map
+        new_labels = (
+            labels.join(m2, labels.label == m2.v, "left")
+            .select(
+                "node_id",
+                F.coalesce("mlab", "label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        retained.append(new_labels)
+        labels = new_labels
+        # 3b. contract the edge list through m, drop self-loops, dedupe
+        ms = m2.select(F.col("v").alias("_sv"), F.col("mlab").alias("_sm"))
+        md = m2.select(F.col("v").alias("_dv"), F.col("mlab").alias("_dm"))
+        new_edges = (
+            edges.join(ms, edges.src == ms._sv, "left")
+            .join(md, edges.dst == md._dv, "left")
+            .select(
+                F.coalesce("_sm", "src").alias("src"),
+                F.coalesce("_dm", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        retained.append(new_edges)
+        edges = new_edges
+    if not converged and edges.limit(1).count() == 0:
+        converged = True  # emptied exactly on the final allowed round
+    final = labels.select("node_id", F.col("label").alias("cluster_id"))
+    if converged:
+        final = final.localCheckpoint()
     for df in retained:
         df.unpersist()
     if not converged:
-        labels_cp.unpersist()
         raise RuntimeError(
             f"min_label_components: labels still changing after "
-            f"{max_rounds} pointer-doubling rounds — component diameter "
-            f"exceeds ~2^{max_rounds}; raise max_rounds"
+            f"{max_rounds} contraction rounds — component diameter "
+            f"exceeds ~4^{max_rounds}; raise max_rounds"
         )
-    return labels.select("node_id", F.col("label").alias("cluster_id"))
+    return final
