@@ -412,7 +412,7 @@ class TimeGanTrainer(_TrainerBase):
     name = "timegan"
 
     def __init__(
-        self, hidden_dim: int = 16, epochs_joint: int = 40, n_layers: int = 3, **kw
+        self, hidden_dim: int = 24, epochs_joint: int = 40, n_layers: int = 3, **kw
     ):
         super().__init__(**kw)
         self.hidden_dim = hidden_dim

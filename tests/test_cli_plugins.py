@@ -283,6 +283,44 @@ def test_cli_deep_trainer_then_generate_from_artifact(spark, price_csv, tmp_path
     assert back.count() == 96
 
 
+def test_cli_timegan_train_architecture_keys(spark, price_csv, tmp_path):
+    """--mode train --trainer timegan honors the reference's
+    architecture config keys (timegan_generator.py:42-43,116-118:
+    window_size / hidden_dim / n_layers) and saves the v2 GRU artifact;
+    a generate pass decodes from the loaded artifact."""
+    cfg = str(tmp_path / "tg.json")
+    model_dir = str(tmp_path / "tg_model")
+    with open(cfg, "w") as f:
+        json.dump(
+            {"window_size": 12, "hidden_dim": 6, "n_layers": 1,
+             "latent_dim": 4, "epochs": 2, "seed": 3}, f
+        )
+    r = main(
+        [
+            "--mode", "train",
+            "--trainer", "timegan",
+            "--input-file", price_csv,
+            "--model-file", model_dir,
+            "--config", cfg,
+        ],
+        spark=spark,
+    )
+    assert r["trainer"] == "timegan"
+    with open(os.path.join(model_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["seq_len"] == 12
+    assert meta["hidden_dim"] == 6
+    assert meta["n_layers"] == 1
+    assert meta["format_version"] == 2
+
+    from synthetic_datagen_spark.ml.timegan import load_timegan
+
+    tg = load_timegan(model_dir)
+    z = np.random.default_rng(0).standard_normal((2, 12, 4))
+    x = tg.decode(z)
+    assert x.shape == (2, 12) and np.all(np.isfinite(x))
+
+
 def test_cli_predictive_evaluate(spark, price_csv, tmp_path):
     """--mode evaluate --evaluator predictive runs the full A/B protocol
     from two CSVs and emits the reference's metric keys (this path
