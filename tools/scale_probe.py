@@ -50,6 +50,9 @@ def main() -> None:
     for name in names:
         rec: dict[str, float] = {}
         for tag, d in zip(("small", "big"), dirs):
+            spark.catalog.clearCache()  # same hygiene as bench.py: no
+            # storage bleed between measurements (checkpoint blocks of
+            # earlier queries otherwise crowd the local-mode heap)
             t0 = time.time()
             n = qs[name](spark, d).count()
             rec[tag] = round(time.time() - t0, 2)
