@@ -59,6 +59,38 @@ def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
     return G, b, int(row["m"])
 
 
+def augmentation_metrics(
+    baseline_val_mae: float,
+    baseline_test_mae: float,
+    augmented_val_mae: float,
+    augmented_test_mae: float,
+) -> dict:
+    """The reference AugmentationEvaluator's exact comparison dict
+    (augmentation_evaluator.py:75-93): improvements are baseline −
+    augmented (positive = synthetic helped), pct guards a zero baseline
+    to 0.0, and the verdict is "GOOD" iff val improved, else "BAD"."""
+    out = {
+        "baseline_val_mae": float(baseline_val_mae),
+        "baseline_test_mae": float(baseline_test_mae),
+        "augmented_val_mae": float(augmented_val_mae),
+        "augmented_test_mae": float(augmented_test_mae),
+        "val_improvement": float(baseline_val_mae - augmented_val_mae),
+        "test_improvement": float(baseline_test_mae - augmented_test_mae),
+        "val_improvement_pct": (
+            (baseline_val_mae - augmented_val_mae) / baseline_val_mae * 100
+            if baseline_val_mae > 0
+            else 0.0
+        ),
+        "test_improvement_pct": (
+            (baseline_test_mae - augmented_test_mae) / baseline_test_mae * 100
+            if baseline_test_mae > 0
+            else 0.0
+        ),
+    }
+    out["verdict"] = "GOOD" if out["val_improvement"] > 0 else "BAD"
+    return out
+
+
 class PredictiveEvaluator:
     def __init__(
         self,
@@ -209,6 +241,87 @@ class PredictiveEvaluator:
         for d in (xy_real, xy_val, xy_test, xy_aug):
             d.unpersist()
         return out
+
+    def sweep(
+        self,
+        real_train: DataFrame,
+        variants: list[tuple[str, DataFrame, dict]],
+        val: DataFrame,
+        test: DataFrame,
+        value_col: str,
+        partition_cols: list[str],
+        order_cols: list[str],
+        baseline_file: str | None = None,
+        max_workers: int = 4,
+    ) -> list[dict]:
+        """Augmentation sweep — evaluate many synthetic variants against
+        ONE shared baseline (reference: run_ratio_sweep.py:50-176 and
+        run_option_a_eval.py:67-98 loop generator configs through
+        AugmentationEvaluator; augmentation_evaluator.py:66-93 computes
+        the per-variant metric dict, :112-127 memoizes the baseline).
+
+        ``variants`` is ``[(label, synthetic_df, meta), ...]``; each
+        result row is ``{label, **meta, **augmentation_metrics(...)}``.
+
+        Spark-first restructuring: the reference re-runs the whole
+        pipeline per sweep point (a training subprocess each); here the
+        real/val/test window frames build ONCE and stay persisted across
+        the sweep, the baseline fits once (optionally memoized to
+        ``baseline_file`` — M12, same contract as the reference's JSON
+        memo), and only the synthetic windows + one Gram fit + two MAE
+        scans run per variant. Ridge variants overlap from driver
+        threads (independent Spark jobs over shared persisted inputs);
+        the lstm predictor trains driver-side, so variants run
+        sequentially (results are seed-deterministic either way).
+        """
+        mk = lambda d: _xy(d, self.window, self.horizon, value_col, partition_cols, order_cols)  # noqa: E731
+        xy_real = mk(real_train).persist()
+        xy_val = mk(val).persist()
+        xy_test = mk(test).persist()
+
+        def fit(xy_train: DataFrame):
+            if self.predictor == "lstm":
+                return self._fit_lstm(xy_train, xy_val)
+            return self._fit(xy_train)
+
+        def mae(xy: DataFrame, model) -> float:
+            if self.predictor == "lstm":
+                return self._mae_lstm(xy, model)
+            return self._mae(xy, model)
+
+        def baseline_maes() -> dict:
+            w = fit(xy_real)
+            return {"val_mae": mae(xy_val, w), "test_mae": mae(xy_test, w)}
+
+        if baseline_file:
+            from .memo import json_memo
+
+            base = json_memo(baseline_file, "baseline", baseline_maes)
+        else:
+            base = baseline_maes()
+
+        def run_variant(item: tuple[str, DataFrame, dict]) -> dict:
+            label, syn, meta = item
+            xy_aug = mk(syn).unionByName(xy_real)  # J2 union
+            w = fit(xy_aug)
+            row = {"label": label, **meta}
+            row.update(
+                augmentation_metrics(
+                    base["val_mae"], base["test_mae"], mae(xy_val, w), mae(xy_test, w)
+                )
+            )
+            return row
+
+        if self.predictor == "lstm" or len(variants) <= 1:
+            results = [run_variant(v) for v in variants]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(variants))) as pool:
+                results = list(pool.map(run_variant, variants))
+        for d in (xy_real, xy_val, xy_test):
+            d.unpersist()
+        return results
 
     def evaluate_reference_keys(self, *args, **kwargs) -> dict[str, float]:
         """The reference's exact output keys

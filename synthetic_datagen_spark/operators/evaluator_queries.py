@@ -60,6 +60,103 @@ def m11_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "ratio_sweep_panel",
+    oracle=None,  # generate→fit→score orchestration per sweep point
+    doc="Augmentation ratio sweep — the reference's experiment harness "
+    "as one query (run_ratio_sweep.py:50-176: n_samples sweep, "
+    "block-size sweep at fixed n, head-n subsample of a pre-generated "
+    "set; run_option_a_eval.py:67-98: multi-generator panel; "
+    "augmentation_evaluator.py:75-93 metric keys/verdict; best-of "
+    "selection run_ratio_sweep.py:167-168). Spark-first: real/val/test "
+    "window frames and the baseline fit are shared across every sweep "
+    "point instead of re-running the full pipeline per point.",
+)
+def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..generators import GrasyndaGenerator
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type") == "click")
+        .select("ts", "event_id", "value")
+    )
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+
+    def as_series(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("t").alias("ts"), F.col("t").alias("event_id"),
+            F.col("price").alias("value"),
+        )
+
+    variants: list[tuple[str, DataFrame, dict]] = []
+    # Part 1 — ratio sweep at fixed block size (run_ratio_sweep.py:68-90)
+    bb25 = BlockBootstrapGenerator(block_size=25).fit(train, "value", ["ts", "event_id"])
+    for n in (100, 250):
+        syn = as_series(bb25.generate(spark, seed=42, n_samples=n, n_series=1))
+        variants.append((f"bb_n{n}", syn, {"n_samples": n, "block_size": 25}))
+    # Part 2 — block-size sweep at fixed n (run_ratio_sweep.py:99-121)
+    for bs in (10, 40):
+        g = BlockBootstrapGenerator(block_size=bs).fit(train, "value", ["ts", "event_id"])
+        syn = as_series(g.generate(spark, seed=42, n_samples=250, n_series=1))
+        variants.append((f"bb_bs{bs}", syn, {"n_samples": 250, "block_size": bs}))
+    # Part 3 — head-n subsample of a pre-generated set from another
+    # generator (run_ratio_sweep.py:130-152's TimeGAN part; O2 truncate
+    # = orderBy + limit so "first n, they're sequential" is
+    # deterministic), rescaled to the real train's mean/std first the
+    # way the reference's augmentation protocol normalizes synthetic
+    # data before the augmented run (augmentation_evaluator.py — the
+    # same J4 step m13 applies)
+    gr = GrasyndaGenerator(n_states=8).fit(train, "value", ["ts", "event_id"])
+    sub = as_series(
+        gr.generate(spark, seed=42, n_samples=250, n_series=1)
+        .orderBy("series_id", "t")
+        .limit(100)
+    )
+    tstat = train.agg(
+        F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
+    ).first()
+    gstat = sub.agg(
+        F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
+    ).first()
+    gs = gstat["s"] or 1.0
+    sub = sub.withColumn(
+        "value",
+        (F.col("value") - F.lit(gstat["m"])) / F.lit(gs if gs > 0 else 1.0)
+        * F.lit(tstat["s"]) + F.lit(tstat["m"]),
+    )
+    variants.append(("gr_n100", sub, {"n_samples": 100, "block_size": 0}))
+
+    rows = PredictiveEvaluator(window=12, horizon=1).sweep(
+        train, variants, val, test, "value", [], ["ts", "event_id"]
+    )
+    # O5 best-of selection (run_ratio_sweep.py:167-168)
+    best_val = max(rows, key=lambda r: r["val_improvement_pct"])["label"]
+    best_test = max(rows, key=lambda r: r["test_improvement_pct"])["label"]
+    return spark.createDataFrame(
+        [
+            (
+                r["label"],
+                r["n_samples"],
+                r["block_size"],
+                round(r["augmented_val_mae"], 6),
+                round(r["augmented_test_mae"], 6),
+                round(r["val_improvement_pct"], 4),
+                round(r["test_improvement_pct"], 4),
+                r["verdict"],
+                r["label"] == best_val,
+                r["label"] == best_test,
+            )
+            for r in sorted(rows, key=lambda r: r["label"])
+        ],
+        "label STRING, n_samples BIGINT, block_size BIGINT, "
+        "augmented_val_mae DOUBLE, augmented_test_mae DOUBLE, "
+        "val_improvement_pct DOUBLE, test_improvement_pct DOUBLE, "
+        "verdict STRING, best_val BOOLEAN, best_test BOOLEAN",
+    )
+
+
 def _d4_autolag_oracle() -> str:
     from ..evaluators.adf_autolag import oracle_sql
 

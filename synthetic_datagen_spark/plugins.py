@@ -72,7 +72,11 @@ def available(group: str) -> list[str]:
 
 def _register_builtins() -> None:
     """Built-in plugins mirror the reference's entry-point table."""
-    from .evaluators import DistributionEvaluator, PredictiveEvaluator
+    from .evaluators import (
+        DistributionEvaluator,
+        ExternalPredictorEvaluator,
+        PredictiveEvaluator,
+    )
     from .generators import BlockBootstrapGenerator, GrasyndaGenerator
     from .ml import GanTrainer, LinearDecoder, TimeGanTrainer, VaeGanTrainer
     from .optimize import GAOptimizer
@@ -86,6 +90,10 @@ def _register_builtins() -> None:
         "sdg.evaluator": {
             "distribution": DistributionEvaluator,
             "predictive": PredictiveEvaluator,
+            # the reference's third evaluator entry point
+            # (pyproject.toml: augmentation_evaluator) — the
+            # external-predictor augmentation protocol (M13)
+            "augmentation": ExternalPredictorEvaluator,
         },
         "sdg.trainer": {
             "gan": GanTrainer,

@@ -384,3 +384,76 @@ def test_distribution_reference_call_form(spark):
     assert "kl_divergence" in m and "quality_score" in m
     assert m["real_return_std"] > 0
     assert 0.0 <= m["real_adf_pvalue"] <= 1.0
+
+
+def test_augmentation_metrics_reference_formulas():
+    """augmentation_evaluator.py:75-93 — exact keys, signs, pct guard,
+    and the GOOD/BAD verdict rule (val improvement strictly > 0)."""
+    from synthetic_datagen_spark.evaluators import augmentation_metrics
+
+    m = augmentation_metrics(0.10, 0.20, 0.08, 0.25)
+    assert math.isclose(m["val_improvement"], 0.02)
+    assert math.isclose(m["test_improvement"], -0.05)
+    assert math.isclose(m["val_improvement_pct"], 20.0)
+    assert math.isclose(m["test_improvement_pct"], -25.0)
+    assert m["verdict"] == "GOOD"  # val improved, test verdict ignores test
+    assert augmentation_metrics(0.1, 0.1, 0.1, 0.1)["verdict"] == "BAD"  # ties are BAD
+    z = augmentation_metrics(0.0, 0.0, 0.1, 0.1)
+    assert z["val_improvement_pct"] == 0.0 and z["test_improvement_pct"] == 0.0
+    assert set(m) == {
+        "baseline_val_mae", "baseline_test_mae",
+        "augmented_val_mae", "augmented_test_mae",
+        "val_improvement", "test_improvement",
+        "val_improvement_pct", "test_improvement_pct", "verdict",
+    }
+
+
+def test_ratio_sweep_shares_baseline_and_matches_evaluate(spark, sf_smoke, tmp_path):
+    """sweep() rows carry the reference's metric keys, every row shares
+    ONE baseline (computed once, memoized to baseline_file — M12 /
+    augmentation_evaluator.py:112-127), and a sweep row's augmented MAEs
+    equal a standalone evaluate() on the same variant."""
+    import json as _json
+
+    ev = Catalog(spark, sf_smoke).table("events").filter(
+        F.col("event_type") == "view"
+    ).select("ts", "event_id", "value")
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    syn_a = train.limit(60)
+    syn_b = train.limit(30)
+    e = PredictiveEvaluator(window=8)
+    memo = str(tmp_path / "baseline.json")
+    rows = e.sweep(
+        train,
+        [("a", syn_a, {"n_samples": 60}), ("b", syn_b, {"n_samples": 30})],
+        val, test, "value", [], ["ts", "event_id"], baseline_file=memo,
+    )
+    assert [r["label"] for r in rows] == ["a", "b"]
+    assert rows[0]["baseline_val_mae"] == rows[1]["baseline_val_mae"]
+    assert rows[0]["verdict"] in ("GOOD", "BAD")
+    assert rows[0]["n_samples"] == 60
+    # memo file holds the shared baseline
+    memo_val = _json.load(open(memo))["baseline"]["val_mae"]
+    assert math.isclose(memo_val, rows[0]["baseline_val_mae"], rel_tol=1e-12)
+    # cross-check against the full evaluate() protocol on variant a
+    full = e.evaluate(train, syn_a, val, test, "value", [], ["ts", "event_id"])
+    assert math.isclose(rows[0]["augmented_val_mae"], full["augmented_val_mae"], rel_tol=1e-9)
+    assert math.isclose(rows[0]["baseline_test_mae"], full["baseline_test_mae"], rel_tol=1e-9)
+    # second sweep hits the memo (poison it and confirm the hit is used)
+    poisoned = {"baseline": {"val_mae": 123.0, "test_mae": 456.0}}
+    _json.dump(poisoned, open(memo, "w"))
+    rows2 = e.sweep(
+        train, [("a", syn_a, {})], val, test, "value", [], ["ts", "event_id"],
+        baseline_file=memo,
+    )
+    assert rows2[0]["baseline_val_mae"] == 123.0
+
+
+def test_augmentation_plugin_registered():
+    """The reference's third evaluator entry point
+    (pyproject.toml: augmentation_evaluator) resolves by name."""
+    from synthetic_datagen_spark.evaluators import ExternalPredictorEvaluator
+    from synthetic_datagen_spark.plugins import load_plugin
+
+    assert load_plugin("sdg.evaluator", "augmentation") is ExternalPredictorEvaluator
