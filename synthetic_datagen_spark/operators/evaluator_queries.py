@@ -83,6 +83,10 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
     val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    # four generator fits + the sweep's window build all scan train;
+    # materialize the split once instead of re-running the ordered-split
+    # chain per consumer
+    train = train.persist()
 
     def as_series(df: DataFrame) -> DataFrame:
         return df.select(
@@ -131,6 +135,7 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = PredictiveEvaluator(window=12, horizon=1).sweep(
         train, variants, val, test, "value", [], ["ts", "event_id"]
     )
+    train.unpersist()  # rows are driver-materialized past this point
     # O5 best-of selection (run_ratio_sweep.py:167-168)
     best_val = max(rows, key=lambda r: r["val_improvement_pct"])["label"]
     best_test = max(rows, key=lambda r: r["test_improvement_pct"])["label"]
