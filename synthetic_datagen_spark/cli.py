@@ -124,7 +124,20 @@ def _generate(spark, config: dict) -> dict:
         else:
             dec = cls(window_rows=32)
         pool = np.array([r[0] for r in df.select("value").limit(4000).collect()])
-        syn = dec.generate(spark, pool, int(config["seed"]), int(config["n_samples"]))
+        kwargs = {}
+        if getattr(dec, "n_temporal", 0):
+            # conditional decoder: its cyclical time features must be
+            # computed on the SAME timeline _sink_series stamps onto the
+            # output (continuing the real series' max ts at 4 h steps) —
+            # otherwise the output is decoded for one season but labeled
+            # with another. config["start_dt"] overrides.
+            start = config.get("start_dt") or str(
+                df.agg(F.max("ts")).first()[0]
+            )
+            kwargs = {"start_dt": start, "interval_hours": 4}
+        syn = dec.generate(
+            spark, pool, int(config["seed"]), int(config["n_samples"]), **kwargs
+        )
         return _sink_series(spark, syn, df, config)
     syn = gen.generate(spark, seed=int(config["seed"]), n_samples=int(config["n_samples"]))
     return _sink_series(spark, syn, df, config)

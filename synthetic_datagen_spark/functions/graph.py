@@ -40,7 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # of the bench. Same pattern as the regime model registry
 # (operators/regime_queries.py:19): deterministic in (input, params), so
 # cached vs fresh results are interchangeable; applicationId in the key
-# drops entries from stopped sessions.
+# isolates sessions, and entries from other (stopped) applications are
+# evicted on the next cache miss.
 _CC_CACHE: dict = {}
 
 
@@ -57,10 +58,15 @@ def cached_min_label_components(
     ``pairs_factory`` is only invoked on a miss, so callers can defer
     building the (possibly expensive) candidate-pair plan entirely.
     """
-    key = (spark.sparkContext.applicationId, cache_key)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, cache_key)
     hit = _CC_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict entries from other (stopped) applications so a long-lived
+    # process cycling sessions can't pin dead DataFrames forever
+    for k in [k for k in _CC_CACHE if k[0] != app_id]:
+        del _CC_CACHE[k]
     labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
     _CC_CACHE[key] = labels
     return labels
@@ -115,8 +121,13 @@ def min_label_components(
         .localCheckpoint()
     )
     retained.append(edges)
+    # node set from the ORIGINAL pairs, not the self-loop-filtered edge
+    # list: a node whose only pair is (a, a) still "appears in >=1 pair"
+    # per the contract and must come back labeled with itself (a raw
+    # similarity join naturally emits exact self-matches)
     labels_cp = (
-        edges.select(F.col("src").alias("node_id"))
+        p.select(F.col(id_a).alias("node_id"))
+        .unionAll(p.select(F.col(id_b).alias("node_id")))
         .distinct()
         .withColumn("label", F.col("node_id"))
         .localCheckpoint()

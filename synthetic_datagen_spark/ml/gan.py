@@ -167,7 +167,13 @@ class MlpGan:
 
     def fit(self, X: np.ndarray) -> "MlpGan":
         """Alternating SGD. X: (N, window_rows) in deterministic order."""
-        from .mlp import dense_init, lrelu_stack_backward, sgd_step, tanh_stack_backward
+        from .mlp import (
+            dense_init,
+            disc_bce_update,
+            lrelu_stack_backward,
+            sgd_step,
+            tanh_stack_backward,
+        )
 
         D, L = self.window_rows, self.latent_dim
         X = np.asarray(X, dtype=np.float64)
@@ -201,18 +207,10 @@ class MlpGan:
                 fake, _ = self._gen_forward(z)
                 pr, acts_r = self._disc_forward(xb)
                 pf, acts_f = self._disc_forward(fake)
-                d_loss = -0.5 * float(
-                    np.mean(np.log(np.clip(pr, 1e-12, 1.0)))
-                    + np.mean(np.log(np.clip(1.0 - pf, 1e-12, 1.0)))
+                d_loss = disc_bce_update(
+                    pr, acts_r, pf, acts_f,
+                    self.disc_layers, self.disc_head, self.disc_lr,
                 )
-                for p, target, acts in ((pr, 1.0, acts_r), (pf, 0.0, acts_f)):
-                    ds = (0.5 * (p - target) / B)[:, None]
-                    g_head = (acts[-1].T @ ds, ds.sum(axis=0))
-                    _, g_disc = lrelu_stack_backward(
-                        ds @ self.disc_head[0].T, acts, self.disc_layers
-                    )
-                    sgd_step(self.disc_layers, g_disc, self.disc_lr)
-                    sgd_step([self.disc_head], [g_head], self.disc_lr)
                 # --- generator step (discriminator frozen) ---
                 z = rng.standard_normal((B, L))
                 fake, (acts_g, hg) = self._gen_forward(z)

@@ -84,6 +84,54 @@ def sgd_step(layers: list, grads: list, lr: float) -> None:
         layer[1] -= lr * gb
 
 
+# ----------------------------------------------------- adversarial step --
+def disc_bce_update(
+    pr: np.ndarray,
+    acts_real: list,
+    pf: np.ndarray,
+    acts_fake: list,
+    disc_layers: list,
+    disc_head: list,
+    lr: float,
+) -> float:
+    """One discriminator step on the averaged real/fake BCE pair, shared
+    by MlpGan.fit and MlpVae's adversarial phase.
+
+    Both halves' gradients are evaluated at the CURRENT parameters (from
+    the halves' own forward activations) and SUMMED before a single SGD
+    update — the reference computes d_loss for both halves inside one
+    GradientTape and applies one apply_gradients
+    (gan_trainer.py:77-88, vae_gan_trainer.py:251-266). Stepping after
+    the real half and then backpropagating the fake half through the
+    already-updated weights with pre-update activations would apply a
+    vector that is the gradient at no parameter point, biasing every D
+    step by O(lr).
+
+    Returns the averaged d_loss.
+    """
+    B = len(pr)
+    d_loss = -0.5 * float(
+        np.mean(np.log(np.clip(pr, 1e-12, 1.0)))
+        + np.mean(np.log(np.clip(1.0 - pf, 1e-12, 1.0)))
+    )
+    tot_layers: list | None = None
+    tot_head: tuple | None = None
+    for p, target, acts in ((pr, 1.0, acts_real), (pf, 0.0, acts_fake)):
+        ds = (0.5 * (p - target) / B)[:, None]
+        g_head = (acts[-1].T @ ds, ds.sum(axis=0))
+        _, g_disc = lrelu_stack_backward(ds @ disc_head[0].T, acts, disc_layers)
+        if tot_layers is None:
+            tot_layers, tot_head = g_disc, g_head
+        else:
+            tot_layers = [
+                (a0 + b0, a1 + b1) for (a0, a1), (b0, b1) in zip(tot_layers, g_disc)
+            ]
+            tot_head = (tot_head[0] + g_head[0], tot_head[1] + g_head[1])
+    sgd_step(disc_layers, tot_layers, lr)
+    sgd_step([disc_head], [tot_head], lr)
+    return d_loss
+
+
 # ---------------------------------------------------------------- MMD --
 def _sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise squared euclidean distances, (len(a), len(b))."""

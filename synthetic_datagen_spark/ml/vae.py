@@ -430,29 +430,18 @@ class MlpVae:
 
                 d_loss = g_loss = 0.0
                 if self.adversarial:
-                    from .mlp import lrelu_stack_backward
+                    from .mlp import disc_bce_update
 
-                    # ---- discriminator step (decoder frozen; :251-266)
+                    # ---- discriminator step (decoder frozen; :251-266) —
+                    # one combined real+fake update, shared with MlpGan
                     noise = rng.standard_normal((B, L))
                     fake, _ = self._decode_batch(noise, tb)
                     pr, acts_real = self._disc_forward(xb, tb)
                     pf, acts_fake = self._disc_forward(fake, tb)
-                    d_loss = -0.5 * float(
-                        np.mean(np.log(np.clip(pr, 1e-12, 1.0)))
-                        + np.mean(np.log(np.clip(1.0 - pf, 1e-12, 1.0)))
+                    d_loss = disc_bce_update(
+                        pr, acts_real, pf, acts_fake,
+                        self.disc_layers, self.disc_head, self.disc_lr,
                     )
-                    # averaged real/fake BCE halves (/2 like the reference)
-                    for p, target, acts in (
-                        (pr, np.ones(B), acts_real),
-                        (pf, np.zeros(B), acts_fake),
-                    ):
-                        ds = (0.5 * (p - target) / B)[:, None]
-                        g_head = (acts[-1].T @ ds, ds.sum(axis=0))
-                        dh_, g_disc = lrelu_stack_backward(
-                            ds @ self.disc_head[0].T, acts, self.disc_layers
-                        )
-                        sgd_step(self.disc_layers, g_disc, self.disc_lr)
-                        sgd_step([self.disc_head], [g_head], self.disc_lr)
 
                     # ---- generator-adversarial step (disc frozen; :269-278)
                     noise = rng.standard_normal((B, L))

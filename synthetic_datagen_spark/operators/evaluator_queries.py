@@ -113,11 +113,13 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data before the augmented run (augmentation_evaluator.py — the
     # same J4 step m13 applies)
     gr = GrasyndaGenerator(n_states=8).fit(train, "value", ["ts", "event_id"])
+    # persist: the walk otherwise re-generates for the stat agg, the
+    # sweep's window build, and the union scan
     sub = as_series(
         gr.generate(spark, seed=42, n_samples=250, n_series=1)
         .orderBy("series_id", "t")
         .limit(100)
-    )
+    ).persist()
     tstat = train.agg(
         F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
     ).first()
@@ -136,6 +138,7 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, variants, val, test, "value", [], ["ts", "event_id"]
     )
     train.unpersist()  # rows are driver-materialized past this point
+    sub.unpersist()
     # O5 best-of selection (run_ratio_sweep.py:167-168)
     best_val = max(rows, key=lambda r: r["val_improvement_pct"])["label"]
     best_test = max(rows, key=lambda r: r["test_improvement_pct"])["label"]

@@ -78,12 +78,39 @@ class GAOptimizer:
     # (ga_optimizer.py:580-589 _save_resume/_load_resume; meta-log CSV
     # header + per-individual rows, :220-228,:430-439).
 
+    def _config_fp(self) -> str:
+        """Fingerprint of every input that shapes the search trajectory.
+        Stored in each checkpoint; a resume file whose fingerprint does
+        not match the current configuration is REJECTED — silently
+        returning a previous run's done-state from a different gene
+        space / seed would be a wrong optimum with no error."""
+        import hashlib
+        import json
+
+        payload = {
+            "genes": [(g.name, g.lo, g.hi, g.kind) for g in self.genes],
+            "pop_size": self.pop_size,
+            "n_gens": self.n_gens,
+            "seed": self.seed,
+            "tourn": self.tourn,
+            "cx_prob": self.cx_prob,
+            "mut_prob": self.mut_prob,
+            "mut_sigma": self.mut_sigma,
+            "elite": self.elite,
+            "patience": self.patience,
+            "stage_num": self.stage_num,
+        }
+        return hashlib.md5(
+            json.dumps(payload, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
     def _save_state(self, state: dict) -> None:
         if not self.resume_file:
             return
         import json
         import os
 
+        state = {"config_fp": self._config_fp(), **state}
         os.makedirs(os.path.dirname(self.resume_file) or ".", exist_ok=True)
         tmp = self.resume_file + ".tmp"
         with open(tmp, "w") as f:
@@ -99,7 +126,14 @@ class GAOptimizer:
         if not os.path.exists(self.resume_file):
             return None
         with open(self.resume_file) as f:
-            return json.load(f)
+            state = json.load(f)
+        if state.get("config_fp") != self._config_fp():
+            raise RuntimeError(
+                f"resume file {self.resume_file} was written by a GA with a "
+                "different configuration (genes/seed/pop_size/…); delete it "
+                "to start fresh"
+            )
+        return state
 
     def _meta_append(self, gen: int, pop: list[dict], scores: np.ndarray) -> None:
         """Reference meta-training log: one CSV row per individual per
@@ -119,6 +153,35 @@ class GAOptimizer:
                 vals = ",".join(str(cand.get(k, "")) for k in names)
                 f.write(f"{self.stage_num},{gen},{idx},{vals},{float(sc)}\n")
             f.flush()
+
+    def _meta_truncate(self, start_gen: int) -> None:
+        """On resume, drop this stage's meta rows for generations that
+        will re-run: a crash in the window between _meta_append(gen) and
+        _save_state(next_gen=gen+1) leaves gen's rows logged but the
+        checkpoint pointing at gen — without this, the re-evaluated
+        generation would append a duplicate block."""
+        import os
+
+        if not self.meta_log or not os.path.exists(self.meta_log):
+            return
+        with open(self.meta_log) as f:
+            lines = f.readlines()
+        keep = []
+        for ln in lines:
+            parts = ln.split(",", 2)
+            if (
+                len(parts) >= 2
+                and parts[0] == str(self.stage_num)
+                and parts[1].isdigit()
+                and int(parts[1]) >= start_gen
+            ):
+                continue
+            keep.append(ln)
+        if len(keep) != len(lines):
+            tmp = self.meta_log + ".tmp"
+            with open(tmp, "w") as f:
+                f.writelines(keep)
+            os.replace(tmp, self.meta_log)
 
     # ------------------------------------------------------------------
     def optimize(self, spark: SparkSession, init_pop: list[dict] | None = None) -> dict:
@@ -148,6 +211,7 @@ class GAOptimizer:
             self.history = list(state["history"])
             scores = np.array(state["scores"])
             start_gen = state["next_gen"]
+            self._meta_truncate(start_gen)
         else:
             rng = np.random.default_rng(derive_seed(self.seed, 0x6A))
             pop = [dict(c) for c in (init_pop or [])][: self.pop_size]

@@ -61,8 +61,30 @@ class StagedOptimizer:
         the next stage seeds identically) and each stage's GA
         checkpoints per generation to `<resume_file>.stage<i>` — a
         killed run resumes mid-stage, bit-identically."""
+        import hashlib
         import json
         import os
+
+        # every input shaping the trajectory; a stale resume file from a
+        # different configuration must never short-circuit with a wrong
+        # optimum (same contract as GAOptimizer._load_state)
+        config_fp = hashlib.md5(
+            json.dumps(
+                {
+                    "genes": [(g.name, g.lo, g.hi, g.kind) for g in self.genes],
+                    "stages": [
+                        (
+                            st.name, st.pop_size, st.n_gens, st.mut_sigma,
+                            st.elite_keep, st.tourn, sorted(st.freeze),
+                            st.weights,
+                        )
+                        for st in self.stages
+                    ],
+                    "seed": self.seed,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()[:16]
 
         global_best: dict | None = None
         global_score = float("inf")
@@ -71,6 +93,12 @@ class StagedOptimizer:
         if self.resume_file and os.path.exists(self.resume_file):
             with open(self.resume_file) as f:
                 state = json.load(f)
+            if state.get("config_fp") != config_fp:
+                raise RuntimeError(
+                    f"resume file {self.resume_file} was written by a staged "
+                    "run with a different configuration (genes/stages/seed); "
+                    "delete it (and its .stage<i> siblings) to start fresh"
+                )
             global_best = state.get("best_params")
             global_score = state.get("best_fitness", float("inf"))
             carry = state.get("carry", [])
@@ -154,6 +182,7 @@ class StagedOptimizer:
                 with open(tmp, "w") as f:
                     json.dump(
                         {
+                            "config_fp": config_fp,
                             "best_params": global_best,
                             "best_fitness": global_score,
                             "completed_stages": si + 1,

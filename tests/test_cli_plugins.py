@@ -342,3 +342,49 @@ def test_cli_predictive_evaluate(spark, price_csv, tmp_path):
     assert {"baseline_mae_val", "augmented_mae_test", "mae_delta_test",
             "synthetic_helps_test", "mae_pct_change_val"} <= set(r)
     assert r["baseline_mae_val"] > 0
+
+
+def test_cli_conditional_generate_uses_continuation_timeline(spark, price_csv, tmp_path):
+    """A conditional decoder's cyclical features must be computed on the
+    SAME timeline the CLI stamps onto the output CSV (continuation of
+    the real series' max ts, 4 h steps) — not the artifact default.
+    config["start_dt"] overrides."""
+    from synthetic_datagen_spark.cli import _load_series
+    from synthetic_datagen_spark.ml.decoder import MlpDecoder, save_decoder
+
+    rng = np.random.default_rng(0)
+    hidden = [(rng.normal(0, 0.3, (22, 16)), rng.normal(0, 0.1, 16))]
+    out_head = (rng.normal(0, 0.05, (16, 32)), rng.normal(0, 0.01, 32))
+    dec = MlpDecoder(
+        latent_dim=16, window_rows=32, hidden=hidden, out_head=out_head,
+        n_temporal=6,
+    )
+    model_dir = str(tmp_path / "cond_model")
+    save_decoder(dec, model_dir)
+
+    def run(tag, extra_cfg=None):
+        cfg = str(tmp_path / f"cfg_{tag}.json")
+        with open(cfg, "w") as f:
+            json.dump(extra_cfg or {}, f)
+        out = str(tmp_path / f"out_{tag}")
+        main(
+            [
+                "--mode", "generate", "--generator", "linear_decoder",
+                "--input-file", price_csv, "--model-file", model_dir,
+                "--output-file", out, "--seed", "5", "--n-samples", "64",
+                "--config", cfg,
+            ],
+            spark=spark,
+        )
+        pdf = (
+            spark.read.option("header", True).csv(out)
+            .orderBy("DATE_TIME").toPandas()
+        )
+        return list(pdf["typical_price"])
+
+    max_ts = str(_load_series(spark, price_csv).agg(F.max("ts")).first()[0])
+    a = run("default")
+    b = run("explicit", {"start_dt": max_ts})
+    c = run("other", {"start_dt": "1999-01-01 00:00:00"})
+    assert a == b, "default start_dt must be the continuation of the input"
+    assert a != c, "start_dt must flow into the conditional decode"

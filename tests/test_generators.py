@@ -329,3 +329,50 @@ def test_conditional_vae_train_generate_roundtrip(spark, sf_smoke, tmp_path):
     tr2.prepare([src.repartition(5)], "value", "ts")
     dec2 = tr2.fit()
     assert np.array_equal(dec.flat_weights(), dec2.flat_weights())
+
+
+def test_disc_bce_update_is_single_combined_step():
+    """The discriminator step must apply ONE update whose gradient is
+    evaluated entirely at the pre-step parameters (the reference
+    computes both BCE halves inside one GradientTape —
+    gan_trainer.py:77-88). Sequential per-half stepping would leave
+    different weights."""
+    import numpy as np
+    from synthetic_datagen_spark.ml.mlp import (
+        dense_init, disc_bce_update, lrelu_stack_backward,
+        lrelu_stack_forward, sgd_step,
+    )
+    from synthetic_datagen_spark.ml.vae import _sigmoid
+
+    rng = np.random.default_rng(7)
+    layers = [dense_init(rng, 6, 8), dense_init(rng, 8, 4)]
+    head = dense_init(rng, 4, 1)
+    xb = rng.standard_normal((16, 6))
+    fake = rng.standard_normal((16, 6))
+    hr, acts_r = lrelu_stack_forward(xb, layers)
+    pr = _sigmoid((hr @ head[0] + head[1])[:, 0])
+    hf, acts_f = lrelu_stack_forward(fake, layers)
+    pf = _sigmoid((hf @ head[0] + head[1])[:, 0])
+    # expected: sum both halves' grads at CURRENT params, one step
+    exp_layers = [[W.copy(), b.copy()] for W, b in layers]
+    exp_head = [head[0].copy(), head[1].copy()]
+    B = len(xb)
+    tot = None
+    tot_head = None
+    for p, target, acts in ((pr, 1.0, acts_r), (pf, 0.0, acts_f)):
+        ds = (0.5 * (p - target) / B)[:, None]
+        gh = (acts[-1].T @ ds, ds.sum(axis=0))
+        _, gl = lrelu_stack_backward(ds @ exp_head[0].T, acts, exp_layers)
+        if tot is None:
+            tot, tot_head = gl, gh
+        else:
+            tot = [(a0 + b0, a1 + b1) for (a0, a1), (b0, b1) in zip(tot, gl)]
+            tot_head = (tot_head[0] + gh[0], tot_head[1] + gh[1])
+    sgd_step(exp_layers, tot, 0.1)
+    sgd_step([exp_head], [tot_head], 0.1)
+    d_loss = disc_bce_update(pr, acts_r, pf, acts_f, layers, head, 0.1)
+    for (W, b), (eW, eb) in zip(layers, exp_layers):
+        np.testing.assert_allclose(W, eW, rtol=1e-12)
+        np.testing.assert_allclose(b, eb, rtol=1e-12)
+    np.testing.assert_allclose(head[0], exp_head[0], rtol=1e-12)
+    assert d_loss > 0.0

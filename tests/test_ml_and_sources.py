@@ -347,7 +347,14 @@ def test_timegan_gru_gradients_match_numerical():
     tg = NumpyTimeGan(seq_len=6, hidden_dim=3, latent_dim=2, n_layers=2, seed=3)
     p = tg._init_params(np.random.default_rng(5))
     for k in p:
-        p[k] = p[k] + np.random.default_rng(hash(k) % 2**31).normal(0, 0.2, p[k].shape)
+        # zlib.crc32, not hash(): str hashing is salted per interpreter
+        # run, which would perturb to a DIFFERENT random point each CI
+        # run — a kink-adjacent draw would be an unreproducible flake
+        import zlib
+
+        p[k] = p[k] + np.random.default_rng(
+            zlib.crc32(k.encode()) % 2**31
+        ).normal(0, 0.2, p[k].shape)
     x = np.random.default_rng(9).standard_normal((8, 6)) * 0.5 + 0.5
     z = np.random.default_rng(11).standard_normal((8, 6, 2))
 

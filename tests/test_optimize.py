@@ -373,3 +373,74 @@ def test_staged_resume_skips_completed_stages(spark, tmp_path):
     assert [s["global_best"] for s in out["stages"]] == [
         s["global_best"] for s in ref["stages"]
     ]
+
+
+def test_ga_resume_rejects_mismatched_config(spark, tmp_path):
+    """A resume file from a different configuration (gene space, seed,
+    budget) must RAISE, never silently return the old run's state."""
+    import pytest
+
+    genes = [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)]
+    resume = str(tmp_path / "r.json")
+    GAOptimizer(
+        genes=genes, fitness=_toy_fitness_factory(), pop_size=6, n_gens=2,
+        seed=42, resume_file=resume,
+    ).optimize(spark)
+    for kwargs in (
+        {"seed": 43},                                   # different seed
+        {"n_gens": 3},                                  # different budget
+        {"genes": [Gene("block_size", 4, 40, "int"),    # different bounds
+                   Gene("lam", 0.0, 1.0)]},
+    ):
+        cfg = dict(genes=genes, fitness=_toy_fitness_factory(), pop_size=6,
+                   n_gens=2, seed=42, resume_file=resume)
+        cfg.update(kwargs)
+        with pytest.raises(RuntimeError, match="different configuration"):
+            GAOptimizer(**cfg).optimize(spark)
+
+
+def test_ga_meta_log_no_duplicate_rows_after_append_crash(spark, tmp_path):
+    """Crash in the window AFTER _meta_append(gen) but BEFORE
+    _save_state(next_gen=gen+1): the resumed run re-evaluates gen and
+    must not leave the generation's rows twice in the meta CSV."""
+    genes = [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)]
+    resume = str(tmp_path / "r.json")
+    meta = str(tmp_path / "meta.csv")
+
+    class Bomb(RuntimeError):
+        pass
+
+    inner = _toy_fitness_factory()
+    ga = GAOptimizer(
+        genes=genes, fitness=inner, pop_size=5, n_gens=4, seed=42,
+        resume_file=resume, meta_log=meta,
+    )
+    orig_save = ga._save_state
+    calls = {"n": 0}
+
+    def crashing_save(state):
+        calls["n"] += 1
+        if calls["n"] == 3:  # gen 2's rows are appended, checkpoint is not
+            raise Bomb()
+        orig_save(state)
+
+    ga._save_state = crashing_save
+    import pytest
+
+    with pytest.raises(Bomb):
+        ga.optimize(spark)
+
+    ga2 = GAOptimizer(
+        genes=genes, fitness=_toy_fitness_factory(), pop_size=5, n_gens=4,
+        seed=42, resume_file=resume, meta_log=meta,
+    )
+    ga2.optimize(spark)
+    rows = [ln.strip() for ln in open(meta) if ln.strip()]
+    header, body = rows[0], rows[1:]
+    assert header.startswith("stage,generation,individual")
+    keys = [tuple(ln.split(",")[:3]) for ln in body]
+    assert len(keys) == len(set(keys)), "duplicate (stage, gen, idx) rows"
+    # every generation that ran is present exactly pop_size times
+    gens = {k[1] for k in keys}
+    for g in gens:
+        assert sum(1 for k in keys if k[1] == g) == 5

@@ -244,13 +244,15 @@ def test_transition_counts_laplace_covers_unseen(spark):
         st.tuples(st.integers(0, 40), st.integers(0, 40)),
         min_size=1,
         max_size=60,
-    ).map(lambda es: [(a, b) for a, b in es if a != b])
+    )
 )
 @settings(max_examples=12, deadline=None)
 def test_min_label_components_matches_union_find(spark, edges):
     """The distributed min-label kernel must agree with a driver-side
-    union-find on arbitrary small graphs (components AND canonical
-    min labels)."""
+    union-find on arbitrary small graphs (components AND canonical min
+    labels) — INCLUDING self-loop pairs (a, a), which a raw similarity
+    join naturally emits: the node still 'appears in >=1 pair' and must
+    come back labeled with itself."""
     if not edges:
         return
     from synthetic_datagen_spark.functions.graph import min_label_components
