@@ -43,6 +43,78 @@ def _splitmix_matrix(seed: int, rows: int, cols: int) -> np.ndarray:
     return out.reshape(rows, cols)
 
 
+def windowed_generate_plan(
+    spark: SparkSession,
+    anchor_pool: np.ndarray,
+    seed: int,
+    n_samples: int,
+    n_series: int,
+    window_rows: int,
+    make_rets,
+) -> DataFrame:
+    """Shared G1→G3 generate plan for every windowed generator
+    (LinearDecoder, MlpDecoder, NumpyTimeGan): a (series, window) grid
+    via ``spark.range`` repartitioned on both keys, one mapInPandas
+    decode with broadcast weights, zero-mean returns (W11), an anchor
+    price sampled from the shipped pool (G3, reference:
+    typical_price_generator.py:151-184), exp-cumsum price chaining, and
+    a final ``t < n_samples`` truncate (O2).
+
+    ``make_rets(rng, window_id) -> np.ndarray`` of ``window_rows``
+    returns — called once per window with that window's derived rng.
+
+    DETERMINISM CONTRACT: the window rng seeds from
+    ``derive_seed(seed, series_id, window_id)``; ``make_rets`` must draw
+    its latent noise from ``rng`` BEFORE this plan samples the anchor,
+    so every consumer keeps its historical same-seed outputs.
+    ``make_rets`` must close over plain numpy arrays/dicts (it is
+    pickled into the UDF), never over ``self``.
+    """
+    W = window_rows
+    n_windows = int(np.ceil(n_samples / W))
+    pool = np.asarray(anchor_pool, dtype=np.float64)
+
+    schema = T.StructType(
+        [
+            T.StructField("series_id", T.LongType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
+                rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
+                rets = make_rets(rng, int(wid))            # G2 decode
+                rets = rets - rets.mean()                  # W11 zero-mean
+                anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
+                prices = anchor * np.exp(np.cumsum(rets))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "series_id": np.full(W, sid, dtype=np.int64),
+                            "t": int(wid) * W + np.arange(W, dtype=np.int64),
+                            "price": prices,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"series_id": [], "t": [], "price": []}
+            )
+
+    grid = (
+        spark.range(n_series * n_windows)
+        .select(
+            (F.col("id") / n_windows).cast("long").alias("series_id"),
+            (F.col("id") % n_windows).alias("window_id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
+    )
+    return grid.mapInPandas(decode_batches, schema).filter(F.col("t") < n_samples)
+
+
 class LinearDecoder:
     """z ∈ R^latent_dim → window ∈ R^window_rows, scaled to return-like
     magnitudes. The decoder half of the VAE stack (G2); also the
@@ -67,61 +139,20 @@ class LinearDecoder:
         n_samples: int,
         n_series: int = 1,
     ) -> DataFrame:
-        """G1→G2→G3: returns (series_id, t, price).
-
-        One task per (series, window) grid chunk: `spark.range` over
-        window ids, grouped-map decode per partition batch. Anchors are
-        sampled from the broadcast training-price pool with the
-        per-window seed (reference: typical_price_generator.py:151-184).
-        """
-        W = self.window_rows
-        n_windows = int(np.ceil(n_samples / W))
+        """G1→G2→G3: returns (series_id, t, price) via the shared
+        windowed_generate_plan (anchors per reference:
+        typical_price_generator.py:151-184)."""
         weights = self.w
         bias = self.b
-        pool = np.asarray(anchor_pool, dtype=np.float64)
         latent = self.latent_dim
 
-        schema = T.StructType(
-            [
-                T.StructField("series_id", T.LongType()),
-                T.StructField("t", T.LongType()),
-                T.StructField("price", T.DoubleType()),
-            ]
-        )
+        def make_rets(rng: np.random.Generator, wid: int) -> np.ndarray:
+            return rng.standard_normal(latent) @ weights + bias
 
-        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                frames = []
-                for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
-                    rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
-                    z = rng.standard_normal(latent)
-                    rets = z @ weights + bias               # G2 decode
-                    rets = rets - rets.mean()               # W11 zero-mean
-                    anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
-                    prices = anchor * np.exp(np.cumsum(rets))
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "series_id": np.full(W, sid, dtype=np.int64),
-                                "t": int(wid) * W + np.arange(W, dtype=np.int64),
-                                "price": prices,
-                            }
-                        )
-                    )
-                yield pd.concat(frames) if frames else pd.DataFrame(
-                    {"series_id": [], "t": [], "price": []}
-                )
-
-        grid = (
-            spark.range(n_series * n_windows)
-            .select(
-                (F.col("id") / n_windows).cast("long").alias("series_id"),
-                (F.col("id") % n_windows).alias("window_id"),
-            )
-            .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
+        return windowed_generate_plan(
+            spark, anchor_pool, seed, n_samples, n_series,
+            self.window_rows, make_rets,
         )
-        out = grid.mapInPandas(decode_batches, schema)
-        return out.filter(F.col("t") < n_samples)
 
 
 class MlpDecoder:
@@ -183,22 +214,12 @@ class MlpDecoder:
         models stamp each window with the cyclical features of its last
         timestamp (typical_price_generator.py:120-136)."""
         W = self.window_rows
-        n_windows = int(np.ceil(n_samples / W))
         hidden = self.hidden
         out_head = self.out_head
-        pool = np.asarray(anchor_pool, dtype=np.float64)
         latent = self.latent_dim
         n_temporal = self.n_temporal
         start = pd.Timestamp(start_dt)
         step_ns = int(interval_hours) * 3_600_000_000_000
-
-        schema = T.StructType(
-            [
-                T.StructField("series_id", T.LongType()),
-                T.StructField("t", T.LongType()),
-                T.StructField("price", T.DoubleType()),
-            ]
-        )
 
         def temporal_row(wid: int) -> np.ndarray:
             # last timestamp of window wid; conventions match
@@ -217,46 +238,16 @@ class MlpDecoder:
                 ]
             )
 
-        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                frames = []
-                for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
-                    rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
-                    z = rng.standard_normal(latent)
-                    h = (
-                        np.concatenate([z, temporal_row(int(wid))])
-                        if n_temporal
-                        else z
-                    )
-                    for Wl, bl in hidden:
-                        h = np.tanh(h @ Wl + bl)
-                    rets = h @ out_head[0] + out_head[1]       # G2 decode
-                    rets = rets - rets.mean()                  # W11 zero-mean
-                    anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
-                    prices = anchor * np.exp(np.cumsum(rets))
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "series_id": np.full(W, sid, dtype=np.int64),
-                                "t": int(wid) * W + np.arange(W, dtype=np.int64),
-                                "price": prices,
-                            }
-                        )
-                    )
-                yield pd.concat(frames) if frames else pd.DataFrame(
-                    {"series_id": [], "t": [], "price": []}
-                )
+        def make_rets(rng: np.random.Generator, wid: int) -> np.ndarray:
+            z = rng.standard_normal(latent)
+            h = np.concatenate([z, temporal_row(wid)]) if n_temporal else z
+            for Wl, bl in hidden:
+                h = np.tanh(h @ Wl + bl)
+            return h @ out_head[0] + out_head[1]
 
-        grid = (
-            spark.range(n_series * n_windows)
-            .select(
-                (F.col("id") / n_windows).cast("long").alias("series_id"),
-                (F.col("id") % n_windows).alias("window_id"),
-            )
-            .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
+        return windowed_generate_plan(
+            spark, anchor_pool, seed, n_samples, n_series, W, make_rets
         )
-        out = grid.mapInPandas(decode_batches, schema)
-        return out.filter(F.col("t") < n_samples)
 
 
 _TEMPORAL_COLS = ["hour_sin", "hour_cos", "dow_sin", "dow_cos", "month_sin", "month_cos"]

@@ -38,12 +38,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql import types as T
-
-from ..generators.seeds import derive_seed
+from pyspark.sql import DataFrame, SparkSession
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -533,65 +529,32 @@ class NumpyTimeGan:
         n_series: int = 1,
     ) -> DataFrame:
         """G11 distributed inference: broadcast the five weight sets,
-        one mapInPandas decode per (series, window) grid chunk — the
-        same plan as LinearDecoder.generate, the GRU chain z→G→S→R
-        swapped in (reference inference: timegan_generator.py:192-266
-        generates windows from z then rebuilds prices)."""
+        the shared windowed_generate_plan with the GRU chain z→G→S→R
+        swapped in as make_rets (reference inference:
+        timegan_generator.py:192-266 generates windows from z then
+        rebuilds prices)."""
+        from .decoder import windowed_generate_plan
+
         if self.p is None:
             raise RuntimeError("fit() first")
         Tn, L = self.seq_len, self.latent_dim
         n_layers, n_sup = self.n_layers, self._n_sup
         p = {k: v.copy() for k, v in self.p.items()}
         dmin, drange = self.data_min, self.data_range
-        pool = np.asarray(anchor_pool, dtype=np.float64)
-        n_windows = int(np.ceil(n_samples / Tn))
 
-        schema = T.StructType(
-            [
-                T.StructField("series_id", T.LongType()),
-                T.StructField("t", T.LongType()),
-                T.StructField("price", T.DoubleType()),
-            ]
-        )
-
-        def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                frames = []
-                for sid, wid in zip(pdf["series_id"], pdf["window_id"]):
-                    rng = np.random.default_rng(derive_seed(seed, int(sid), int(wid)))
-                    z = rng.standard_normal((1, Tn, L))
-                    e, _ = _net_forward(p, "g", n_layers, z, "sigmoid")
-                    h, _ = _net_forward(p, "s", n_sup, e, "sigmoid")
-                    rets = (
-                        _net_forward(p, "r", n_layers, h, "linear")[0][0, :, 0]
-                        * drange
-                        + dmin
-                    )
-                    rets = rets - rets.mean()
-                    anchor = float(pool[rng.integers(len(pool))])
-                    prices = anchor * np.exp(np.cumsum(rets))
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "series_id": np.full(Tn, sid, dtype=np.int64),
-                                "t": int(wid) * Tn + np.arange(Tn, dtype=np.int64),
-                                "price": prices,
-                            }
-                        )
-                    )
-                yield pd.concat(frames) if frames else pd.DataFrame(
-                    {"series_id": [], "t": [], "price": []}
-                )
-
-        grid = (
-            spark.range(n_series * n_windows)
-            .select(
-                (F.col("id") / n_windows).cast("long").alias("series_id"),
-                (F.col("id") % n_windows).alias("window_id"),
+        def make_rets(rng: np.random.Generator, wid: int) -> np.ndarray:
+            z = rng.standard_normal((1, Tn, L))
+            e, _ = _net_forward(p, "g", n_layers, z, "sigmoid")
+            h, _ = _net_forward(p, "s", n_sup, e, "sigmoid")
+            return (
+                _net_forward(p, "r", n_layers, h, "linear")[0][0, :, 0]
+                * drange
+                + dmin
             )
-            .repartition(spark.sparkContext.defaultParallelism, "series_id", "window_id")
+
+        return windowed_generate_plan(
+            spark, anchor_pool, seed, n_samples, n_series, Tn, make_rets
         )
-        return grid.mapInPandas(decode_batches, schema).filter(F.col("t") < n_samples)
 
 
 # ------------------------------------------------------------ artifacts --
