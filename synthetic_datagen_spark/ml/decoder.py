@@ -297,6 +297,14 @@ class _TrainerBase:
         rows = (
             self.windows.orderBy(*key).limit(self.max_windows).collect()
         )
+        if not rows:
+            # the reference's create_windows raises ValueError when the
+            # series is shorter than one window (data_processor.py,
+            # pinned by its test_create_windows_too_short) — surface the
+            # same clear error instead of a shape failure deep in numpy
+            raise ValueError(
+                f"data too short: no full {self.window_rows}-row windows"
+            )
         if self.conditional:
             self._temporal = np.array(
                 [[r[c] for c in _TEMPORAL_COLS] for r in rows], dtype=np.float64

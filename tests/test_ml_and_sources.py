@@ -463,3 +463,60 @@ def test_catalog_normalizes_timestamp_ntz(spark):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
         if prev_ntz is not None:
             spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_ntz)
+
+
+# ---------------------------------------------------------------------------
+# data-processor parity — the reference pins these invariants in its own
+# tests/test_data_processor.py; same behaviors, Spark-frame form.
+# ---------------------------------------------------------------------------
+def test_returns_roundtrip_reference_parity(spark):
+    """prices→returns→prices recovers the input to 1e-12
+    (test_returns_roundtrip; data_processor.py prices_to_returns /
+    returns_to_prices = W1 + W2 here)."""
+    from synthetic_datagen_spark.functions import timeseries as TS
+
+    prices = [1.0, 1.01, 1.005, 1.02, 0.99]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prices)], "t LONG, value DOUBLE"
+    )
+    r = TS.log_returns(df, "value", [], ["t"]).withColumn("p0", F.lit(prices[0]))
+    back = TS.reconstruct_prices(r, "log_ret", "p0", [], ["t"]).orderBy("t").collect()
+    np.testing.assert_allclose([row["price"] for row in back], prices, rtol=1e-12)
+
+
+def test_sliding_windows_reference_shape(spark):
+    """create_windows parity (test_create_windows): N=10, W=3 → 8 full
+    windows, first [0,1,2], last [7,8,9]; and prepare_training_windows
+    with use_returns loses exactly one row → N-1-W+1 windows
+    (test_prepare_training_data)."""
+    from synthetic_datagen_spark.functions import timeseries as TS
+    from synthetic_datagen_spark.ml.prep import prepare_training_windows
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "t LONG, value DOUBLE"
+    )
+    w = TS.sliding_windows(df, "value", 3, [], ["t"]).orderBy("window_id").collect()
+    assert len(w) == 8
+    assert w[0]["window_vec"] == [0.0, 1.0, 2.0]
+    assert w[-1]["window_vec"] == [7.0, 8.0, 9.0]
+
+    n, W = 200, 10
+    prices = spark.createDataFrame(
+        [(i, float(1.3 + 0.001 * np.sin(i))) for i in range(n)],
+        "ts LONG, value DOUBLE",
+    )
+    wins = prepare_training_windows([prices], "value", "ts", W, use_returns=True)
+    assert wins.count() == n - 1 - W + 1
+
+
+def test_trainer_raises_on_too_short_series(spark):
+    """create_windows raises ValueError when the series is shorter than
+    one window (test_create_windows_too_short); the trainer surfaces the
+    same clear error instead of a numpy shape failure."""
+    prices = spark.createDataFrame(
+        [(i, 1.3 + 0.001 * i) for i in range(5)], "ts LONG, value DOUBLE"
+    )
+    tr = VaeGanTrainer(window_rows=32, epochs=1, max_windows=64)
+    tr.prepare([prices], "value", "ts")
+    with pytest.raises(ValueError, match="too short"):
+        tr.fit()
