@@ -131,9 +131,16 @@ def _generate(spark, config: dict) -> dict:
             # output (continuing the real series' max ts at 4 h steps) —
             # otherwise the output is decoded for one season but labeled
             # with another. config["start_dt"] overrides.
-            start = config.get("start_dt") or str(
-                df.agg(F.max("ts")).first()[0]
-            )
+            start = config.get("start_dt")
+            if not start:
+                max_ts = df.agg(F.max("ts")).first()[0]
+                if max_ts is None:
+                    raise ValueError(
+                        "input series is empty (or all-null ts): cannot "
+                        "derive a start timestamp for the conditional "
+                        "decoder; pass start_dt explicitly"
+                    )
+                start = str(max_ts)
             kwargs = {"start_dt": start, "interval_hours": 4}
         syn = dec.generate(
             spark, pool, int(config["seed"]), int(config["n_samples"]), **kwargs

@@ -187,7 +187,15 @@ class PredictiveEvaluator:
         xy_val = mk(val).persist()
         xy_test = mk(test).persist()
         xy_aug = mk(synthetic).unionByName(xy_real).persist()  # J2 union
+        try:
+            return self._evaluate_inner(xy_real, xy_val, xy_test, xy_aug)
+        finally:
+            # unpersist even when a fit/mae raises — a long-lived session
+            # must not accumulate orphaned cached frames
+            for d in (xy_real, xy_val, xy_test, xy_aug):
+                d.unpersist()
 
+    def _evaluate_inner(self, xy_real, xy_val, xy_test, xy_aug) -> dict[str, float]:
         if self.predictor == "lstm":
             m_base = self._fit_lstm(xy_real, xy_val)
             m_aug = self._fit_lstm(xy_aug, xy_val)
@@ -238,8 +246,6 @@ class PredictiveEvaluator:
             else 0.0
         )
         out["helps"] = float(out["delta_val_mae"] < 0 and out["delta_test_mae"] < 0)
-        for d in (xy_real, xy_val, xy_test, xy_aug):
-            d.unpersist()
         return out
 
     def sweep(
@@ -278,7 +284,19 @@ class PredictiveEvaluator:
         xy_real = mk(real_train).persist()
         xy_val = mk(val).persist()
         xy_test = mk(test).persist()
+        try:
+            return self._sweep_inner(
+                mk, xy_real, xy_val, xy_test, variants, baseline_file, max_workers
+            )
+        finally:
+            # unpersist even when a variant's fit/mae raises (no leaked
+            # cached frames in a long-lived session)
+            for d in (xy_real, xy_val, xy_test):
+                d.unpersist()
 
+    def _sweep_inner(
+        self, mk, xy_real, xy_val, xy_test, variants, baseline_file, max_workers
+    ) -> list[dict]:
         def fit(xy_train: DataFrame):
             if self.predictor == "lstm":
                 return self._fit_lstm(xy_train, xy_val)
@@ -294,9 +312,28 @@ class PredictiveEvaluator:
             return {"val_mae": mae(xy_val, w), "test_mae": mae(xy_test, w)}
 
         if baseline_file:
+            import json
+
             from .memo import json_memo
 
-            base = json_memo(baseline_file, "baseline", baseline_maes)
+            # key by config + data identity (same pattern as
+            # ExternalPredictorEvaluator._fingerprint): reusing one
+            # baseline_file across different splits or window/horizon/
+            # predictor settings must recompute, not return a stale
+            # baseline. The fitted callable itself is not fingerprinted.
+            fp = xy_real.agg(
+                F.count("*").alias("n"),
+                F.sum("y").alias("s"),
+                F.min("y").alias("lo"),
+                F.max("y").alias("hi"),
+            ).first()
+            key = json.dumps(
+                [
+                    self.window, self.horizon, self.predictor,
+                    f"{fp['n']}:{fp['s']}:{fp['lo']}:{fp['hi']}",
+                ]
+            )
+            base = json_memo(baseline_file, key, baseline_maes)
         else:
             base = baseline_maes()
 
@@ -319,8 +356,6 @@ class PredictiveEvaluator:
 
             with ThreadPoolExecutor(max_workers=min(max_workers, len(variants))) as pool:
                 results = list(pool.map(run_variant, variants))
-        for d in (xy_real, xy_val, xy_test):
-            d.unpersist()
         return results
 
     def evaluate_reference_keys(self, *args, **kwargs) -> dict[str, float]:

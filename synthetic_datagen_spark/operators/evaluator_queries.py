@@ -115,7 +115,7 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gr = GrasyndaGenerator(n_states=8).fit(train, "value", ["ts", "event_id"])
     # persist: the walk otherwise re-generates for the stat agg, the
     # sweep's window build, and the union scan
-    sub = as_series(
+    sub_cached = as_series(
         gr.generate(spark, seed=42, n_samples=250, n_series=1)
         .orderBy("series_id", "t")
         .limit(100)
@@ -123,11 +123,11 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tstat = train.agg(
         F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
     ).first()
-    gstat = sub.agg(
+    gstat = sub_cached.agg(
         F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
     ).first()
     gs = gstat["s"] or 1.0
-    sub = sub.withColumn(
+    sub = sub_cached.withColumn(
         "value",
         (F.col("value") - F.lit(gstat["m"])) / F.lit(gs if gs > 0 else 1.0)
         * F.lit(tstat["s"]) + F.lit(tstat["m"]),
@@ -138,7 +138,7 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, variants, val, test, "value", [], ["ts", "event_id"]
     )
     train.unpersist()  # rows are driver-materialized past this point
-    sub.unpersist()
+    sub_cached.unpersist()  # the handle that was actually persisted
     # O5 best-of selection (run_ratio_sweep.py:167-168)
     best_val = max(rows, key=lambda r: r["val_improvement_pct"])["label"]
     best_test = max(rows, key=lambda r: r["test_improvement_pct"])["label"]

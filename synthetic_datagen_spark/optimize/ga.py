@@ -68,6 +68,7 @@ class GAOptimizer:
     resume_file: str | None = None  # per-generation checkpoint JSON
     meta_log: str | None = None     # append-only CSV of every evaluation
     stage_num: int = 0              # stage column in the meta-log
+    fitness_tag: str | None = None  # caller-supplied fitness/data identity
 
     # ------------------------------------------------------- durability --
     # The search trajectory is a pure function of (genes, seed, data):
@@ -79,11 +80,20 @@ class GAOptimizer:
     # header + per-individual rows, :220-228,:430-439).
 
     def _config_fp(self) -> str:
-        """Fingerprint of every input that shapes the search trajectory.
-        Stored in each checkpoint; a resume file whose fingerprint does
-        not match the current configuration is REJECTED — silently
-        returning a previous run's done-state from a different gene
-        space / seed would be a wrong optimum with no error."""
+        """Fingerprint of the GA parameters that shape the search
+        trajectory, plus the caller's optional ``fitness_tag``. Stored in
+        each checkpoint; a resume file whose fingerprint does not match
+        the current configuration is REJECTED — silently returning a
+        previous run's done-state from a different gene space / seed
+        would be a wrong optimum with no error.
+
+        The fitness *callable itself is NOT fingerprinted* (there is no
+        reliable hash of a closure plus the data it captures). Callers
+        whose fitness or underlying data can change between runs should
+        pass ``fitness_tag`` — e.g.
+        ``json.dumps([predictor_cfg, data_fingerprint])`` — so a resumed
+        run with a changed objective is rejected rather than silently
+        continuing toward the wrong optimum."""
         import hashlib
         import json
 
@@ -99,6 +109,7 @@ class GAOptimizer:
             "elite": self.elite,
             "patience": self.patience,
             "stage_num": self.stage_num,
+            "fitness_tag": self.fitness_tag,
         }
         return hashlib.md5(
             json.dumps(payload, sort_keys=True).encode()
@@ -128,10 +139,15 @@ class GAOptimizer:
         with open(self.resume_file) as f:
             state = json.load(f)
         if state.get("config_fp") != self._config_fp():
+            detail = (
+                "predates fingerprinting"
+                if "config_fp" not in state
+                else "was written by a GA with a different configuration "
+                "(genes/seed/pop_size/fitness_tag/…)"
+            )
             raise RuntimeError(
-                f"resume file {self.resume_file} was written by a GA with a "
-                "different configuration (genes/seed/pop_size/…); delete it "
-                "to start fresh"
+                f"resume file {self.resume_file} {detail}; delete it to "
+                "start fresh"
             )
         return state
 

@@ -388,3 +388,19 @@ def test_cli_conditional_generate_uses_continuation_timeline(spark, price_csv, t
     c = run("other", {"start_dt": "1999-01-01 00:00:00"})
     assert a == b, "default start_dt must be the continuation of the input"
     assert a != c, "start_dt must flow into the conditional decode"
+
+    # empty input series → clear driver-side error, not an opaque
+    # executor-side pd.Timestamp parse failure on the string "None"
+    empty_csv = str(tmp_path / "empty.csv")
+    with open(empty_csv, "w") as f:
+        f.write("DATE_TIME,typical_price\n")
+    with pytest.raises(ValueError, match="input series is empty"):
+        main(
+            [
+                "--mode", "generate", "--generator", "linear_decoder",
+                "--input-file", empty_csv, "--model-file", model_dir,
+                "--output-file", str(tmp_path / "out_empty"),
+                "--seed", "5", "--n-samples", "8",
+            ],
+            spark=spark,
+        )

@@ -433,21 +433,31 @@ def test_ratio_sweep_shares_baseline_and_matches_evaluate(spark, sf_smoke, tmp_p
     assert rows[0]["baseline_val_mae"] == rows[1]["baseline_val_mae"]
     assert rows[0]["verdict"] in ("GOOD", "BAD")
     assert rows[0]["n_samples"] == 60
-    # memo file holds the shared baseline
-    memo_val = _json.load(open(memo))["baseline"]["val_mae"]
+    # memo file holds the shared baseline under a config+data key
+    memo_obj = _json.load(open(memo))
+    (memo_key,) = memo_obj.keys()
+    assert _json.loads(memo_key)[:3] == [8, 1, "ridge"]  # window/horizon/predictor
+    memo_val = memo_obj[memo_key]["val_mae"]
     assert math.isclose(memo_val, rows[0]["baseline_val_mae"], rel_tol=1e-12)
     # cross-check against the full evaluate() protocol on variant a
     full = e.evaluate(train, syn_a, val, test, "value", [], ["ts", "event_id"])
     assert math.isclose(rows[0]["augmented_val_mae"], full["augmented_val_mae"], rel_tol=1e-9)
     assert math.isclose(rows[0]["baseline_test_mae"], full["baseline_test_mae"], rel_tol=1e-9)
     # second sweep hits the memo (poison it and confirm the hit is used)
-    poisoned = {"baseline": {"val_mae": 123.0, "test_mae": 456.0}}
+    poisoned = {memo_key: {"val_mae": 123.0, "test_mae": 456.0}}
     _json.dump(poisoned, open(memo, "w"))
     rows2 = e.sweep(
         train, [("a", syn_a, {})], val, test, "value", [], ["ts", "event_id"],
         baseline_file=memo,
     )
     assert rows2[0]["baseline_val_mae"] == 123.0
+    # a DIFFERENT config must NOT reuse the stale entry (the key is a
+    # config+data fingerprint, not the constant "baseline")
+    rows3 = PredictiveEvaluator(window=9).sweep(
+        train, [("a", syn_a, {})], val, test, "value", [], ["ts", "event_id"],
+        baseline_file=memo,
+    )
+    assert rows3[0]["baseline_val_mae"] != 123.0
 
 
 def test_augmentation_plugin_registered():

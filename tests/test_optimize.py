@@ -391,6 +391,7 @@ def test_ga_resume_rejects_mismatched_config(spark, tmp_path):
         {"n_gens": 3},                                  # different budget
         {"genes": [Gene("block_size", 4, 40, "int"),    # different bounds
                    Gene("lam", 0.0, 1.0)]},
+        {"fitness_tag": "other-objective-v2"},          # changed fitness/data
     ):
         cfg = dict(genes=genes, fitness=_toy_fitness_factory(), pop_size=6,
                    n_gens=2, seed=42, resume_file=resume)
