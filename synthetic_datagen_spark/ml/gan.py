@@ -116,11 +116,12 @@ class LinearGan:
 class MlpGan:
     """Reference-architecture pure GAN: tanh MLP generator (the decoder
     stack of vae_gan_trainer.py:80-103, reused by gan_trainer.py) vs a
-    LeakyReLU(0.2) MLP discriminator (vae_gan_trainer.py:106-124;
-    dropout omitted for determinism — declared). Same alternating BCE
-    protocol as LinearGan (gan_trainer.py:77-97) but with full
-    backprop through both stacks; unlike a linear generator this can
-    push the prior onto NON-GAUSSIAN (e.g. bimodal) window
+    LeakyReLU(0.2) MLP discriminator with seeded inverted
+    Dropout(disc_dropout) between layers (vae_gan_trainer.py:106-124 —
+    gan_trainer.py imports the same _build_discriminator). Same
+    alternating BCE protocol as LinearGan (gan_trainer.py:77-97) but
+    with full backprop through both stacks; unlike a linear generator
+    this can push the prior onto NON-GAUSSIAN (e.g. bimodal) window
     distributions — pinned in tests/test_generators.py.
     """
 
@@ -130,6 +131,7 @@ class MlpGan:
         latent_dim: int = 16,
         hidden: tuple[int, ...] = (24, 48),
         disc_hidden: tuple[int, ...] = (64, 32),
+        disc_dropout: float = 0.3,
         epochs: int = 40,
         batch_size: int = 128,
         lr: float = 5e-3,
@@ -140,6 +142,7 @@ class MlpGan:
         self.latent_dim = latent_dim
         self.hidden = tuple(max(h, latent_dim) for h in hidden)
         self.disc_hidden = tuple(disc_hidden)
+        self.disc_dropout = disc_dropout
         self.epochs = epochs
         self.batch_size = batch_size
         self.lr = lr
@@ -159,11 +162,16 @@ class MlpGan:
         h, acts = tanh_stack_forward(z, self.gen_hidden)
         return h @ self.out_head[0] + self.out_head[1], (acts, h)
 
-    def _disc_forward(self, x: np.ndarray):
+    def _disc_forward(self, x: np.ndarray, rng: np.random.Generator | None = None):
+        """With ``rng`` (training): seeded inverted Dropout(disc_dropout)
+        after each LeakyReLU, fresh masks per call (Keras training=True
+        semantics). Without: identity (inference)."""
         from .mlp import lrelu_stack_forward
 
-        h, acts = lrelu_stack_forward(x, self.disc_layers)
-        return _sigmoid((h @ self.disc_head[0] + self.disc_head[1])[:, 0]), acts
+        h, acts, scales = lrelu_stack_forward(
+            x, self.disc_layers, dropout=self.disc_dropout, rng=rng
+        )
+        return _sigmoid((h @ self.disc_head[0] + self.disc_head[1])[:, 0]), acts, scales
 
     def fit(self, X: np.ndarray) -> "MlpGan":
         """Alternating SGD. X: (N, window_rows) in deterministic order."""
@@ -205,20 +213,21 @@ class MlpGan:
                 # --- discriminator step (generator frozen) ---
                 z = rng.standard_normal((B, L))
                 fake, _ = self._gen_forward(z)
-                pr, acts_r = self._disc_forward(xb)
-                pf, acts_f = self._disc_forward(fake)
+                pr, acts_r, sc_r = self._disc_forward(xb, rng)
+                pf, acts_f, sc_f = self._disc_forward(fake, rng)
                 d_loss = disc_bce_update(
                     pr, acts_r, pf, acts_f,
                     self.disc_layers, self.disc_head, self.disc_lr,
+                    scales_real=sc_r, scales_fake=sc_f,
                 )
                 # --- generator step (discriminator frozen) ---
                 z = rng.standard_normal((B, L))
                 fake, (acts_g, hg) = self._gen_forward(z)
-                pf, acts_f = self._disc_forward(fake)
+                pf, acts_f, sc_f = self._disc_forward(fake, rng)
                 g_loss = -float(np.mean(np.log(np.clip(pf, 1e-12, 1.0))))
                 ds = ((pf - 1.0) / B)[:, None]
                 dfake, _ = lrelu_stack_backward(
-                    ds @ self.disc_head[0].T, acts_f, self.disc_layers
+                    ds @ self.disc_head[0].T, acts_f, self.disc_layers, scales=sc_f
                 )
                 g_out = (hg.T @ dfake, dfake.sum(axis=0))
                 dhg = dfake @ self.out_head[0].T

@@ -51,26 +51,60 @@ def tanh_stack_backward(dout: np.ndarray, acts: list, layers: list) -> tuple[np.
     return dout, grads
 
 
-def lrelu_stack_forward(x: np.ndarray, layers: list, alpha: float = 0.2) -> tuple[np.ndarray, list]:
-    """LeakyReLU(alpha) stack — the reference discriminator's hidden
-    activation (vae_gan_trainer.py:119-122; dropout omitted here for
-    determinism, declared in MIGRATION.md)."""
+def lrelu_stack_forward(
+    x: np.ndarray,
+    layers: list,
+    alpha: float = 0.2,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+    scales: list | None = None,
+) -> tuple[np.ndarray, list, list | None]:
+    """LeakyReLU(alpha) stack with optional inverted dropout after each
+    layer — the reference discriminator's hidden block
+    (vae_gan_trainer.py:119-122: Dense → LeakyReLU(0.2) →
+    Dropout(disc_dropout) per layer). The mask is a seeded Bernoulli
+    draw from the caller's rng, so training remains a pure function of
+    (windows, train_seed) with dropout active.
+
+    Returns (out, acts, scales): ``acts`` holds POST-dropout activations
+    (the actual inputs of each next layer, which is what the weight
+    gradients need); ``scales`` is the per-layer mask/(1-p) array, or
+    None when dropout is off (inference / dropout=0.0). Pass ``scales``
+    back in to replay a forward under FIXED masks (gradient checks)."""
     acts = [x]
     h = x
-    for W, b in layers:
+    draw = dropout > 0.0 and rng is not None and scales is None
+    out_scales: list | None = [] if draw else scales
+    for i, (W, b) in enumerate(layers):
         pre = h @ W + b
         h = np.where(pre > 0.0, pre, alpha * pre)
+        if draw:
+            s = (rng.random(h.shape) >= dropout) / (1.0 - dropout)
+            h = h * s
+            out_scales.append(s)
+        elif scales is not None:
+            h = h * scales[i]
         acts.append(h)
-    return h, acts
+    return h, acts, out_scales
 
 
 def lrelu_stack_backward(
-    dout: np.ndarray, acts: list, layers: list, alpha: float = 0.2
+    dout: np.ndarray,
+    acts: list,
+    layers: list,
+    alpha: float = 0.2,
+    scales: list | None = None,
 ) -> tuple[np.ndarray, list]:
+    """Backprop matching lrelu_stack_forward (same ``scales``). Dropped
+    units have a_out == 0 AND scale == 0, so the LeakyReLU-derivative
+    lookup on the post-dropout activation is exact: surviving units keep
+    the sign of their pre-activation; dropped units contribute 0."""
     grads: list = [None] * len(layers)
     for i in range(len(layers) - 1, -1, -1):
         W, _ = layers[i]
         a_in, a_out = acts[i], acts[i + 1]
+        if scales is not None:
+            dout = dout * scales[i]
         # a_out > 0 ⟺ pre-activation > 0 (alpha > 0 preserves sign)
         dpre = dout * np.where(a_out > 0.0, 1.0, alpha)
         grads[i] = (a_in.T @ dpre, dpre.sum(axis=0))
@@ -93,6 +127,8 @@ def disc_bce_update(
     disc_layers: list,
     disc_head: list,
     lr: float,
+    scales_real: list | None = None,
+    scales_fake: list | None = None,
 ) -> float:
     """One discriminator step on the averaged real/fake BCE pair, shared
     by MlpGan.fit and MlpVae's adversarial phase.
@@ -116,10 +152,14 @@ def disc_bce_update(
     )
     tot_layers: list | None = None
     tot_head: tuple | None = None
-    for p, target, acts in ((pr, 1.0, acts_real), (pf, 0.0, acts_fake)):
+    for p, target, acts, scales in (
+        (pr, 1.0, acts_real, scales_real), (pf, 0.0, acts_fake, scales_fake)
+    ):
         ds = (0.5 * (p - target) / B)[:, None]
         g_head = (acts[-1].T @ ds, ds.sum(axis=0))
-        _, g_disc = lrelu_stack_backward(ds @ disc_head[0].T, acts, disc_layers)
+        _, g_disc = lrelu_stack_backward(
+            ds @ disc_head[0].T, acts, disc_layers, scales=scales
+        )
         if tot_layers is None:
             tot_layers, tot_head = g_disc, g_head
         else:

@@ -11,8 +11,9 @@ Two fidelity tiers live here:
   activation tanh from app/config.py), Gaussian-kernel MMD² loss term
   (vae_gan_trainer.py:131-139, weight ``mmd_lambda=1e-2``), KL
   annealing (``kl_weight * min(1, epoch/kl_anneal_epochs)``,
-  train loop :221), LeakyReLU(0.2) MLP discriminator
-  (:106-124; dropout omitted for determinism — declared), early
+  train loop :221), LeakyReLU(0.2) MLP discriminator with
+  seeded inverted Dropout(disc_dropout=0.3) between layers (:106-124;
+  masks drawn from the training rng, so determinism holds), early
   stopping with ``start_from_epoch``/``min_delta``/``early_patience``
   (:300-309), and optional temporal conditioning: the 6 cyclical
   features concat after the first encoder layer and at the decoder /
@@ -203,6 +204,7 @@ class MlpVae:
         mmd_lambda: float = 1e-2,
         adversarial: bool = False,
         disc_hidden: tuple[int, ...] = (64, 32),
+        disc_dropout: float = 0.3,
         disc_lr: float = 1e-4,
         gen_lr: float = 1e-4,
         epochs: int = 40,
@@ -222,6 +224,7 @@ class MlpVae:
         self.mmd_lambda = mmd_lambda
         self.adversarial = adversarial
         self.disc_hidden = tuple(disc_hidden)
+        self.disc_dropout = disc_dropout
         self.disc_lr = disc_lr
         self.gen_lr = gen_lr
         self.epochs = epochs
@@ -265,22 +268,37 @@ class MlpVae:
         xh = hd @ self.out_head[0] + self.out_head[1]
         return xh, (acts_d, hd)
 
-    def _disc_forward(self, xb: np.ndarray, tb: np.ndarray | None):
+    def _disc_forward(
+        self,
+        xb: np.ndarray,
+        tb: np.ndarray | None,
+        rng: np.random.Generator | None = None,
+    ):
+        """Discriminator forward. With ``rng`` (training), each layer
+        applies seeded inverted Dropout(disc_dropout) after its
+        LeakyReLU — the reference discriminator block
+        (vae_gan_trainer.py:119-122) — drawing fresh masks per call the
+        way Keras does per training=True invocation. Without ``rng``
+        (inference), dropout is the identity."""
         from .mlp import lrelu_stack_forward
 
         d_in = np.concatenate([xb, tb], axis=1) if tb is not None else xb
-        h, acts = lrelu_stack_forward(d_in, self.disc_layers)
+        h, acts, scales = lrelu_stack_forward(
+            d_in, self.disc_layers, dropout=self.disc_dropout, rng=rng
+        )
         s = h @ self.disc_head[0] + self.disc_head[1]
-        return _sigmoid(s[:, 0]), acts
+        return _sigmoid(s[:, 0]), acts, scales
 
-    def _disc_backprop_input(self, p: np.ndarray, target: np.ndarray, acts: list):
+    def _disc_backprop_input(
+        self, p: np.ndarray, target: np.ndarray, acts: list, scales: list | None = None
+    ):
         """d(BCE(target, p))/d(disc input), discriminator frozen.
         Mean-over-batch convention; sigmoid folds to (p − target)."""
         from .mlp import lrelu_stack_backward
 
         B = len(p)
         ds = ((p - target) / B)[:, None] @ self.disc_head[0].T
-        d_in, _ = lrelu_stack_backward(ds, acts, self.disc_layers)
+        d_in, _ = lrelu_stack_backward(ds, acts, self.disc_layers, scales=scales)
         return d_in
 
     # ----------------------------------------------------- loss/grads --
@@ -436,19 +454,22 @@ class MlpVae:
                     # one combined real+fake update, shared with MlpGan
                     noise = rng.standard_normal((B, L))
                     fake, _ = self._decode_batch(noise, tb)
-                    pr, acts_real = self._disc_forward(xb, tb)
-                    pf, acts_fake = self._disc_forward(fake, tb)
+                    pr, acts_real, sc_real = self._disc_forward(xb, tb, rng)
+                    pf, acts_fake, sc_fake = self._disc_forward(fake, tb, rng)
                     d_loss = disc_bce_update(
                         pr, acts_real, pf, acts_fake,
                         self.disc_layers, self.disc_head, self.disc_lr,
+                        scales_real=sc_real, scales_fake=sc_fake,
                     )
 
                     # ---- generator-adversarial step (disc frozen; :269-278)
                     noise = rng.standard_normal((B, L))
                     fake, (acts_fd, hfd) = self._decode_batch(noise, tb)
-                    pf, acts_fake = self._disc_forward(fake, tb)
+                    pf, acts_fake, sc_fake = self._disc_forward(fake, tb, rng)
                     g_loss = -float(np.mean(np.log(np.clip(pf, 1e-12, 1.0))))
-                    dfake_full = self._disc_backprop_input(pf, np.ones(B), acts_fake)
+                    dfake_full = self._disc_backprop_input(
+                        pf, np.ones(B), acts_fake, sc_fake
+                    )
                     dfake = dfake_full[:, :D] if NT else dfake_full
                     g_out2 = (hfd.T @ dfake, dfake.sum(axis=0))
                     dhfd = dfake @ self.out_head[0].T

@@ -349,9 +349,9 @@ def test_disc_bce_update_is_single_combined_step():
     head = dense_init(rng, 4, 1)
     xb = rng.standard_normal((16, 6))
     fake = rng.standard_normal((16, 6))
-    hr, acts_r = lrelu_stack_forward(xb, layers)
+    hr, acts_r, _ = lrelu_stack_forward(xb, layers)
     pr = _sigmoid((hr @ head[0] + head[1])[:, 0])
-    hf, acts_f = lrelu_stack_forward(fake, layers)
+    hf, acts_f, _ = lrelu_stack_forward(fake, layers)
     pf = _sigmoid((hf @ head[0] + head[1])[:, 0])
     # expected: sum both halves' grads at CURRENT params, one step
     exp_layers = [[W.copy(), b.copy()] for W, b in layers]
@@ -376,3 +376,70 @@ def test_disc_bce_update_is_single_combined_step():
         np.testing.assert_allclose(b, eb, rtol=1e-12)
     np.testing.assert_allclose(head[0], exp_head[0], rtol=1e-12)
     assert d_loss > 0.0
+
+
+def test_disc_dropout_gradient_check_and_determinism():
+    """Seeded inverted dropout (reference vae_gan_trainer.py:122:
+    Dropout(disc_dropout=0.3) after each LeakyReLU, shared by the GAN
+    trainer via _build_discriminator): analytic backward matches
+    central differences under FIXED masks, inference (rng=None) applies
+    no dropout, and same-seed training stays bit-identical."""
+    import numpy as np
+
+    from synthetic_datagen_spark.ml.gan import MlpGan
+    from synthetic_datagen_spark.ml.mlp import (
+        dense_init, lrelu_stack_backward, lrelu_stack_forward,
+    )
+
+    rng = np.random.default_rng(11)
+    layers = [dense_init(rng, 5, 7), dense_init(rng, 7, 4)]
+    x = rng.standard_normal((6, 5))
+    h, acts, scales = lrelu_stack_forward(
+        x, layers, dropout=0.3, rng=np.random.default_rng(99)
+    )
+    assert scales is not None and any((s == 0).any() for s in scales)
+    # replaying with the captured masks reproduces the forward exactly
+    h2, _, _ = lrelu_stack_forward(x, layers, scales=scales)
+    np.testing.assert_array_equal(h, h2)
+    # inference path: no rng → identity dropout
+    h_inf, _, sc_inf = lrelu_stack_forward(x, layers, dropout=0.3, rng=None)
+    assert sc_inf is None
+    h_plain, _, _ = lrelu_stack_forward(x, layers)
+    np.testing.assert_array_equal(h_inf, h_plain)
+
+    # gradient check: loss = sum(forward(x)) under the FIXED masks
+    dx, grads = lrelu_stack_backward(np.ones_like(h), acts, layers, scales=scales)
+
+    def loss() -> float:
+        hh, _, _ = lrelu_stack_forward(x, layers, scales=scales)
+        return float(hh.sum())
+
+    eps = 1e-6
+    worst = 0.0
+    params = [p for layer in layers for p in layer] + [x]
+    analytic = [g for gW, gb in grads for g in (gW, gb)] + [dx]
+    for arr, g in zip(params, analytic):
+        flat = arr.ravel()
+        for idx in range(0, flat.size, max(1, flat.size // 5)):
+            old = flat[idx]
+            flat[idx] = old + eps
+            up = loss()
+            flat[idx] = old - eps
+            dn = loss()
+            flat[idx] = old
+            num = (up - dn) / (2 * eps)
+            worst = max(worst, abs(num - g.ravel()[idx]) / (abs(num) + 1e-8))
+    assert worst < 1e-5
+
+    # same-seed GAN training (dropout active by default) is bit-identical
+    rngX = np.random.default_rng(7)
+    X = rngX.choice([-1.0, 1.0], size=(256, 1)) + rngX.normal(0, 0.05, (256, 4))
+    g1 = MlpGan(window_rows=4, latent_dim=4, hidden=(8,), disc_hidden=(8,),
+                epochs=3, train_seed=5).fit(X)
+    g2 = MlpGan(window_rows=4, latent_dim=4, hidden=(8,), disc_hidden=(8,),
+                epochs=3, train_seed=5).fit(X)
+    assert g1.disc_dropout == 0.3
+    assert g1.d_loss_history == g2.d_loss_history
+    for (Wa, ba), (Wb, bb) in zip(g1.gen_hidden, g2.gen_hidden):
+        np.testing.assert_array_equal(Wa, Wb)
+        np.testing.assert_array_equal(ba, bb)
