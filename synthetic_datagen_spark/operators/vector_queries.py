@@ -59,7 +59,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_cte_sql(n_tables: int, n_planes: int, seed: int = 42) -> str:
+def _bucket_cte_sql(
+    n_tables: int, n_planes: int, seed: int = 42, source: str = "embeddings"
+) -> str:
     """Sign-LSH bucket CTEs with the hyperplanes inline as float
     literals — repr() round-trips doubles exactly, so both engines hash
     vectors to identical buckets (sign of a 64-term dot; |dot| ~ O(1),
@@ -85,7 +87,7 @@ def _bucket_cte_sql(n_tables: int, n_planes: int, seed: int = 42) -> str:
 b AS (
   SELECT vec_id, embedding,
          {", ".join(buckets)}
-  FROM embeddings
+  FROM {source}
 ), tables AS (
   {unions}
 )"""
@@ -129,22 +131,28 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-def _semantic_cluster_oracle_sql() -> str:
+def _semantic_cluster_oracle_sql(
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    source: str = "embeddings",
+    pre_cte: str = "",
+) -> str:
     """Recursive transitive closure over the exact near-dup pair graph
-    (same 8×4 literal hyperplanes + 0.35 rescore as
-    embedding_near_dup_pairs): component min == propagated min label."""
+    (same literal hyperplanes + exact-cosine rescore as the Spark
+    query): component min == propagated min label."""
     cos = (
         f"{_DOT.format(a='ea', b='eb')} / (sqrt({_DOT.format(a='ea', b='ea')})"
         f" * sqrt({_DOT.format(a='eb', b='eb')}))"
     )
     return f"""
-WITH RECURSIVE {_bucket_cte_sql(8, 4).strip()}
+WITH RECURSIVE {pre_cte}{_bucket_cte_sql(n_tables, n_planes, source=source).strip()}
 , cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM (SELECT vec_id, embedding AS ea, tbl, bucket FROM tables) a
   JOIN (SELECT vec_id, embedding AS eb, tbl, bucket FROM tables) b
     ON a.tbl = b.tbl AND a.bucket = b.bucket
-  WHERE a.vec_id < b.vec_id AND {cos} >= 0.35
+  WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM cand
   UNION ALL SELECT id_b, id_a FROM cand
@@ -173,13 +181,26 @@ FROM reach GROUP BY a ORDER BY vec_id
     "+ recursive-CTE closure give DuckDB the identical clustering.",
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_clusters(spark, sf_dir, 0.35, n_tables=8, n_planes=4)
+
+
+def _dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_tables: int,
+    n_planes: int,
+    corpus=None,
+) -> DataFrame:
     from ..functions.graph import cached_min_label_components
 
+    src = corpus if corpus is not None else _emb
     labels = cached_min_label_components(
         spark,
-        ("emb_lsh_cc", sf_dir),
+        (f"emb_lsh_cc_{threshold}_{n_tables}x{n_planes}", sf_dir),
         lambda: V.lsh_near_dup_pairs(
-            _emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42
+            src(spark, sf_dir), threshold, dim=64,
+            n_tables=n_tables, n_planes=n_planes, seed=42,
         ).select("id_a", "id_b"),
     )
     return (
@@ -190,6 +211,59 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_STRICT_PRE_CTE = """corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_prepend(-embedding[1], embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+), """
+
+
+@register(
+    "embedding_dedup_clusters_strict",
+    oracle=_semantic_cluster_oracle_sql(
+        threshold=0.9, n_tables=12, n_planes=6,
+        source="corpus", pre_cte=_STRICT_PRE_CTE,
+    ),
+    doc="PRODUCTION-threshold semantic dedup (cos ≥ 0.9) — the regime a "
+    "real 100 TB curation run uses, where near-dup output is LINEAR in "
+    "corpus size (vs the 0.35 exploratory threshold of "
+    "embedding_dedup_clusters, whose pair set is quadratic in cluster "
+    "size by its own semantics). The synthetic fixture has no natural "
+    "pairs above cos 0.52, so the corpus plants a near-dup variant "
+    "(first coordinate negated — fp-exact in both engines) for every "
+    "10th vector; the resulting planted cosines straddle 0.9 (48 of 50 "
+    "accepted at sf0.01), so the threshold genuinely discriminates. "
+    "LSH config is retuned for the tighter threshold: 6 planes/table "
+    "(64 buckets — ~4× fewer candidates per table than the 4-plane "
+    "config) × 12 tables keeps pair recall ≈99.8% at cos 0.9 "
+    "(p = 1-θ/π ≈ 0.857, 1-(1-p^6)^12; verified vs brute force in "
+    "tests/test_vectors.py). Same shared min-label CC kernel; "
+    "SQL-oracled end-to-end via literal hyperplanes + recursive-CTE "
+    "closure.",
+)
+def embedding_dedup_clusters_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_clusters(
+        spark, sf_dir, 0.9, n_tables=12, n_planes=6, corpus=_planted_corpus
+    )
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-dup variants (vec_id % 10 == 0 →
+    id + 1000000, first coordinate negated). Negation is exact in fp,
+    so Spark and the DuckDB oracle build bit-identical corpora."""
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
 
 
 def _lsh_oracle_sql() -> str:

@@ -125,3 +125,30 @@ def test_ivf_index_save_load_query_parity(spark, sf_smoke, tmp_path):
     assert loaded.centroids == idx.centroids
     back = loaded.query(q, 5, n_probe=3).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, back))
+
+
+def test_strict_dedup_planted_corpus_recall_and_threshold(spark, sf_smoke):
+    """Production-threshold (cos ≥ 0.9) semantic dedup: on the planted
+    corpus (every 10th vector gets a first-coordinate-negated variant),
+    the 12×6 LSH config must find EVERY brute-force pair at ≥0.9
+    (recall ≈99.8% theoretical; the fixture's ~50 pairs should all
+    survive), and the threshold must genuinely discriminate — some
+    planted pairs fall below 0.9 and are rejected."""
+    from synthetic_datagen_spark.operators.vector_queries import _planted_corpus
+
+    corpus = _planted_corpus(spark, sf_smoke)
+    bf = V.embedding_near_dups(corpus, 0.9).select("id_a", "id_b")
+    lsh = V.lsh_near_dup_pairs(
+        corpus, 0.9, dim=64, n_tables=12, n_planes=6, seed=42
+    ).select("id_a", "id_b", "cos_sim")
+    n_bf = bf.count()
+    assert n_bf > 0, "planted corpus must contain pairs above 0.9"
+    hits = bf.join(lsh, ["id_a", "id_b"]).count()
+    assert hits == n_bf, f"strict-dedup recall {hits}/{n_bf} — LSH missed pairs"
+    assert lsh.count() == hits  # precision exact: LSH ⊆ brute force
+    assert lsh.filter(F.col("cos_sim") < 0.9).count() == 0
+    # the threshold discriminates: at least one planted pair is BELOW 0.9
+    all_planted = V.embedding_near_dups(corpus, 0.0).filter(
+        F.col("id_b") == F.col("id_a") + 1000000
+    )
+    assert all_planted.filter(F.col("cos_sim") < 0.9).count() > 0
