@@ -329,3 +329,89 @@ def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination(300)
     return spark.table(name).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "stream_regime_generate_parity",
+    oracle=None,  # seeded stochastic generator: batch twin IS the oracle
+    doc="ONLINE G6/G7 generator (SURVEY §2.13): per-series "
+    "applyInPandasWithState runs the regime-Markov + AR(1)+GARCH "
+    "recursion over a STREAM of tick requests (several micro-batches "
+    "via maxFilesPerTrigger=1), state = (step, prev_r, sig2, regime, "
+    "log_price) — O(1) per series key, bounded by construction. The "
+    "per-tick rng re-derives from splitmix64(seed, series_id, step), "
+    "so the path is invariant to micro-batch boundaries. The batch "
+    "twin (online_generate_batch) shares the SAME tick kernel "
+    "(streaming/stateful.py:_online_ticks); this query joins the two "
+    "outputs per (series_id, step) and emits per-series match stats — "
+    "exact_match must be true for every series. Model/GARCH params "
+    "come from the shared g7 artifact cache (no refit).",
+)
+def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    import numpy as np
+
+    from ..streaming.stateful import online_generate_batch, stream_online_generator
+    from .regime_queries import _click_series, _fitted_garch, _fitted_model
+
+    model = _fitted_model(spark, sf_dir)
+    garch = _fitted_garch(spark, sf_dir, model)
+    ev = _click_series(spark, sf_dir)
+    p0 = float(ev.orderBy("ts", "event_id").select("value").first()[0])
+    trans_cum = np.cumsum(model.trans, axis=1)
+    start_cum = np.cumsum(model.start)
+    stats = model.stats
+    n_series, n_ticks = 3, 120
+
+    # tick requests staged as several files → several micro-batches
+    base = f"/tmp/spark_graft_stream/ticks_{os.path.basename(sf_dir.rstrip('/'))}"
+    ticks = spark.createDataFrame(
+        [(int(s), int(t)) for s in range(n_series) for t in range(n_ticks)],
+        "series_id LONG, tick LONG",
+    )
+    ticks.repartition(6).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema("series_id LONG, tick LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    name = f"gen_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_online_generator(
+            stream, trans_cum, start_cum, stats, garch, seed=42, p0=p0
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table(name).select(
+        "series_id", "step", F.col("regime").alias("regime_s"),
+        F.col("price").alias("price_s"),
+    )
+    batch = online_generate_batch(
+        spark, n_series, n_ticks, trans_cum, start_cum, stats, garch,
+        seed=42, p0=p0,
+    ).select(
+        "series_id", "step", F.col("regime").alias("regime_b"),
+        F.col("price").alias("price_b"),
+    )
+    joined = streamed.join(batch, ["series_id", "step"], "full_outer")
+    return (
+        joined.groupBy("series_id")
+        .agg(
+            F.count("step").alias("n_steps"),
+            F.sum(F.when(F.col("price_s") == F.col("price_b"), 1).otherwise(0)).alias("n_price_eq"),
+            F.sum(F.when(F.col("regime_s") == F.col("regime_b"), 1).otherwise(0)).alias("n_regime_eq"),
+            F.countDistinct("regime_s").alias("n_regimes_seen"),
+            (
+                (F.count("step") == F.lit(n_ticks))
+                & (F.sum(F.when(F.col("price_s") == F.col("price_b"), 1).otherwise(0)) == F.lit(n_ticks))
+                & (F.sum(F.when(F.col("regime_s") == F.col("regime_b"), 1).otherwise(0)) == F.lit(n_ticks))
+            ).alias("exact_match"),
+        )
+        .orderBy("series_id")
+    )

@@ -111,6 +111,74 @@ GEN_OUT_SCHEMA = T.StructType(
 )
 
 
+def _online_init_state(
+    sid: int, start_cum, stats: dict, seed: int, p0: float
+) -> tuple:
+    """Fresh per-series state (step, prev_r, sig2, regime, log_price) —
+    shared by the streaming operator's first micro-batch and the batch
+    twin, so both paths start from the identical recursion state."""
+    import math
+
+    import numpy as np
+
+    from ..generators.seeds import derive_seed
+
+    k = len(start_cum)
+    rng0 = np.random.default_rng(derive_seed(seed, sid, 0))
+    regime = min(int(np.searchsorted(start_cum, rng0.random(), side="right")), k - 1)
+    st0 = stats.get(regime, {"sigma": 1e-3})
+    return 0, 0.0, float(st0["sigma"]) ** 2, regime, math.log(p0)
+
+
+def _online_ticks(
+    sid: int,
+    n_ticks: int,
+    state: tuple,
+    trans_cum,
+    stats: dict,
+    garch: dict,
+    seed: int,
+) -> tuple[dict, tuple]:
+    """Advance one series' AR(1)+GARCH recursion by ``n_ticks`` from
+    ``state``. THE single tick kernel: the streaming update function
+    and the batch twin both call this, so stream/batch parity holds by
+    construction — any drift breaks stream_regime_generate_parity.
+    The rng re-derives from splitmix64(seed, series_id, step) per tick,
+    so the path is invariant to micro-batch boundaries. Returns
+    (columns dict, new state)."""
+    import math
+
+    import numpy as np
+
+    from ..generators.seeds import derive_seed
+
+    k = len(trans_cum)
+    step, prev_r, sig2, regime, log_price = state
+    out = {"series_id": [], "step": [], "regime": [], "price": []}
+    for _ in range(n_ticks):
+        step += 1
+        rng = np.random.default_rng(derive_seed(seed, sid, step))
+        regime = min(
+            int(np.searchsorted(trans_cum[regime], rng.random(), side="right")),
+            k - 1,
+        )
+        st = stats.get(regime, {"mu": 0.0, "sigma": 1e-3, "ar1": 0.0})
+        g = garch.get(regime)
+        if g is not None:
+            sig2 = g["omega"] + g["alpha"] * prev_r * prev_r + g["beta"] * sig2
+            vol = math.sqrt(max(sig2, 1e-18))
+        else:
+            vol = max(st["sigma"], 1e-9)
+        r = st["mu"] + st["ar1"] * (prev_r - st["mu"]) + vol * rng.standard_normal()
+        prev_r = r
+        log_price = min(max(log_price + r, -600.0), 600.0)
+        out["series_id"].append(sid)
+        out["step"].append(step)
+        out["regime"].append(int(regime))
+        out["price"].append(math.exp(log_price))
+    return out, (step, prev_r, sig2, int(regime), log_price)
+
+
 def stream_online_generator(
     ticks: DataFrame,
     trans_cum,
@@ -122,48 +190,16 @@ def stream_online_generator(
 ):
     """ticks: streaming DataFrame with a ``series_id`` column; one
     output row per tick continues that series' AR(1)+GARCH path."""
-    import math
-
-    import numpy as np
-
-    from ..generators.seeds import derive_seed
-
-    k = len(start_cum)
 
     def update(key: tuple, pdfs, state: GroupState):
         sid = int(key[0])
         if state.exists:
-            step, prev_r, sig2, regime, log_price = state.get
+            st = state.get
         else:
-            rng0 = np.random.default_rng(derive_seed(seed, sid, 0))
-            regime = min(int(np.searchsorted(start_cum, rng0.random(), side="right")), k - 1)
-            st0 = stats.get(regime, {"sigma": 1e-3})
-            step, prev_r, sig2 = 0, 0.0, float(st0["sigma"]) ** 2
-            log_price = math.log(p0)
-        out = {"series_id": [], "step": [], "regime": [], "price": []}
+            st = _online_init_state(sid, start_cum, stats, seed, p0)
         n_ticks = sum(len(p) for p in pdfs)
-        for _ in range(n_ticks):
-            step += 1
-            rng = np.random.default_rng(derive_seed(seed, sid, step))
-            regime = min(
-                int(np.searchsorted(trans_cum[regime], rng.random(), side="right")),
-                k - 1,
-            )
-            st = stats.get(regime, {"mu": 0.0, "sigma": 1e-3, "ar1": 0.0})
-            g = garch.get(regime)
-            if g is not None:
-                sig2 = g["omega"] + g["alpha"] * prev_r * prev_r + g["beta"] * sig2
-                vol = math.sqrt(max(sig2, 1e-18))
-            else:
-                vol = max(st["sigma"], 1e-9)
-            r = st["mu"] + st["ar1"] * (prev_r - st["mu"]) + vol * rng.standard_normal()
-            prev_r = r
-            log_price = min(max(log_price + r, -600.0), 600.0)
-            out["series_id"].append(sid)
-            out["step"].append(step)
-            out["regime"].append(int(regime))
-            out["price"].append(math.exp(log_price))
-        state.update((step, prev_r, sig2, int(regime), log_price))
+        out, st = _online_ticks(sid, n_ticks, st, trans_cum, stats, garch, seed)
+        state.update(st)
         yield pd.DataFrame(out)
 
     return ticks.groupBy("series_id").applyInPandasWithState(
@@ -172,4 +208,42 @@ def stream_online_generator(
         stateStructType=GEN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def online_generate_batch(
+    spark,
+    n_series: int,
+    n_samples: int,
+    trans_cum,
+    start_cum,
+    stats: dict,
+    garch: dict,
+    seed: int = 42,
+    p0: float = 100.0,
+) -> DataFrame:
+    """Batch twin of stream_online_generator: per-series applyInPandas
+    running the SAME tick kernel from the same fresh state — the G6/G7
+    online recursion without a stream. Distributed across series like
+    RegimeGenerator.generate."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def walk(pdf: pd.DataFrame):
+        frames = []
+        for sid in pdf["id"]:
+            sid = int(sid)
+            st = _online_init_state(sid, start_cum, stats, seed, p0)
+            out, _ = _online_ticks(sid, n_samples, st, trans_cum, stats, garch, seed)
+            frames.append(pd.DataFrame(out))
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=["series_id", "step", "regime", "price"])
+        )
+
+    return (
+        spark.range(n_series)
+        .repartition(max(1, min(n_series, 64)), "id")
+        .groupBy("id")
+        .applyInPandas(walk, GEN_OUT_SCHEMA)
     )

@@ -142,3 +142,18 @@ def test_stream_online_generator_state_continuity(spark, tmp_path):
         (r.series_id, r.step, r.price) for r in many
     ]
     assert all(np.isfinite(r.price) and r.price > 0 for r in one)
+
+
+def test_stream_regime_generate_parity_query(spark, sf_smoke):
+    """The registered online-generator query: streaming stateful path ==
+    batch twin per (series_id, step), exactly, across several
+    micro-batches — and the stateful operator is present in the
+    streaming plan (bounded O(1)-per-key state)."""
+    from synthetic_datagen_spark.operators.base import REGISTRY
+
+    df = REGISTRY["stream_regime_generate_parity"].build(spark, sf_smoke)
+    rows = df.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.exact_match, r
+        assert r.n_steps == 120 and r.n_price_eq == 120 and r.n_regime_eq == 120
