@@ -288,6 +288,59 @@ def lsh_near_dup_pairs(
     )
 
 
+def scaled_lsh_params(
+    n: int,
+    cos_threshold: float = 0.9,
+    target_recall: float = 0.99,
+    cands_per_vec: float = 50.0,
+) -> tuple[int, int]:
+    """Corpus-size-aware sign-LSH config (n_planes, n_tables) for
+    near-dup pair mining at a HIGH cosine threshold.
+
+    Sign-LSH's random-collision candidate count is
+    ``L·2^-b · n²/2`` — quadratic in n with a constant the plane count
+    controls. A fixed b therefore cannot give linear candidates at any
+    scale; the standard remedy is growing b with log2(n). This helper
+    picks the smallest b whose expected random candidates stay ≤
+    ``cands_per_vec`` per vector (L·n/2^b ≤ 2·cands_per_vec), with L
+    then set for ``target_recall`` on true pairs at the threshold
+    (p = 1−θ/π per plane; recall = 1−(1−p^b)^L). Result: candidate
+    volume ≈ cands_per_vec·n + true-pair volume — linear in corpus
+    size as long as near-dup families are bounded (the production
+    regime). Driver-side arithmetic only; call with a corpus count."""
+    import math
+
+    p = 1.0 - math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+    for b in range(6, 40):
+        q = p**b
+        if q >= 1.0:
+            continue
+        L = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+        if L * max(n, 2) / float(2**b) <= 2.0 * cands_per_vec:
+            return b, L
+    return 40, 1
+
+
+def lsh_near_dup_pairs_scaled(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_recall: float = 0.99,
+) -> DataFrame:
+    """lsh_near_dup_pairs with the plane/table count chosen from the
+    corpus size via scaled_lsh_params — the 100 TB configuration path
+    (one count() to size the index, then the same bucket-join plan)."""
+    n = df.count()
+    b, L = scaled_lsh_params(n, threshold, target_recall)
+    return lsh_near_dup_pairs(
+        df, threshold, dim, n_tables=L, n_planes=b, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def ivf_knn(
     queries: DataFrame,
     corpus: DataFrame,

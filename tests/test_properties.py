@@ -302,3 +302,62 @@ def test_cc_long_chain_pointer_doubling(spark):
     )
     with pytest.raises(RuntimeError, match="still changing"):
         min_label_components(long_chain, max_rounds=2)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_ward_row_cache_matches_naive_full_scan(seed):
+    """_ward's row-minimum cache (O(s²) expected) must reproduce the
+    naive full-matrix-argmin merge order BIT-IDENTICALLY, including on
+    zero-distance ties from duplicate feature rows (degenerate segments
+    emit identical rows). The naive loop here is the pre-optimization
+    reference implementation."""
+    import numpy as np
+
+    from synthetic_datagen_spark.regime.segmentation import _ward
+
+    def naive_ward(feats, n_clusters):
+        s = len(feats)
+        if s == 0:
+            return np.zeros(0, dtype=np.int64)
+        mu = feats.mean(axis=0)
+        sd = feats.std(axis=0) + 1e-10
+        cent = ((feats - mu) / sd).astype(np.float64).copy()
+        size = np.ones(s)
+        diff = cent[:, None, :] - cent[None, :, :]
+        D = (diff * diff).sum(-1) * 0.5
+        D[np.tril_indices(s)] = np.inf
+        parent = np.arange(s)
+        active = np.ones(s, dtype=bool)
+        n_active = s
+        while n_active > max(n_clusters, 1):
+            flat = int(np.argmin(D))
+            a, b = flat // s, flat % s
+            cent[a] = (size[a] * cent[a] + size[b] * cent[b]) / (size[a] + size[b])
+            size[a] += size[b]
+            parent[parent == b] = a
+            active[b] = False
+            D[b, :] = np.inf
+            D[:, b] = np.inf
+            idx = np.where(active & (np.arange(s) != a))[0]
+            if len(idx):
+                d2 = ((cent[idx] - cent[a]) ** 2).sum(-1)
+                w = size[idx] * size[a] / (size[idx] + size[a])
+                lo = np.minimum(idx, a)
+                hi = np.maximum(idx, a)
+                D[lo, hi] = w * d2
+            n_active -= 1
+        roots = np.unique(parent)
+        labels = np.zeros(s, dtype=np.int64)
+        firsts = [(int(np.min(np.where(parent == r)[0])), r) for r in roots]
+        for lbl, (_, r) in enumerate(sorted(firsts)):
+            labels[parent == r] = lbl
+        return labels
+
+    rng = np.random.default_rng(seed)
+    s = int(rng.integers(2, 50))
+    f = rng.normal(0, 1, (s, 5))
+    for _ in range(int(rng.integers(0, max(1, s // 3)))):
+        f[rng.integers(0, s)] = f[rng.integers(0, s)]  # duplicate rows
+    k = int(rng.integers(1, 5))
+    assert np.array_equal(_ward(f.copy(), k), naive_ward(f.copy(), k))

@@ -152,3 +152,32 @@ def test_strict_dedup_planted_corpus_recall_and_threshold(spark, sf_smoke):
         F.col("id_b") == F.col("id_a") + 1000000
     )
     assert all_planted.filter(F.col("cos_sim") < 0.9).count() > 0
+
+
+def test_scaled_lsh_params_and_recall(spark, sf_smoke):
+    """scaled_lsh_params grows planes with log2(n) so random-collision
+    candidates stay ~linear in corpus size; tables are set for >=99%
+    pair recall at the threshold. On the fixture, the scaled config
+    must find every brute-force pair at >= 0.9."""
+    from synthetic_datagen_spark.functions.vectors import (
+        lsh_near_dup_pairs_scaled, scaled_lsh_params,
+    )
+    from synthetic_datagen_spark.operators.vector_queries import _planted_corpus
+
+    # monotone plane growth, bounded candidate rate
+    prev_b = 0
+    for n in (500, 5_000, 50_000, 5_000_000):
+        b, L = scaled_lsh_params(n, 0.9)
+        assert b >= prev_b
+        assert L * n / 2.0**b <= 100.0  # <= 2*cands_per_vec
+        prev_b = b
+
+    corpus = _planted_corpus(spark, sf_smoke)
+    bf = V.embedding_near_dups(corpus, 0.9).select("id_a", "id_b")
+    sc = lsh_near_dup_pairs_scaled(corpus, 0.9, dim=64, seed=42).select(
+        "id_a", "id_b"
+    )
+    nb = bf.count()
+    assert nb > 0
+    hits = bf.join(sc, ["id_a", "id_b"]).count()
+    assert hits == nb, f"scaled-LSH recall {hits}/{nb}"

@@ -111,12 +111,28 @@ def gen_documents(out: str, n: int, seed: int) -> None:
     pq.write_table(tbl, os.path.join(out, "documents.parquet"))
 
 
-def gen_embeddings(out: str, n: int, seed: int) -> None:
+def gen_embeddings(out: str, n: int, seed: int, style: str = "clustered") -> None:
+    """Two geometries:
+
+    - ``clustered`` (default): 10 dominant centers + noise; within-
+      cluster cosine averages ≈0.89, so at thresholds ≤0.9 qualifying
+      pairs are quadratic in cluster size — the ADVERSARIAL regime that
+      stresses output-bound pair emission.
+    - ``diffuse``: i.i.d. Gaussian vectors (pairwise cosine ~N(0,1/64),
+      max ≈0.5 like the driver's real testdata) + the same ~5%
+      tiny-perturbation near-dup families (cos ≈0.9999). This is the
+      PRODUCTION-like regime: at cos ≥0.9, qualifying pairs == planted
+      families == linear in corpus size.
+    """
     rng = np.random.default_rng(seed + 2)
     dim, k = 64, 10
-    centers = rng.normal(0, 1.0, (k, dim))
-    labels = rng.integers(0, k, n)
-    vecs = centers[labels] + rng.normal(0, 0.35, (n, dim))
+    if style == "diffuse":
+        labels = rng.integers(0, k, n)
+        vecs = rng.normal(0, 1.0, (n, dim))
+    else:
+        centers = rng.normal(0, 1.0, (k, dim))
+        labels = rng.integers(0, k, n)
+        vecs = centers[labels] + rng.normal(0, 0.35, (n, dim))
     # ~5% near-duplicates of earlier rows
     n_dup = n // 20
     src = rng.integers(0, n - n_dup, n_dup)
@@ -145,12 +161,18 @@ def main() -> None:
         default="/root/testdata/sf0.1",
         help="dir whose relational tables are copied through",
     )
+    ap.add_argument(
+        "--emb-style",
+        default="clustered",
+        choices=("clustered", "diffuse"),
+        help="embedding geometry (see gen_embeddings docstring)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     m = args.mult
     gen_events(args.out, int(100_000 * m), int(1500 * m), args.seed)
     gen_documents(args.out, int(5_000 * m), args.seed)
-    gen_embeddings(args.out, int(2_000 * m), args.seed)
+    gen_embeddings(args.out, int(2_000 * m), args.seed, style=args.emb_style)
     for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
         shutil.copyfile(
             os.path.join(args.copy_star, f"{t}.parquet"),

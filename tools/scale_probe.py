@@ -36,13 +36,15 @@ def main() -> None:
     dirs = sys.argv[1:3]
     names = sys.argv[3:] or HEAVY
     if len(dirs) < 2:
-        raise SystemExit("usage: scale_probe.py SMALL_DIR BIG_DIR [query ...]")
+        raise SystemExit("usage: scale_probe.py SMALL_DIR BIG_DIR [query ... | --all]")
     sys.path.insert(0, ".")
     import __spark_entry__ as entry
     from synthetic_datagen_spark.session import get_spark
 
     spark = get_spark()
     qs = entry.queries()
+    if names == ["--all"]:  # full-catalog sweep (VERDICT r4 item 2)
+        names = sorted(qs)
     # JVM/session warmup so the first timed query isn't billed for it
     for d in dirs:
         spark.read.parquet(f"{d}/events.parquet").count()
