@@ -100,6 +100,30 @@ class DistributionEvaluator:
         both = to_spark(real, "real").unionByName(to_spark(synthetic, "syn"))
         return self.evaluate_reference_keys(both, "value", "tag", "real", "syn", ["ts"])
 
+    def evaluate_arrays(
+        self, synthetic_prices, real_prices, spark=None
+    ) -> dict[str, float]:
+        """The reference's array call form
+        (distribution_evaluator.py:85-116: raw price ndarrays in, same
+        key set out) — PredictiveEvaluator's secondary-metrics hook
+        calls exactly this (predictive_evaluator.py:270-273). ``spark``
+        defaults to the active session (the reference needs no session
+        arg; a Spark engine does — this is the only signature delta)."""
+        from pyspark.sql import SparkSession
+
+        spark = spark or SparkSession.active()
+
+        def to_tagged(arr, tag):
+            rows = [(tag, i, float(v)) for i, v in enumerate(arr)]
+            return spark.createDataFrame(rows, "tag STRING, ord LONG, value DOUBLE")
+
+        both = to_tagged(real_prices, "real").unionByName(
+            to_tagged(synthetic_prices, "syn")
+        )
+        return self.evaluate_reference_keys(
+            both, "value", "tag", "real", "syn", ["ord"]
+        )
+
     def evaluate(
         self,
         df: DataFrame,

@@ -358,16 +358,32 @@ class PredictiveEvaluator:
                 results = list(pool.map(run_variant, variants))
         return results
 
-    def evaluate_reference_keys(self, *args, **kwargs) -> dict[str, float]:
+    def evaluate_reference_keys(
+        self,
+        real_train: DataFrame,
+        synthetic: DataFrame,
+        val: DataFrame,
+        test: DataFrame,
+        value_col: str,
+        partition_cols: list[str],
+        order_cols: list[str],
+        include_distribution: bool = True,
+    ) -> dict[str, float]:
         """The reference's exact output keys
         (predictive_evaluator.py:169-287 / tests/test_predictive_
         evaluator.py:45-58): {baseline,augmented}_mae_{train,val,test}
         (train included — predictive_evaluator.py:242,246), mae_delta_*,
-        mae_pct_change_*, synthetic_helps_* — so a reference caller's
-        key handling works unchanged. Per-split verdicts mirror the
-        reference (delta < 0 per split); the internal `helps` requires
-        both splits."""
-        m = self.evaluate(*args, **kwargs)
+        mae_pct_change_*, synthetic_helps_*, the size/config record
+        (n_real_train, n_synthetic, n_augmented_train, n_val, n_test,
+        window_size, horizon — :253-261), and the secondary
+        ``dist_``-prefixed distribution panel on synthetic vs train
+        (:268-273, via DistributionEvaluator.evaluate_arrays'
+        distributed twin) — so a reference caller's key handling works
+        unchanged. Per-split verdicts mirror the reference (delta < 0
+        per split); the internal `helps` requires both splits."""
+        m = self.evaluate(
+            real_train, synthetic, val, test, value_col, partition_cols, order_cols
+        )
         out = {
             "baseline_mae_train": m["baseline_train_mae"],
             "baseline_mae_val": m["baseline_val_mae"],
@@ -385,4 +401,44 @@ class PredictiveEvaluator:
             out[f"mae_pct_change_{split}"] = (
                 100.0 * out[f"mae_delta_{split}"] / base if base else 0.0
             )
+        # size/config record (predictive_evaluator.py:253-261; the
+        # reference counts raw price rows, not windows)
+        n_train, n_syn = real_train.count(), synthetic.count()
+        out.update(
+            {
+                "n_real_train": n_train,
+                "n_synthetic": n_syn,
+                "n_augmented_train": n_train + n_syn,
+                "n_val": val.count(),
+                "n_test": test.count(),
+                "window_size": self.window,
+                "horizon": self.horizon,
+            }
+        )
+        if include_distribution:
+            # secondary distribution panel, dist_-prefixed
+            # (predictive_evaluator.py:268-273); best-effort like the
+            # reference's try/except
+            try:
+                from .distribution import DistributionEvaluator
+
+                tag = F.lit("syn")
+                both = (
+                    real_train.select(
+                        F.lit("real").alias("tag"), *order_cols,
+                        F.col(value_col).alias("value"),
+                    )
+                    .unionByName(
+                        synthetic.select(
+                            tag.alias("tag"), *order_cols,
+                            F.col(value_col).alias("value"),
+                        )
+                    )
+                )
+                dist = DistributionEvaluator().evaluate_reference_keys(
+                    both, "value", "tag", "real", "syn", list(order_cols)
+                )
+                out.update({f"dist_{k}": v for k, v in dist.items()})
+            except Exception:  # noqa: BLE001 — parity with :274-275
+                pass
         return out

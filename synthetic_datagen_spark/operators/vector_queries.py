@@ -322,3 +322,43 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _NQ)
     return V.ivf_knn(q, emb, _K, n_lists=16, n_probe=4, seed=42)
+
+
+@register(
+    "embedding_dedup_clusters_scaled",
+    oracle=None,  # LSH params derive from the corpus COUNT at runtime, so
+    # no static literal-hyperplane oracle exists; correctness is pinned by
+    # (a) the 100%-recall-vs-brute-force test and (b) cluster parity with
+    # the SQL-oracled fixed-config sibling (tests/test_vectors.py)
+    doc="The 100 TB configuration of production-threshold semantic dedup: "
+    "same planted corpus and cos ≥ 0.9 semantics as "
+    "embedding_dedup_clusters_strict, but the sign-LSH plane/table "
+    "counts come from scaled_lsh_params(corpus count) — planes grow "
+    "with log2(n) so the random-collision candidate term (L·2⁻ᵇ·n²/2, "
+    "quadratic under ANY fixed config) stays ≤ ~50 candidates/vector, "
+    "tables set for ≥99% pair recall at the threshold. Probe-measured "
+    "at 10× data: 3.67× wall time with exactly linear output "
+    "(PERFORMANCE.md round 5); at sf0.01 the chosen config is 6×10, at "
+    "sf1-equivalent 13×33.",
+)
+def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import cached_min_label_components
+
+    corpus = _planted_corpus(spark, sf_dir)
+    n = corpus.count()
+    b, L = V.scaled_lsh_params(n, 0.9)
+    labels = cached_min_label_components(
+        spark,
+        (f"emb_lsh_cc_scaled_0.9_{L}x{b}", sf_dir),
+        lambda: V.lsh_near_dup_pairs(
+            corpus, 0.9, dim=64, n_tables=L, n_planes=b, seed=42
+        ).select("id_a", "id_b"),
+    )
+    return (
+        labels.select(
+            F.col("node_id").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            (F.col("node_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -349,8 +349,17 @@ def test_predictive_reference_key_surface(spark, sf_smoke):
         "mae_delta_val", "mae_delta_test",
         "mae_pct_change_val", "mae_pct_change_test",
         "synthetic_helps_val", "synthetic_helps_test",
+        # size/config record (predictive_evaluator.py:253-261)
+        "n_real_train", "n_synthetic", "n_augmented_train", "n_val",
+        "n_test", "window_size", "horizon",
     }
-    assert set(m) == want
+    dist_keys = {k for k in m if k.startswith("dist_")}
+    assert set(m) - dist_keys == want
+    # secondary distribution panel, dist_-prefixed (:268-273)
+    assert {"dist_kl_divergence", "dist_wasserstein_distance",
+            "dist_quality_score"} <= dist_keys
+    assert m["n_augmented_train"] == m["n_real_train"] + m["n_synthetic"]
+    assert m["window_size"] == 8 and m["horizon"] == 1
     assert m["baseline_mae_val"] > 0 and m["baseline_mae_test"] > 0
     # train-split MAEs (predictive_evaluator.py:242,246): present,
     # positive, and the baseline fits ITS OWN train split at least as
@@ -467,3 +476,24 @@ def test_augmentation_plugin_registered():
     from synthetic_datagen_spark.plugins import load_plugin
 
     assert load_plugin("sdg.evaluator", "augmentation") is ExternalPredictorEvaluator
+
+
+def test_distribution_evaluate_arrays_call_form(spark):
+    """The reference's array call form (distribution_evaluator.py:85-116
+    — raw price ndarrays, same key set; PredictiveEvaluator's dist_
+    hook calls exactly this)."""
+    import numpy as np
+
+    from synthetic_datagen_spark.evaluators import DistributionEvaluator
+
+    rng = np.random.default_rng(0)
+    p_real = 1.3 + np.cumsum(rng.standard_normal(200) * 0.0005)
+    p_syn = 1.3 + np.cumsum(rng.standard_normal(200) * 0.0005)
+    m = DistributionEvaluator().evaluate_arrays(p_syn, p_real, spark=spark)
+    assert "kl_divergence" in m and "quality_score" in m
+    assert m["kl_divergence"] >= 0
+    assert abs(
+        m["quality_score"]
+        - (m["kl_divergence"] + 0.1 * m["wasserstein_distance"]
+           + abs(m["real_return_std"] - m["synthetic_return_std"]))
+    ) < 1e-12

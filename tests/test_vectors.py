@@ -181,3 +181,17 @@ def test_scaled_lsh_params_and_recall(spark, sf_smoke):
     assert nb > 0
     hits = bf.join(sc, ["id_a", "id_b"]).count()
     assert hits == nb, f"scaled-LSH recall {hits}/{nb}"
+
+
+def test_scaled_dedup_query_matches_fixed_config_clusters(spark, sf_smoke):
+    """embedding_dedup_clusters_scaled (runtime-sized LSH, rows-only)
+    must produce the IDENTICAL clustering as the SQL-oracled
+    fixed-config sibling: at 100% pair recall both configs see the same
+    ≥0.9 pair set, so the connected components are equal."""
+    from synthetic_datagen_spark.operators.base import REGISTRY
+
+    a = REGISTRY["embedding_dedup_clusters_strict"].build(spark, sf_smoke)
+    b = REGISTRY["embedding_dedup_clusters_scaled"].build(spark, sf_smoke)
+    ra = [(r.vec_id, r.cluster_id, r.keep) for r in a.collect()]
+    rb = [(r.vec_id, r.cluster_id, r.keep) for r in b.collect()]
+    assert ra == rb and len(ra) > 0
