@@ -143,14 +143,39 @@ def _with_sign_buckets(
     d = df.select(
         F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
     ).withColumn(f"{vec_alias}_n", l2_norm(F.col(vec_alias)))
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sign_bucket(F.col(vec_alias), random_hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    # ALL tables' planes ship as ONE nested array literal and the
+    # buckets compute in one nested higher-order pass: the expression
+    # tree stays constant-size no matter how many planes/tables the
+    # config uses (the per-plane-literal form put O(tables×planes)
+    # aggregate nodes in the plan — at the scaled configs (17×9 and up)
+    # Catalyst analysis alone cost seconds per invocation). Fold order
+    # is IDENTICAL to sign_bucket (left-to-right bit packing; per-plane
+    # dot is the same zip_with+aggregate sequential sum), so buckets —
+    # and every SQL-oracle hash — are bit-identical.
+    planes_all = [
+        [[float(x) for x in plane] for plane in random_hyperplanes(dim, n_planes, seed + t)]
+        for t in range(n_tables)
+    ]
+    vec = F.col(vec_alias)
+    tables = F.transform(
+        F.lit(planes_all),
+        lambda tp, ti: F.struct(
+            ti.cast("int").alias("tbl"),
+            F.aggregate(
+                tp,
+                F.lit(0),
+                lambda acc, plane: acc * 2
+                + F.when(
+                    F.aggregate(
+                        F.zip_with(vec, plane, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ).alias("bucket"),
+        ),
     )
     return d.select(id_alias, vec_alias, f"{vec_alias}_n", F.explode(tables).alias("tb")).select(
         id_alias, vec_alias, f"{vec_alias}_n",
