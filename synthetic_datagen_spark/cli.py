@@ -34,14 +34,35 @@ DEFAULT_VALUES: dict = {
 }
 
 
+# reference-flag → canonical-config-key aliases (app/cli.py:15-88 —
+# the full snake_case surface, so a reference invocation runs unchanged)
+_ALIASES = {
+    "real_data": "input_file",
+    "synthetic_data": "synthetic_file",
+    "load_model": "model_file",
+    "save_model": "model_file",
+    "start_datetime": "start_dt",
+    "population_size": "pop_size",
+    "n_generations": "n_gens",
+    "load_config": "config",
+    "d4_file": "real_train",
+    "d5_file": "real_val",
+    "d6_file": "real_test",
+}
+
+
 def _parse(argv: list[str]) -> dict:
     p = argparse.ArgumentParser(prog="synthetic-datagen-spark")
     p.add_argument("--mode", choices=["train", "generate", "optimize", "evaluate"])
-    p.add_argument("--config", help="JSON config file overlaying the defaults")
-    p.add_argument("--input-file", help="training/real CSV (DATE_TIME,typical_price)")
-    p.add_argument("--synthetic-file", help="synthetic CSV for evaluate mode")
-    p.add_argument("--output-file", help="CSV sink (generate) / JSON sink (others)")
-    p.add_argument("--model-file", help="model artifact path (train/generate)")
+    p.add_argument("--config", "--load_config", help="JSON config overlaying the defaults")
+    p.add_argument("--input-file", "--real_data", help="training/real CSV (DATE_TIME,typical_price)")
+    p.add_argument("--train-data", "--train_data", nargs="+",
+                   help="one or more training CSVs (multi-file union+sort+dedup, S2)")
+    p.add_argument("--synthetic-file", "--synthetic_data", help="synthetic CSV for evaluate mode")
+    p.add_argument("--output-file", "--output_file", help="CSV sink (generate) / JSON sink (others)")
+    p.add_argument("--metrics-file", "--metrics_file", help="JSON metrics sink (reference main.py:87-89)")
+    p.add_argument("--model-file", "--load_model", "--save_model", "--model",
+                   help="model artifact path (train/generate)")
     p.add_argument("--generator")
     p.add_argument("--evaluator")
     p.add_argument(
@@ -49,26 +70,73 @@ def _parse(argv: list[str]) -> dict:
         help="train-mode plugin: regime (HMM+GARCH) or a deep trainer "
         "by registry name (gan / vae_gan / timegan)",
     )
+    p.add_argument("--optimizer", choices=["ga", "staged", "sweep"],
+                   help="optimize-mode search harness (reference ga_optimizer / optimize_staged / optimize_generator)")
     p.add_argument("--seed", type=int)
-    p.add_argument("--n-samples", type=int)
-    p.add_argument("--block-size", type=int)
-    p.add_argument("--n-regimes", type=int)
+    p.add_argument("--n-samples", "--n_samples", type=int)
+    p.add_argument("--block-size", "--block_size", type=int)
+    p.add_argument("--n-regimes", "--n_regimes", type=int)
+    # training hyperparameters (reference app/cli.py:48-66)
+    p.add_argument("--window-size", "--window_size", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", "--batch_size", type=int)
+    p.add_argument("--learning-rate", "--learning_rate", type=float)
+    p.add_argument("--latent-dim", "--latent_dim", type=int)
+    p.add_argument("--intermediate-layers", "--intermediate_layers", type=int)
+    p.add_argument("--initial-layer-size", "--initial_layer_size", type=int)
+    p.add_argument("--layer-size-divisor", "--layer_size_divisor", type=int)
+    p.add_argument("--kl-anneal-epochs", "--kl_anneal_epochs", type=int)
+    p.add_argument("--mmd-lambda", "--mmd_lambda", type=float)
+    p.add_argument("--use-returns", "--use_returns", type=lambda s: s not in ("0", "False", "false"))
+    # evaluate-mode split files + predictor params (app/cli.py:31-41,79-83)
+    p.add_argument("--real-train", "--real_train", "--d4_file")
+    p.add_argument("--real-val", "--real_val", "--d5_file")
+    p.add_argument("--real-test", "--real_test", "--d6_file")
+    p.add_argument("--horizon", type=int)
+    p.add_argument("--baseline-file", "--baseline_file")
+    # generate-mode timeline (app/cli.py:71-72)
+    p.add_argument("--start-datetime", "--start_datetime", dest="start_dt")
+    p.add_argument("--interval-hours", "--interval_hours", type=int)
+    # optimize-mode budget (app/cli.py:75-76)
+    p.add_argument("--pop-size", "--population_size", type=int)
+    p.add_argument("--n-gens", "--n_generations", type=int)
+    # config/meta (app/cli.py:86-88)
+    p.add_argument("--save-config", "--save_config")
+    p.add_argument("--log-level", "--log_level")
     ns = p.parse_args(argv)
     # defaults → JSON file → non-None CLI flags (reference main.py:19-38)
     config = dict(DEFAULT_VALUES)
     if ns.config:
         with open(ns.config) as f:
-            config.update(json.load(f))
+            loaded = json.load(f)
+        # JSON configs may use the reference's key names too
+        config.update({_ALIASES.get(k, k): v for k, v in loaded.items()})
     config.update({k: v for k, v in vars(ns).items() if v is not None and k != "config"})
     return config
 
 
-def _load_series(spark, path: str):
-    from .sources.csv_io import TYPICAL_PRICE, load_csv
+def _load_series(spark, path):
+    """One CSV path → series frame; a LIST of paths runs the reference's
+    multi-file union + time-sort + keep-first dedup (S2,
+    data_processor.py:27-34)."""
+    from .sources.csv_io import TYPICAL_PRICE, load_csv, load_multiple_csv
 
-    return load_csv(spark, path, schema=TYPICAL_PRICE).withColumnRenamed(
-        "DATE_TIME", "ts"
-    ).withColumnRenamed("typical_price", "value").filter("value IS NOT NULL")
+    if isinstance(path, (list, tuple)):
+        df = (
+            load_multiple_csv(spark, list(path), schema=TYPICAL_PRICE)
+            if len(path) > 1
+            else load_csv(spark, path[0], schema=TYPICAL_PRICE)
+        )
+    else:
+        df = load_csv(spark, path, schema=TYPICAL_PRICE)
+    return df.withColumnRenamed("DATE_TIME", "ts").withColumnRenamed(
+        "typical_price", "value"
+    ).filter("value IS NOT NULL")
+
+
+def _input(config: dict):
+    """--train_data (multi-file) takes precedence over --input-file."""
+    return config.get("train_data") or config["input_file"]
 
 
 def main(argv: list[str] | None = None, spark=None) -> dict:
@@ -78,6 +146,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
     config = _parse(argv if argv is not None else sys.argv[1:])
     spark = spark or get_spark(f"sdg-{config['mode']}")
+    if config.get("log_level"):
+        spark.sparkContext.setLogLevel(str(config["log_level"]).upper())
+    if config.get("save_config"):
+        # reference app/main.py save_config: dump the EFFECTIVE config
+        with open(config["save_config"], "w") as f:
+            json.dump({k: v for k, v in config.items() if k != "save_config"}, f, indent=2)
     mode = config["mode"]
     out: dict = {"mode": mode}
 
@@ -90,10 +164,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     elif mode == "optimize":
         out.update(_optimize(spark, config))
 
-    sink = config.get("output_file")
-    if sink and mode != "generate":
-        with open(sink, "w") as f:
-            json.dump(out, f)  # S4 JSON metrics sink (reference main.py:87-89)
+    # S4 JSON metrics sink (reference main.py:87-89; --metrics_file is
+    # the reference's name, --output-file kept for non-generate modes)
+    for sink in {config.get("metrics_file"), config.get("output_file") if mode != "generate" else None}:
+        if sink:
+            with open(sink, "w") as f:
+                json.dump(out, f)
     return out
 
 
@@ -103,7 +179,7 @@ def _generate(spark, config: dict) -> dict:
     from .plugins import load_plugin
     from .sources.csv_io import save_csv
 
-    df = _load_series(spark, config["input_file"])
+    df = _load_series(spark, _input(config))
     name = config["generator"]
     cls = load_plugin("sdg.generator", name)
     if name == "block_bootstrap":
@@ -141,7 +217,10 @@ def _generate(spark, config: dict) -> dict:
                         "decoder; pass start_dt explicitly"
                     )
                 start = str(max_ts)
-            kwargs = {"start_dt": start, "interval_hours": 4}
+            kwargs = {
+                "start_dt": start,
+                "interval_hours": int(config.get("interval_hours", 4)),
+            }
         syn = dec.generate(
             spark, pool, int(config["seed"]), int(config["n_samples"]), **kwargs
         )
@@ -151,16 +230,18 @@ def _generate(spark, config: dict) -> dict:
 
 
 def _sink_series(spark, syn, train_df, config: dict) -> dict:
-    """Attach a 4 h DATE_TIME range continuing the training data
-    (reference: typical_price_generator.py:105-108,158) and write CSV."""
+    """Attach an interval_hours DATE_TIME range continuing the training
+    data — or starting at --start_datetime when given (reference:
+    typical_price_generator.py:105-108,158) — and write CSV."""
     from pyspark.sql import functions as F
 
     from .sources.csv_io import save_csv
 
-    start = train_df.agg(F.max("ts")).first()[0]
+    step = int(config.get("interval_hours", 4))
+    start = config.get("start_dt") or train_df.agg(F.max("ts")).first()[0]
     out = syn.filter(F.col("series_id") == 0).select(
         F.timestamp_add(
-            "HOUR", (4 * F.col("t")).cast("int"), F.lit(start).cast("timestamp")
+            "HOUR", (step * F.col("t")).cast("int"), F.lit(start).cast("timestamp")
         ).alias("DATE_TIME"),
         F.col("price").alias("typical_price"),
     )
@@ -178,17 +259,26 @@ def _evaluate(spark, config: dict) -> dict:
 
     name = config["evaluator"]
     if name == "predictive":
-        # THE metric (reference predictive_evaluator.py:169-287): the
-        # real series chrono-splits into train/val/test (the reference's
-        # d4/d5/d6 roles) and the synthetic series augments training
-        real = _load_series(spark, config["input_file"])
+        # THE metric (reference predictive_evaluator.py:169-287).
+        # Explicit --real_train/--real_val/--real_test (the reference's
+        # d4/d5/d6 files) win; otherwise the real series chrono-splits
+        # into train/val/test. The synthetic series augments training.
         syn = _load_series(spark, config["synthetic_file"])
-        train, rest = TS.chrono_split(real, 0.6, [], ["ts"])
-        val, test = TS.chrono_split(rest, 0.5, [], ["ts"])
-        ev = load_plugin("sdg.evaluator", name)(window=20)
+        if config.get("real_train") and config.get("real_val") and config.get("real_test"):
+            train = _load_series(spark, config["real_train"])
+            val = _load_series(spark, config["real_val"])
+            test = _load_series(spark, config["real_test"])
+        else:
+            real = _load_series(spark, _input(config))
+            train, rest = TS.chrono_split(real, 0.6, [], ["ts"])
+            val, test = TS.chrono_split(rest, 0.5, [], ["ts"])
+        ev = load_plugin("sdg.evaluator", name)(
+            window=int(config.get("window_size") or 20),
+            horizon=int(config.get("horizon") or 1),
+        )
         m = ev.evaluate_reference_keys(train, syn, val, test, "value", [], ["ts"])
         return {k: (float(v) if not isinstance(v, bool) else bool(v)) for k, v in m.items()}
-    real = _load_series(spark, config["input_file"]).withColumn("tag", F.lit("real"))
+    real = _load_series(spark, _input(config)).withColumn("tag", F.lit("real"))
     syn = _load_series(spark, config["synthetic_file"]).withColumn("tag", F.lit("syn"))
     both = real.unionByName(syn)
     ev = load_plugin("sdg.evaluator", name)()
@@ -200,7 +290,7 @@ def _train(spark, config: dict) -> dict:
     from pyspark.sql import functions as F
 
     name = config.get("trainer", "regime")
-    df = _load_series(spark, config["input_file"])
+    df = _load_series(spark, _input(config))
 
     if name != "regime":
         # deep trainer by plugin name — the reference's train mode
@@ -216,6 +306,26 @@ def _train(spark, config: dict) -> dict:
             "train_seed": int(config["seed"]),
             "epochs": int(config.get("epochs", 20)),
         }
+        # reference architecture/loss knobs (app/cli.py:48-62) → trainer
+        # kwargs where the trainer takes them
+        if name != "timegan":
+            if "mmd_lambda" in config:
+                kw["mmd_lambda"] = float(config["mmd_lambda"])
+            if "kl_anneal_epochs" in config:
+                kw["kl_anneal_epochs"] = int(config["kl_anneal_epochs"])
+            if "use_returns" in config:
+                kw["use_returns"] = bool(config["use_returns"])
+            if "initial_layer_size" in config:
+                # Dense stack sized initial_layer_size → //divisor per
+                # layer × intermediate_layers (vae_gan_trainer.py:46-103)
+                size = int(config["initial_layer_size"])
+                div = int(config.get("layer_size_divisor", 2)) or 1
+                n_layers = int(config.get("intermediate_layers", 2))
+                hidden = []
+                for _ in range(max(1, n_layers)):
+                    hidden.append(max(size, 2))
+                    size //= div
+                kw["hidden"] = tuple(hidden)
         # reference architecture keys (timegan_generator.py:42-43:
         # hidden_dim=24, n_layers=3) pass through to trainers that
         # take them
@@ -265,7 +375,7 @@ def _optimize(spark, config: dict) -> dict:
     from .functions import timeseries as TS
     from .optimize import GAOptimizer, Gene, moment_match_fitness
 
-    df = _load_series(spark, config["input_file"])
+    df = _load_series(spark, _input(config))
     rets = TS.log_returns(df, "value", [], ["ts"])
     panel = rets.agg(
         F.mean("log_ret").alias("mean"), F.stddev_pop("log_ret").alias("std")
@@ -278,12 +388,44 @@ def _optimize(spark, config: dict) -> dict:
         pool, {"mean": panel["mean"], "std": panel["std"], "ac1": float(ac1 or 0.0)},
         n_samples=256, n_seeds=2, base_seed=int(config["seed"]),
     )
+    genes = [Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)]
+    harness = config.get("optimizer", "ga")
+    if harness == "sweep":
+        # reference optimize_generator.py:17-50 random sweep + early stop
+        from .optimize.sweep import random_sweep
+
+        res = random_sweep(
+            spark, genes, fitness,
+            n_configs=int(config["pop_size"]) * int(config["n_gens"]),
+            batch=int(config["pop_size"]), seed=int(config["seed"]),
+        )
+        return {"optimizer": harness, "best": res["best"], "score": res["score"],
+                "evaluated": res["evaluated"]}
+    if harness == "staged":
+        # reference optimize_staged.py:55-383 elite staged search
+        from .optimize import Stage, StagedOptimizer
+
+        opt = StagedOptimizer(
+            genes=genes,
+            fitness_factory=lambda weights: fitness,
+            stages=[
+                Stage("broad", pop_size=int(config["pop_size"]),
+                      n_gens=int(config["n_gens"]), mut_sigma=0.3),
+                Stage("polish", pop_size=max(4, int(config["pop_size"]) // 2),
+                      n_gens=int(config["n_gens"]), mut_sigma=0.1),
+            ],
+            seed=int(config["seed"]),
+        )
+        res = opt.optimize(spark)
+        return {"optimizer": harness, "best": res["best"], "score": res["score"],
+                "stages_run": len(res["stages"])}
     ga = GAOptimizer(
-        genes=[Gene("block_size", 4, 48, "int"), Gene("lam", 0.0, 1.0)],
+        genes=genes,
         fitness=fitness,
         pop_size=int(config["pop_size"]),
         n_gens=int(config["n_gens"]),
         seed=int(config["seed"]),
     )
     res = ga.optimize(spark)
-    return {"best": res["best"], "score": res["score"], "gens_run": len(res["history"])}
+    return {"optimizer": harness, "best": res["best"], "score": res["score"],
+            "gens_run": len(res["history"])}

@@ -336,12 +336,19 @@ def test_cli_predictive_evaluate(spark, price_csv, tmp_path):
             "--evaluator", "predictive",
             "--input-file", price_csv,
             "--synthetic-file", syn_csv,
+            # the reference's snake_case flag names (its own tests set
+            # window_size explicitly too — the 144 default needs more
+            # rows than this fixture has)
+            "--window_size", "20",
+            "--horizon", "1",
         ],
         spark=spark,
     )
     assert {"baseline_mae_val", "augmented_mae_test", "mae_delta_test",
-            "synthetic_helps_test", "mae_pct_change_val"} <= set(r)
+            "synthetic_helps_test", "mae_pct_change_val",
+            "n_real_train", "window_size"} <= set(r)
     assert r["baseline_mae_val"] > 0
+    assert r["window_size"] == 20
 
 
 def test_cli_conditional_generate_uses_continuation_timeline(spark, price_csv, tmp_path):
@@ -404,3 +411,96 @@ def test_cli_conditional_generate_uses_continuation_timeline(spark, price_csv, t
             ],
             spark=spark,
         )
+
+
+def test_cli_reference_flag_surface(spark, price_csv, tmp_path):
+    """The reference's snake_case flag set (app/cli.py:15-88) works
+    end-to-end: --real_data/--output_file/--n_samples aliases,
+    --start_datetime/--interval_hours timeline control,
+    --save_config effective-config dump, --metrics_file JSON sink,
+    multi-file --train_data (S2 union), and explicit
+    --real_train/--real_val/--real_test evaluate splits."""
+    out_csv = str(tmp_path / "synth_ref")
+    cfg_out = str(tmp_path / "effective.json")
+    r = main(
+        [
+            "--mode", "generate",
+            "--real_data", price_csv,
+            "--output_file", out_csv,
+            "--generator", "block_bootstrap",
+            "--seed", "7",
+            "--n_samples", "50",
+            "--start_datetime", "2030-01-01 00:00:00",
+            "--interval_hours", "2",
+            "--save_config", cfg_out,
+        ],
+        spark=spark,
+    )
+    assert r["n_samples"] == 50
+    eff = json.load(open(cfg_out))
+    assert eff["start_dt"] == "2030-01-01 00:00:00" and eff["interval_hours"] == 2
+    pdf = (
+        spark.read.option("header", True).csv(out_csv)
+        .orderBy("DATE_TIME").toPandas()
+    )
+    assert pdf["DATE_TIME"].iloc[0] == "2030-01-01T00:00:00.000Z" or str(
+        pdf["DATE_TIME"].iloc[0]
+    ).startswith("2030-01-01")
+    assert str(pdf["DATE_TIME"].iloc[1]).startswith("2030-01-01") and "02:00" in str(
+        pdf["DATE_TIME"].iloc[1]
+    )
+
+    # multi-file S2 union: split the fixture into two overlapping CSVs
+    real = spark.read.option("header", True).csv(price_csv).orderBy("DATE_TIME")
+    n = real.count()
+    p1, p2 = str(tmp_path / "part1"), str(tmp_path / "part2")
+    real.limit(n * 2 // 3).coalesce(1).write.mode("overwrite").option("header", True).csv(p1)
+    real.subtract(real.limit(n // 3)).coalesce(1).write.mode("overwrite").option(
+        "header", True
+    ).csv(p2)
+    r2 = main(
+        [
+            "--mode", "generate",
+            "--train_data", p1, p2,
+            "--output_file", str(tmp_path / "synth_multi"),
+            "--generator", "block_bootstrap",
+            "--seed", "7", "--n_samples", "40",
+        ],
+        spark=spark,
+    )
+    assert r2["n_samples"] == 40
+
+    # explicit split files + metrics sink for predictive evaluate
+    splits = []
+    for tag, frac in (("tr", (0.0, 0.6)), ("va", (0.6, 0.8)), ("te", (0.8, 1.0))):
+        lo, hi = int(n * frac[0]), int(n * frac[1])
+        part = real.limit(hi).subtract(real.limit(lo))
+        path = str(tmp_path / f"split_{tag}")
+        part.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        splits.append(path)
+    metrics_out = str(tmp_path / "metrics.json")
+    r3 = main(
+        [
+            "--mode", "evaluate", "--evaluator", "predictive",
+            "--synthetic_data", price_csv,
+            "--real_train", splits[0], "--real_val", splits[1],
+            "--real_test", splits[2],
+            "--window_size", "12", "--metrics_file", metrics_out,
+        ],
+        spark=spark,
+    )
+    assert r3["window_size"] == 12 and r3["baseline_mae_val"] > 0
+    sunk = json.load(open(metrics_out))
+    assert sunk["baseline_mae_val"] == r3["baseline_mae_val"]
+
+
+def test_cli_optimizer_selection(spark, price_csv):
+    """--optimizer picks the search harness (reference ga_optimizer /
+    optimize_staged / optimize_generator families)."""
+    r = main(
+        ["--mode", "optimize", "--input-file", price_csv, "--seed", "5",
+         "--optimizer", "sweep", "--population_size", "4", "--n_generations", "2"],
+        spark=spark,
+    )
+    assert r["optimizer"] == "sweep" and r["evaluated"] <= 8
+    assert np.isfinite(r["score"]) and r["best"] is not None
