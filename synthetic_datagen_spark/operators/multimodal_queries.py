@@ -134,3 +134,89 @@ def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_sum"),
         F.round("spectral_centroid", 6).alias("spectral_centroid"),
     )
+
+
+@register(
+    "multimodal_codec_roundtrip",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS modality,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 13 + 4 AS INT) ELSE 0 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 11 + 4 AS INT) ELSE 0 END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16000 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 0 THEN 0
+            ELSE CAST(LEAST(nb, 1500) AS INT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(54 + (((doc_id % 13 + 4) * 3 + 3) // 4) * 4
+                         * (doc_id % 11 + 4) AS BIGINT)
+            ELSE CAST(44 + 2 * LEAST(nb, 1500) AS BIGINT) END AS payload_bytes,
+       TRUE AS ok_roundtrip
+FROM m
+WHERE doc_id % 3 IN (0, 1)
+ORDER BY media_id
+""",
+    doc="REAL codec round-trip (no stub): image rows encode doc-derived "
+    "pixels to actual 24-bit BMP files and audio rows to actual RIFF "
+    "PCM-16 WAV files (multimodal/codecs.py — struct-packed headers, "
+    "padded BGR rows, chunk walking; the WAV codec interops with "
+    "Python's stdlib wave module both directions, pinned in tests), "
+    "then decode them back inside the same Arrow batch and verify "
+    "bit-exact pixel/sample equality (ok_roundtrip). The SQL oracle "
+    "checks every deterministic structural fact — dims, sample counts, "
+    "exact on-disk file sizes including BMP row padding and WAV header "
+    "overhead — and that every row round-trips. Only genuinely "
+    "lib-bound codecs (JPEG/PNG/MP3) remain stubbed.",
+)
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    ).filter(F.col("doc_id") % 3 < 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("payload_bytes", T.LongType()),
+            T.StructField("ok_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, raw in zip(pdf["doc_id"], pdf["raw"]):
+                did = int(did)
+                buf = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if did % 3 == 0:  # image → real BMP
+                    w, h = did % 13 + 4, did % 11 + 4
+                    px = np.resize(buf, (h, w, 3)).astype(np.uint8)
+                    payload = encode_bmp(px)
+                    ok = np.array_equal(decode_bmp(payload), px)
+                    vals = (did, "image", w, h, 0, 0, len(payload), bool(ok))
+                else:  # audio → real WAV (PCM-16 mono)
+                    n = min(len(buf), 1500)
+                    samples = ((buf[:n].astype(np.int32) - 128) * 256).astype(np.int16)
+                    payload = encode_wav(samples, 16000)
+                    rate, back = decode_wav(payload)
+                    ok = rate == 16000 and np.array_equal(back, samples)
+                    vals = (did, "audio", 0, 0, 16000, n, len(payload), bool(ok))
+                for f, v in zip(schema.fields, vals):
+                    out[f.name].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(roundtrip, schema).orderBy("media_id")
