@@ -35,12 +35,14 @@ DEFAULT_VALUES: dict = {
 
 
 # reference-flag → canonical-config-key aliases (app/cli.py:15-88 —
-# the full snake_case surface, so a reference invocation runs unchanged)
+# the full snake_case surface, so a reference invocation runs unchanged).
+# load_model / save_model stay DISTINCT keys (the reference's save_config
+# dumps both; collapsing them would let a null load_model clobber the
+# save path) and are resolved per mode via _model_in/_model_out.
 _ALIASES = {
     "real_data": "input_file",
     "synthetic_data": "synthetic_file",
-    "load_model": "model_file",
-    "save_model": "model_file",
+    "model": "load_model",
     "start_datetime": "start_dt",
     "population_size": "pop_size",
     "n_generations": "n_gens",
@@ -48,6 +50,20 @@ _ALIASES = {
     "d4_file": "real_train",
     "d5_file": "real_val",
     "d6_file": "real_test",
+}
+
+# reference optimizer plugin / script names → our harness keys
+# (pyproject.toml:43-44 registers "ga_optimizer"; optimize_staged.py and
+# optimize_generator.py are the staged / random-sweep scripts)
+_OPTIMIZER_NAMES = {
+    "ga": "ga",
+    "staged": "staged",
+    "sweep": "sweep",
+    "ga_optimizer": "ga",
+    "staged_optimizer": "staged",
+    "optimize_staged": "staged",
+    "optimize_generator": "sweep",
+    "random_sweep": "sweep",
 }
 
 
@@ -61,8 +77,12 @@ def _parse(argv: list[str]) -> dict:
     p.add_argument("--synthetic-file", "--synthetic_data", help="synthetic CSV for evaluate mode")
     p.add_argument("--output-file", "--output_file", help="CSV sink (generate) / JSON sink (others)")
     p.add_argument("--metrics-file", "--metrics_file", help="JSON metrics sink (reference main.py:87-89)")
-    p.add_argument("--model-file", "--load_model", "--save_model", "--model",
-                   help="model artifact path (train/generate)")
+    p.add_argument("--model-file",
+                   help="model artifact path for both load and save (convenience)")
+    p.add_argument("--load-model", "--load_model", "--model", dest="load_model",
+                   help="model artifact to load (generate; reference app/cli.py:45)")
+    p.add_argument("--save-model", "--save_model", dest="save_model",
+                   help="model artifact to save (train; reference app/cli.py:44)")
     p.add_argument("--generator")
     p.add_argument("--evaluator")
     p.add_argument(
@@ -70,8 +90,9 @@ def _parse(argv: list[str]) -> dict:
         help="train-mode plugin: regime (HMM+GARCH) or a deep trainer "
         "by registry name (gan / vae_gan / timegan)",
     )
-    p.add_argument("--optimizer", choices=["ga", "staged", "sweep"],
-                   help="optimize-mode search harness (reference ga_optimizer / optimize_staged / optimize_generator)")
+    p.add_argument("--optimizer",
+                   help="optimize-mode search harness: ga / staged / sweep, or a "
+                   "reference plugin name (ga_optimizer, optimize_staged, optimize_generator)")
     p.add_argument("--seed", type=int)
     p.add_argument("--n-samples", "--n_samples", type=int)
     p.add_argument("--block-size", "--block_size", type=int)
@@ -88,12 +109,25 @@ def _parse(argv: list[str]) -> dict:
     p.add_argument("--kl-anneal-epochs", "--kl_anneal_epochs", type=int)
     p.add_argument("--mmd-lambda", "--mmd_lambda", type=float)
     p.add_argument("--use-returns", "--use_returns", type=lambda s: s not in ("0", "False", "false"))
+    # remaining reference training knobs (app/cli.py:53-66)
+    p.add_argument("--activation")
+    p.add_argument("--kl-weight", "--kl_weight", type=float)
+    p.add_argument("--l2-reg", "--l2_reg", type=float)
+    p.add_argument("--early-patience", "--early_patience", type=int)
+    p.add_argument("--discriminator-lr", "--discriminator_lr", type=float)
+    p.add_argument("--generator-lr", "--generator_lr", type=float)
+    p.add_argument("--hidden-dim", "--hidden_dim", type=int)
+    p.add_argument("--n-layers", "--n_layers", type=int)
     # evaluate-mode split files + predictor params (app/cli.py:31-41,79-83)
     p.add_argument("--real-train", "--real_train", "--d4_file")
     p.add_argument("--real-val", "--real_val", "--d5_file")
     p.add_argument("--real-test", "--real_test", "--d6_file")
     p.add_argument("--horizon", type=int)
     p.add_argument("--baseline-file", "--baseline_file")
+    p.add_argument("--predictor-dir", "--predictor_dir")
+    p.add_argument("--predictor-root", "--predictor_root")
+    p.add_argument("--eval-epochs", "--eval_epochs", type=int)
+    p.add_argument("--eval-batch-size", "--eval_batch_size", type=int)
     # generate-mode timeline (app/cli.py:71-72)
     p.add_argument("--start-datetime", "--start_datetime", dest="start_dt")
     p.add_argument("--interval-hours", "--interval_hours", type=int)
@@ -103,16 +137,66 @@ def _parse(argv: list[str]) -> dict:
     # config/meta (app/cli.py:86-88)
     p.add_argument("--save-config", "--save_config")
     p.add_argument("--log-level", "--log_level")
-    ns = p.parse_args(argv)
+    # the reference tolerates unknown flags (app/cli.py:90
+    # parse_known_args); fold any leftover --snake_case pairs into the
+    # config so plugin-specific knobs pass through unchanged
+    ns, extra = p.parse_known_args(argv)
     # defaults → JSON file → non-None CLI flags (reference main.py:19-38)
     config = dict(DEFAULT_VALUES)
     if ns.config:
         with open(ns.config) as f:
             loaded = json.load(f)
-        # JSON configs may use the reference's key names too
-        config.update({_ALIASES.get(k, k): v for k, v in loaded.items()})
+        # JSON configs may use the reference's key names too; the
+        # reference's own save_config dumps EVERY key incl. nulls
+        # (e.g. load_model: null) — None values must not clobber
+        # defaults or sibling keys, mirroring the CLI's None-filter
+        config.update(
+            {_ALIASES.get(k, k): v for k, v in loaded.items() if v is not None}
+        )
     config.update({k: v for k, v in vars(ns).items() if v is not None and k != "config"})
+    config.update(_fold_unknown(extra))
+    if config.get("optimizer"):
+        name = str(config["optimizer"])
+        if name not in _OPTIMIZER_NAMES:
+            raise SystemExit(
+                f"unknown optimizer {name!r}; expected one of "
+                f"{sorted(set(_OPTIMIZER_NAMES))}"
+            )
+        config["optimizer"] = _OPTIMIZER_NAMES[name]
     return config
+
+
+def _fold_unknown(extra: list[str]) -> dict:
+    """``--some_flag value`` / ``--flag=value`` pairs left over by
+    parse_known_args → config entries (value-less flags become True)."""
+    out: dict = {}
+    i = 0
+    while i < len(extra):
+        tok = extra[i]
+        i += 1
+        if not tok.startswith("--"):
+            continue
+        key = tok[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+        elif i < len(extra) and not extra[i].startswith("--"):
+            val = extra[i]
+            i += 1
+        else:
+            val = True
+        out[_ALIASES.get(key.replace("-", "_"), key.replace("-", "_"))] = val
+    return out
+
+
+def _model_in(config: dict):
+    """Artifact to LOAD (generate/evaluate): --load_model wins, then the
+    shared --model-file convenience path."""
+    return config.get("load_model") or config.get("model_file")
+
+
+def _model_out(config: dict):
+    """Artifact to SAVE (train): --save_model wins, then --model-file."""
+    return config.get("save_model") or config.get("model_file")
 
 
 def _load_series(spark, path):
@@ -191,12 +275,12 @@ def _generate(spark, config: dict) -> dict:
     else:  # linear_decoder — fresh, or a trained artifact via --model-file
         import numpy as np
 
-        if config.get("model_file"):
+        if _model_in(config):
             # generate from a train-mode artifact (reference flow:
             # train --save-model → generate --load-model)
             from .ml.decoder import load_decoder
 
-            dec = load_decoder(config["model_file"])
+            dec = load_decoder(_model_in(config))
         else:
             dec = cls(window_rows=32)
         pool = np.array([r[0] for r in df.select("value").limit(4000).collect()])
@@ -273,7 +357,9 @@ def _evaluate(spark, config: dict) -> dict:
             train, rest = TS.chrono_split(real, 0.6, [], ["ts"])
             val, test = TS.chrono_split(rest, 0.5, [], ["ts"])
         ev = load_plugin("sdg.evaluator", name)(
-            window=int(config.get("window_size") or 20),
+            # reference default window_size=144 (app/config.py:32) —
+            # always present via DEFAULT_VALUES, overridable per run
+            window=int(config["window_size"]),
             horizon=int(config.get("horizon") or 1),
         )
         m = ev.evaluate_reference_keys(train, syn, val, test, "value", [], ["ts"])
@@ -337,15 +423,15 @@ def _train(spark, config: dict) -> dict:
         tr = cls(**kw)
         tr.prepare([df.select("ts", "value")], "value", "ts")
         fitted = tr.fit()
-        out = {"trainer": name, "model_file": config.get("model_file")}
+        out = {"trainer": name, "model_file": _model_out(config)}
         if name == "timegan":
             from .ml.timegan import save_timegan
 
-            if config.get("model_file"):
-                save_timegan(fitted, config["model_file"])
+            if _model_out(config):
+                save_timegan(fitted, _model_out(config))
         else:
-            if config.get("model_file"):
-                save_decoder(fitted, config["model_file"])
+            if _model_out(config):
+                save_decoder(fitted, _model_out(config))
             hist = getattr(tr.vae, "loss_history", None) or getattr(
                 tr.vae, "g_loss_history", []
             )
@@ -359,11 +445,11 @@ def _train(spark, config: dict) -> dict:
     model = RegimeModel(
         n_regimes=int(config["n_regimes"]), seed=int(config["seed"])
     ).fit(feats, ["series"])
-    if config.get("model_file"):
-        model.save(config["model_file"])
+    if _model_out(config):
+        model.save(_model_out(config))
     return {
         "n_regimes": model.n_regimes,
-        "model_file": config.get("model_file"),
+        "model_file": _model_out(config),
         "regime_counts": {str(k): v["n"] for k, v in model.stats.items()},
     }
 

@@ -504,3 +504,59 @@ def test_cli_optimizer_selection(spark, price_csv):
     )
     assert r["optimizer"] == "sweep" and r["evaluated"] <= 8
     assert np.isfinite(r["score"]) and r["best"] is not None
+
+
+def test_cli_reference_surface_tolerance(tmp_path):
+    """The reference CLI parses with parse_known_args (app/cli.py:90) and
+    tolerates unknown flags; ours folds them into config. All reference
+    flags (app/cli.py:15-88) parse without argparse errors, and the
+    reference optimizer plugin name maps to our harness key."""
+    from synthetic_datagen_spark.cli import _parse
+
+    cfg = _parse([
+        "--mode", "train",
+        "--activation", "tanh", "--kl_weight", "0.5", "--l2_reg", "1e-5",
+        "--early_patience", "10", "--discriminator_lr", "1e-4",
+        "--generator_lr", "2e-4", "--eval_epochs", "3",
+        "--eval_batch_size", "64", "--predictor_dir", "/tmp/p",
+        "--predictor_root", "/tmp/r", "--optimizer", "ga_optimizer",
+        # unknown plugin knob → folded into config, not an error
+        "--my_plugin_knob", "7", "--bare_switch",
+    ])
+    assert cfg["activation"] == "tanh" and cfg["kl_weight"] == 0.5
+    assert cfg["eval_epochs"] == 3 and cfg["predictor_root"] == "/tmp/r"
+    assert cfg["optimizer"] == "ga"  # ga_optimizer (reference default) -> ga
+    assert cfg["my_plugin_knob"] == "7" and cfg["bare_switch"] is True
+
+    with pytest.raises(SystemExit):
+        _parse(["--optimizer", "not_a_real_optimizer"])
+
+
+def test_cli_json_config_null_filter_and_model_keys(tmp_path):
+    """A config dumped by the reference's save_config contains BOTH
+    save_model ('model.keras') and load_model (null); nulls must not
+    clobber defaults, and the two model keys stay distinct
+    (cli.py _model_in/_model_out)."""
+    from synthetic_datagen_spark.cli import _model_in, _model_out, _parse
+
+    cfg_file = str(tmp_path / "ref_config.json")
+    json.dump(
+        {"save_model": "model.keras", "load_model": None, "seed": None,
+         "block_size": 7},
+        open(cfg_file, "w"),
+    )
+    cfg = _parse(["--config", cfg_file])
+    assert cfg["save_model"] == "model.keras"
+    assert cfg.get("load_model") is None
+    assert cfg["seed"] == 42          # null did NOT overwrite the default
+    assert cfg["block_size"] == 7
+    assert _model_out(cfg) == "model.keras"   # train saves here
+    assert _model_in(cfg) is None             # nothing to load
+
+    # --model-file remains the shared convenience path for both
+    cfg2 = _parse(["--model-file", "m.dir"])
+    assert _model_in(cfg2) == "m.dir" and _model_out(cfg2) == "m.dir"
+    # explicit load/save win over the shared path
+    cfg3 = _parse(["--model-file", "m.dir", "--load_model", "in.dir",
+                   "--save_model", "out.dir"])
+    assert _model_in(cfg3) == "in.dir" and _model_out(cfg3) == "out.dir"
