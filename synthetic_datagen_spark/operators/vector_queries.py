@@ -75,7 +75,9 @@ def _bucket_cte_sql(
     buckets = []
     for t in range(n_tables):
         bits = [plane_sql(p) for p in V.random_hyperplanes(64, n_planes, seed + t)]
-        expr = bits[0]
+        # BIGINT fold mirrors the Spark side's long accumulator (no
+        # 32-bit overflow at any plane count the scaler can choose)
+        expr = f"CAST({bits[0]} AS BIGINT)"
         for b in bits[1:]:
             expr = f"({expr}) * 2 + ({b})"
         buckets.append(f"({expr}) AS bucket_{t}")
@@ -127,8 +129,31 @@ WHERE {_DOT.format(a='ea', b='eb')}
     "recall vs the exact brute-force baseline asserted in tests.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = V.lsh_near_dup_pairs(_emb(spark, sf_dir), 0.35, dim=64, n_tables=8, n_planes=4, seed=42)
+    out = _cached_pairs(spark, sf_dir, 0.35, 8, 4, _emb)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _cached_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_tables: int,
+    n_planes: int,
+    corpus,
+) -> DataFrame:
+    """The sign-LSH candidate-pair scaffold shared across the embedding
+    family: embedding_near_dup_pairs and embedding_dedup_clusters use
+    the identical (0.35, 8×4) pair set; the strict/scaled siblings memo
+    their own configs. One (session, input, config) → one bucket-join."""
+    corpus_kind = getattr(corpus, "__name__", str(corpus))
+    return V.cached_lsh_pairs(
+        spark,
+        ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind),
+        lambda: V.lsh_near_dup_pairs(
+            corpus(spark, sf_dir), threshold, dim=64,
+            n_tables=n_tables, n_planes=n_planes, seed=42,
+        ),
+    )
 
 
 def _semantic_cluster_oracle_sql(
@@ -198,9 +223,8 @@ def _dedup_clusters(
     labels = cached_min_label_components(
         spark,
         (f"emb_lsh_cc_{threshold}_{n_tables}x{n_planes}", sf_dir),
-        lambda: V.lsh_near_dup_pairs(
-            src(spark, sf_dir), threshold, dim=64,
-            n_tables=n_tables, n_planes=n_planes, seed=42,
+        lambda: _cached_pairs(
+            spark, sf_dir, threshold, n_tables, n_planes, src
         ).select("id_a", "id_b"),
     )
     return (
@@ -350,8 +374,8 @@ def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFra
     labels = cached_min_label_components(
         spark,
         (f"emb_lsh_cc_scaled_0.9_{L}x{b}", sf_dir),
-        lambda: V.lsh_near_dup_pairs(
-            corpus, 0.9, dim=64, n_tables=L, n_planes=b, seed=42
+        lambda: _cached_pairs(
+            spark, sf_dir, 0.9, L, b, _planted_corpus
         ).select("id_a", "id_b"),
     )
     return (
