@@ -143,32 +143,39 @@ WITH m AS (
   SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
 )
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS modality,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 13 + 4 AS INT) ELSE 0 END AS width,
-       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 11 + 4 AS INT) ELSE 0 END AS height,
-       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 16000 END AS sample_rate,
-       CASE WHEN doc_id % 3 = 0 THEN 0
-            ELSE CAST(LEAST(nb, 1500) AS INT) END AS n_samples,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 2 THEN 'image_png'
+            ELSE 'audio' END AS modality,
+       CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(doc_id % 13 + 4 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(doc_id % 11 + 4 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(LEAST(nb, 1500) AS INT) ELSE 0 END AS n_samples,
        CASE WHEN doc_id % 3 = 0
             THEN CAST(54 + (((doc_id % 13 + 4) * 3 + 3) // 4) * 4
                          * (doc_id % 11 + 4) AS BIGINT)
+            WHEN doc_id % 3 = 2
+            -- PNG with stored (BTYPE=00) deflate blocks: 8 signature +
+            -- 25 IHDR + 12 IEND + (12 + 11 + n) IDAT where n =
+            -- h*(1 + 3w) filtered scanline bytes (single block: n < 65535)
+            THEN CAST(68 + (doc_id % 11 + 4) * (1 + 3 * (doc_id % 13 + 4)) AS BIGINT)
             ELSE CAST(44 + 2 * LEAST(nb, 1500) AS BIGINT) END AS payload_bytes,
        TRUE AS ok_roundtrip
 FROM m
-WHERE doc_id % 3 IN (0, 1)
 ORDER BY media_id
 """,
-    doc="REAL codec round-trip (no stub): image rows encode doc-derived "
-    "pixels to actual 24-bit BMP files and audio rows to actual RIFF "
-    "PCM-16 WAV files (multimodal/codecs.py — struct-packed headers, "
-    "padded BGR rows, chunk walking; the WAV codec interops with "
-    "Python's stdlib wave module both directions, pinned in tests), "
-    "then decode them back inside the same Arrow batch and verify "
-    "bit-exact pixel/sample equality (ok_roundtrip). The SQL oracle "
-    "checks every deterministic structural fact — dims, sample counts, "
-    "exact on-disk file sizes including BMP row padding and WAV header "
-    "overhead — and that every row round-trips. Only genuinely "
-    "lib-bound codecs (JPEG/PNG/MP3) remain stubbed.",
+    doc="REAL codec round-trip (no stub) across THREE formats: 24-bit "
+    "BMP (struct-packed headers, padded BGR rows), zlib PNG "
+    "(IHDR/IDAT/IEND + CRC32, stored-block IDAT for closed-form sizes; "
+    "decode reconstructs all five scanline filters and is golden-"
+    "fixture-pinned against a filtered+compressed encoding in tests), "
+    "and RIFF PCM-16 WAV (chunk walking; interops with Python's stdlib "
+    "wave module both directions). Each row encodes doc-derived "
+    "pixels/samples, decodes them back inside the same Arrow batch, and "
+    "verifies bit-exact equality (ok_roundtrip). The SQL oracle checks "
+    "every deterministic structural fact — dims, sample counts, exact "
+    "on-disk byte sizes incl. BMP row padding, PNG chunk+zlib framing, "
+    "WAV header overhead. Only genuinely lib-bound codecs (JPEG/MP3) "
+    "remain stubbed.",
 )
 def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -177,11 +184,13 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..multimodal.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav
+    from ..multimodal.codecs import (
+        decode_bmp, decode_png, decode_wav, encode_bmp, encode_png, encode_wav,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode("text", "utf-8").alias("raw")
-    ).filter(F.col("doc_id") % 3 < 2)
+    )
 
     schema = T.StructType(
         [
@@ -208,6 +217,12 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payload = encode_bmp(px)
                     ok = np.array_equal(decode_bmp(payload), px)
                     vals = (did, "image", w, h, 0, 0, len(payload), bool(ok))
+                elif did % 3 == 2:  # image → real PNG (stored-block IDAT)
+                    w, h = did % 13 + 4, did % 11 + 4
+                    px = np.resize(buf, (h, w, 3)).astype(np.uint8)
+                    payload = encode_png(px, level=0)
+                    ok = np.array_equal(decode_png(payload), px)
+                    vals = (did, "image_png", w, h, 0, 0, len(payload), bool(ok))
                 else:  # audio → real WAV (PCM-16 mono)
                     n = min(len(buf), 1500)
                     samples = ((buf[:n].astype(np.int32) - 128) * 256).astype(np.int16)
