@@ -4,7 +4,7 @@ tests/test_regime.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..regime import RegimeModel, RegimeGenerator, fit_garch_grid, regime_features
 from ..sources import Catalog
@@ -394,4 +394,56 @@ def m15_staged_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "stage INT, name STRING, stage_best DOUBLE, global_best DOUBLE, "
         "n_evals INT, frozen STRING",
+    )
+
+
+@register(
+    "g9_stitch_variants",
+    oracle=None,  # generator-internal (engine PRNG + fitted pools); the
+    # seam invariants — shared regime path across variants, none==blend@lam0,
+    # crossfade/bridge reduce boundary roughness — are pinned in
+    # tests/test_regime.py
+    doc="W13/W14 block-boundary stitch variants side-by-side (reference "
+    "optimize_generator_v3.py:87-258): ONE fitted regime-hybrid "
+    "generator (pools fit once, gaps-and-islands) generates the same "
+    "seeded series under smoothing = none / blend (W12) / crossfade "
+    "(W13) / ar_bridge (W14); all four walks share the identical "
+    "regime path and block draws, so differences are attributable to "
+    "the stitch alone. Emits per-variant roughness stats: mean|Δr| and "
+    "max|Δr| of consecutive log-return differences plus return "
+    "moments — the boundary-smoothness panel the reference's v3 "
+    "optimizer scores stitches with.",
+)
+def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..regime.hybrid import RegimeBootstrapHybrid
+
+    model = _fitted_model(spark, sf_dir)
+    hyb = RegimeBootstrapHybrid(model, min_block=4, lam=0.3, overlap=3).fit(["series"])
+    outs = []
+    for variant in ("none", "blend", "crossfade", "ar_bridge"):
+        hyb.smoothing = variant
+        outs.append(
+            hyb.generate(spark, seed=42, n_samples=150, n_series=3)
+            .withColumn("variant", F.lit(variant))
+        )
+    allv = outs[0]
+    for o in outs[1:]:
+        allv = allv.unionByName(o)
+    w = Window.partitionBy("variant", "series_id").orderBy("t")
+    rets = (
+        allv.withColumn("log_ret", F.log("price") - F.log(F.lag("price").over(w)))
+        .withColumn("ddiff", F.abs(F.col("log_ret") - F.lag("log_ret").over(w)))
+        .filter(F.col("log_ret").isNotNull())
+    )
+    return (
+        rets.groupBy("variant")
+        .agg(
+            F.countDistinct("series_id").alias("n_series"),
+            F.count("*").alias("n_rets"),
+            F.round(F.mean("log_ret"), 6).alias("mean_ret"),
+            F.round(F.stddev_pop("log_ret"), 6).alias("std_ret"),
+            F.round(F.mean("ddiff"), 6).alias("mean_abs_ddiff"),
+            F.round(F.max("ddiff"), 6).alias("max_abs_ddiff"),
+        )
+        .orderBy("variant")
     )

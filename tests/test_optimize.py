@@ -445,3 +445,46 @@ def test_ga_meta_log_no_duplicate_rows_after_append_crash(spark, tmp_path):
     gens = {k[1] for k in keys}
     for g in gens:
         assert sum(1 for k in keys if k[1] == g) == 5
+
+
+def test_stitch_variants_share_regime_path_and_seam_invariants(spark, hybrid):
+    """g9_stitch_variants contract: all four smoothing modes walk the
+    IDENTICAL seeded regime path (differences attributable to the stitch
+    alone); 'none' == 'blend' at lam=0; and the overlap stitches
+    (crossfade/ar_bridge) reduce boundary roughness vs 'none'."""
+    from synthetic_datagen_spark.regime.hybrid import RegimeBootstrapHybrid
+
+    outs = {}
+    for mode, lam in [("none", 0.3), ("blend", 0.3), ("blend", 0.0),
+                      ("crossfade", 0.3), ("ar_bridge", 0.3)]:
+        h = RegimeBootstrapHybrid(hybrid.model, min_block=4,
+                                  smoothing=mode, lam=lam, overlap=3)
+        h.pools = hybrid.pools
+        rows = h.generate(spark, seed=11, n_samples=80, n_series=2) \
+                .orderBy("series_id", "t").collect()
+        outs[(mode, lam)] = rows
+
+    regimes = {k: [r.regime for r in v] for k, v in outs.items()}
+    base = regimes[("none", 0.3)]
+    assert all(v == base for v in regimes.values())  # shared regime path
+
+    # blend with lam=0 leaves block heads untouched == no stitching
+    assert [r.price for r in outs[("blend", 0.0)]] == \
+           [r.price for r in outs[("none", 0.3)]]
+    # blend with lam>0 actually changes something
+    assert [r.price for r in outs[("blend", 0.3)]] != \
+           [r.price for r in outs[("none", 0.3)]]
+
+    def roughness(rows):
+        prices = np.array([r.price for r in rows], dtype=float)
+        # per-series consecutive log-return differences
+        vals = []
+        for sid in {r.series_id for r in rows}:
+            p = np.array([r.price for r in rows if r.series_id == sid])
+            lr = np.diff(np.log(p))
+            vals.append(np.abs(np.diff(lr)))
+        return float(np.mean(np.concatenate(vals)))
+
+    r_none = roughness(outs[("none", 0.3)])
+    assert roughness(outs[("crossfade", 0.3)]) <= r_none
+    assert roughness(outs[("ar_bridge", 0.3)]) <= r_none
