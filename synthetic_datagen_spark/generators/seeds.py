@@ -35,6 +35,50 @@ def derive_seed(base_seed: int, *units: int) -> int:
     return z & 0x7FFFFFFFFFFFFFFF
 
 
+def splitmix64_vec(base_seed: int, *units):
+    """Vectorized ``derive_seed``: identical splitmix64 arithmetic over
+    numpy uint64 arrays (wrapping multiply == the masked Python form
+    bit-for-bit). ``units`` are scalars or broadcastable integer arrays;
+    returns a non-negative int64-range uint64 array.
+
+    This is the COUNTER-BASED draw path: a value is a pure function of
+    (base_seed, unit ids), so a million ticks can draw their randomness
+    in one array pass — no per-tick Generator construction — while
+    keeping the per-(seed, series, step) invariance contract that makes
+    streaming output independent of micro-batch boundaries."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        z = np.asarray((base_seed * _GOLDEN) & _MASK, dtype=np.uint64)
+        for u in units:
+            z = z ^ np.asarray(u, dtype=np.uint64)
+            z = z + np.uint64(_GOLDEN)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(_M1)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(_M2)
+            z = z ^ (z >> np.uint64(31))
+        return z & np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def counter_uniforms(base_seed: int, *units):
+    """Deterministic uniforms in (0, 1]: top 53 of the 63 mixed bits,
+    shifted off zero so Box-Muller's log() is always finite."""
+    import numpy as np
+
+    z = splitmix64_vec(base_seed, *units)
+    return ((z >> np.uint64(10)).astype(np.float64) + 1.0) / float(1 << 53)
+
+
+def counter_normals(base_seed: int, *units):
+    """Deterministic standard normals per work unit via Box-Muller over
+    two independent counter slots (slot ids chosen by the caller's unit
+    tuple convention; this helper appends slots 0 and 1)."""
+    import numpy as np
+
+    u1 = counter_uniforms(base_seed, *units, 0)
+    u2 = counter_uniforms(base_seed, *units, 1)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def seed_col(base_seed: int, *unit_cols: Column) -> Column:
     """Column-side seed derivation: non-negative long, a pure function
     of (base_seed, unit ids).

@@ -121,11 +121,12 @@ def _online_init_state(
 
     import numpy as np
 
-    from ..generators.seeds import derive_seed
+    from ..generators.seeds import counter_uniforms
 
     k = len(start_cum)
-    rng0 = np.random.default_rng(derive_seed(seed, sid, 0))
-    regime = min(int(np.searchsorted(start_cum, rng0.random(), side="right")), k - 1)
+    # same counter convention as the tick kernel: step 0, slot 2
+    u0 = float(counter_uniforms(seed, sid, 0, 2))
+    regime = min(int(np.searchsorted(start_cum, u0, side="right")), k - 1)
     st0 = stats.get(regime, {"sigma": 1e-3})
     return 0, 0.0, float(st0["sigma"]) ** 2, regime, math.log(p0)
 
@@ -143,24 +144,32 @@ def _online_ticks(
     ``state``. THE single tick kernel: the streaming update function
     and the batch twin both call this, so stream/batch parity holds by
     construction — any drift breaks stream_regime_generate_parity.
-    The rng re-derives from splitmix64(seed, series_id, step) per tick,
-    so the path is invariant to micro-batch boundaries. Returns
-    (columns dict, new state)."""
+
+    Randomness is COUNTER-BASED: each tick's draws are pure functions of
+    (seed, series_id, step, slot) via vectorized splitmix64
+    (seeds.splitmix64_vec), batch-drawn for the whole span in two array
+    passes — so the path is invariant to micro-batch boundaries (the
+    original contract) without constructing a Generator per tick (the
+    original cost: ~µs/tick of default_rng() setup dominating the
+    arithmetic at realistic tick volumes). Returns (columns dict,
+    new state)."""
     import math
 
     import numpy as np
 
-    from ..generators.seeds import derive_seed
+    from ..generators.seeds import counter_normals, counter_uniforms
 
     k = len(trans_cum)
     step, prev_r, sig2, regime, log_price = state
-    out = {"series_id": [], "step": [], "regime": [], "price": []}
-    for _ in range(n_ticks):
-        step += 1
-        rng = np.random.default_rng(derive_seed(seed, sid, step))
+    steps = np.arange(step + 1, step + 1 + n_ticks, dtype=np.uint64)
+    # slot 2 = regime-transition uniform; slots 0/1 = Box-Muller normal
+    u_reg = counter_uniforms(seed, sid, steps, 2)
+    z_ret = counter_normals(seed, sid, steps)
+    regimes = np.empty(n_ticks, dtype=np.int64)
+    prices = np.empty(n_ticks, dtype=np.float64)
+    for i in range(n_ticks):
         regime = min(
-            int(np.searchsorted(trans_cum[regime], rng.random(), side="right")),
-            k - 1,
+            int(np.searchsorted(trans_cum[regime], u_reg[i], side="right")), k - 1
         )
         st = stats.get(regime, {"mu": 0.0, "sigma": 1e-3, "ar1": 0.0})
         g = garch.get(regime)
@@ -169,13 +178,18 @@ def _online_ticks(
             vol = math.sqrt(max(sig2, 1e-18))
         else:
             vol = max(st["sigma"], 1e-9)
-        r = st["mu"] + st["ar1"] * (prev_r - st["mu"]) + vol * rng.standard_normal()
+        r = st["mu"] + st["ar1"] * (prev_r - st["mu"]) + vol * z_ret[i]
         prev_r = r
         log_price = min(max(log_price + r, -600.0), 600.0)
-        out["series_id"].append(sid)
-        out["step"].append(step)
-        out["regime"].append(int(regime))
-        out["price"].append(math.exp(log_price))
+        regimes[i] = regime
+        prices[i] = math.exp(log_price)
+    step += n_ticks
+    out = {
+        "series_id": np.full(n_ticks, sid, dtype=np.int64),
+        "step": np.arange(step - n_ticks + 1, step + 1, dtype=np.int64),
+        "regime": regimes.astype(np.int32),
+        "price": prices,
+    }
     return out, (step, prev_r, sig2, int(regime), log_price)
 
 

@@ -443,3 +443,34 @@ def test_disc_dropout_gradient_check_and_determinism():
     for (Wa, ba), (Wb, bb) in zip(g1.gen_hidden, g2.gen_hidden):
         np.testing.assert_array_equal(Wa, Wb)
         np.testing.assert_array_equal(ba, bb)
+
+
+def test_counter_rng_matches_scalar_derive_seed():
+    """splitmix64_vec is derive_seed bit-for-bit over arrays — the
+    counter-based draw contract the online tick kernel relies on for
+    micro-batch invariance (streaming/stateful.py)."""
+    import numpy as np
+
+    from synthetic_datagen_spark.generators.seeds import (
+        counter_normals,
+        counter_uniforms,
+        splitmix64_vec,
+    )
+
+    steps = np.arange(1, 500, dtype=np.uint64)
+    vec = splitmix64_vec(42, 7, steps, 2)
+    for i in (0, 1, 17, 498):
+        assert int(vec[i]) == derive_seed(42, 7, int(steps[i]), 2)
+
+    u = counter_uniforms(42, 7, steps, 2)
+    assert (u > 0).all() and (u <= 1).all()
+    # a batch draw equals the concatenation of two half-span draws —
+    # the exact micro-batch-boundary invariance property
+    u_a = counter_uniforms(42, 7, steps[:250], 2)
+    u_b = counter_uniforms(42, 7, steps[250:], 2)
+    assert np.array_equal(u, np.concatenate([u_a, u_b]))
+    z = counter_normals(42, 7, steps)
+    z2 = np.concatenate([counter_normals(42, 7, steps[:100]),
+                         counter_normals(42, 7, steps[100:])])
+    assert np.array_equal(z, z2)
+    assert abs(float(z.mean())) < 0.15 and abs(float(z.std()) - 1.0) < 0.15
