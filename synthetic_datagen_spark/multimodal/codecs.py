@@ -7,7 +7,9 @@ BGR rows), PNG (zlib + struct: IHDR/IDAT/IEND chunks, CRC32, scanline
 filters), and 16-bit PCM WAV (RIFF/fmt/data chunks). Implementing them
 for real upgrades the multimodal path from "stubbed codec behind real
 plumbing" to "real codecs; stub only where a codec genuinely requires
-libjpeg-turbo/ffmpeg (JPEG/MP3/video)".
+ffmpeg (MP3/video)". Baseline JPEG is also real — see the sibling
+``multimodal/jpeg.py`` (DCT + Huffman from scratch, cross-checked
+pixel-for-pixel against javax.imageio on a libjpeg-encoded file).
 
 Contracts (all pinned in tests/test_codecs.py):
 - ``encode_bmp``/``decode_bmp`` round-trip (h, w, 3) uint8 RGB arrays

@@ -174,7 +174,8 @@ ORDER BY media_id
     "verifies bit-exact equality (ok_roundtrip). The SQL oracle checks "
     "every deterministic structural fact — dims, sample counts, exact "
     "on-disk byte sizes incl. BMP row padding, PNG chunk+zlib framing, "
-    "WAV header overhead. Only genuinely lib-bound codecs (JPEG/MP3) "
+    "WAV header overhead. JPEG (lossy, so no byte-size oracle) has its "
+    "own rows-only query multimodal_jpeg_roundtrip; only MP3/video "
     "remain stubbed.",
 )
 def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,3 +236,78 @@ def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(roundtrip, schema).orderBy("media_id")
+
+
+@register(
+    "multimodal_jpeg_roundtrip",
+    oracle=None,  # JPEG is lossy and entropy-coded: byte sizes and PSNR
+    # are deterministic but not SQL-computable. Decoder correctness is
+    # pinned cross-engine in tests/test_codecs.py (decode_jpeg vs
+    # javax.imageio on a libjpeg-encoded file: mean |delta| < 1).
+    doc="REAL baseline-JPEG round-trip (multimodal/jpeg.py — 8x8 DCT, "
+    "Annex K quantization + Huffman tables, byte stuffing, written from "
+    "the T.81 spec with numpy): each image row encodes doc-derived "
+    "pixels at quality 50 and 90, decodes back in the same Arrow batch, "
+    "and emits sizes + PSNR. Invariants a correct lossy codec must "
+    "show, asserted in tests and visible in the output: higher quality "
+    "=> more bytes AND higher PSNR, every decode matches dims, PSNR "
+    "above the transform-coding floor. The decoder also reads real "
+    "libjpeg files (4:2:0, restart markers), cross-checked against the "
+    "JVM's javax.imageio pixel-for-pixel.",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    ).filter(F.col("doc_id") % 5 == 0)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bytes_q50", T.IntegerType()),
+            T.StructField("bytes_q90", T.IntegerType()),
+            T.StructField("psnr_q50", T.DoubleType()),
+            T.StructField("psnr_q90", T.DoubleType()),
+            T.StructField("ok_roundtrip", T.BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def psnr(a, b):
+            mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            return 99.0 if mse == 0 else float(10 * np.log10(255.0 ** 2 / mse))
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, raw in zip(pdf["doc_id"], pdf["raw"]):
+                did = int(did)
+                w, h = did % 13 + 8, did % 11 + 8
+                buf = np.frombuffer(bytes(raw), dtype=np.uint8)
+                px = np.resize(buf, (h, w, 3)).astype(np.uint8)
+                enc50, enc90 = encode_jpeg(px, 50), encode_jpeg(px, 90)
+                d50, d90 = decode_jpeg(enc50), decode_jpeg(enc90)
+                p50, p90 = psnr(px, d50), psnr(px, d90)
+                ok = (
+                    d50.shape == px.shape
+                    and d90.shape == px.shape
+                    and len(enc90) >= len(enc50)
+                    and p90 >= p50 > 15.0
+                )
+                for f, v in zip(
+                    schema.fields,
+                    (did, w, h, len(enc50), len(enc90),
+                     round(p50, 3), round(p90, 3), bool(ok)),
+                ):
+                    out[f.name].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.repartition(32).mapInPandas(roundtrip, schema).orderBy("media_id")

@@ -141,3 +141,86 @@ def test_wav_rejects_unsupported():
             + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt)
     with pytest.raises(ValueError, match="unsupported"):
         decode_wav(data)
+
+
+# ------------------------------------------------------------------ JPEG --
+
+from synthetic_datagen_spark.multimodal.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+KITTENS = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg"
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_flat_block_near_lossless():
+    px = np.full((16, 24, 3), 128, dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=90))
+    assert back.shape == px.shape
+    assert np.abs(back.astype(int) - 128).max() <= 1
+
+
+@pytest.mark.parametrize("quality,min_psnr", [(50, 38.0), (75, 43.0), (90, 47.0)])
+def test_jpeg_roundtrip_psnr_scales_with_quality(quality, min_psnr):
+    y, x = np.mgrid[0:33, 0:41]
+    px = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert back.shape == px.shape
+    assert _psnr(px, back) >= min_psnr
+
+
+def test_jpeg_grayscale_roundtrip():
+    y, x = np.mgrid[0:21, 0:19]
+    g = ((x * 7 + y * 3) % 256).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quality=90))
+    assert back.shape == g.shape and back.ndim == 2
+    assert _psnr(g, back) >= 35.0
+
+
+@pytest.mark.skipif(not os.path.exists(KITTENS), reason="Spark sample images absent")
+def test_jpeg_decodes_real_libjpeg_file():
+    """Interop pin: a real libjpeg-encoded baseline 4:2:0 photo (shipped
+    with Spark's MLlib sample data) — subsampled chroma, two quant
+    tables, four Huffman tables: an encoding path encode_jpeg never
+    emits, so this exercises the decoder against independent bytes."""
+    img = decode_jpeg(open(KITTENS, "rb").read())
+    assert img.shape == (313, 199, 3)
+    # photo plausibility: bright warm-cast subject, smooth local structure
+    means = img.mean(axis=(0, 1))
+    assert means[0] > means[1] > means[2] > 150
+    grad = np.abs(np.diff(img[:, :, 0].astype(int), axis=1)).mean()
+    assert grad < 40.0  # photo texture ≈ 22; garbage decode ≈ white-noise ≈ 85
+
+
+@pytest.mark.skipif(not os.path.exists(KITTENS), reason="Spark sample images absent")
+def test_jpeg_decode_matches_javax_imageio(spark):
+    """Cross-ENGINE pixel check: decode_jpeg vs the JVM's javax.imageio
+    (Spark's binary image datasource) on the same libjpeg file. The two
+    independent decoders must agree to within IDCT rounding (mean |Δ|
+    well under 1 intensity level)."""
+    row = (
+        spark.read.format("image").load(KITTENS).select("image.*").first()
+    )
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[:, :, ::-1]  # BGR -> RGB
+    ours = decode_jpeg(open(KITTENS, "rb").read())
+    assert ours.shape == ref.shape
+    diff = np.abs(ref.astype(int) - ours.astype(int))
+    assert diff.mean() < 1.0
+    assert np.percentile(diff, 99) <= 3
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"  # SOF2 file
+    if os.path.exists(prog):
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(open(prog, "rb").read())
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8garbage that is not a jpeg stream at all")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"totally not a jpeg")

