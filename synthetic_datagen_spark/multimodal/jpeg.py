@@ -154,6 +154,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding, then emit RSTn (markers bypass
+        the data-byte stuffing)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (n & 7))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, value-bits) encoding of a DC diff / AC coefficient."""
@@ -217,9 +226,14 @@ def _component_zigzag_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return flat[:, _ZIGZAG]
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) grayscale -> baseline JFIF bytes
-    (SOF0, 4:4:4, Annex K Huffman tables)."""
+    (SOF0, 4:4:4, Annex K Huffman tables). ``restart_interval`` > 0
+    emits a DRI segment and an RSTn marker every that-many MCUs —
+    the error-resilience feature streaming encoders use (and the
+    decoder path a fixture without DRI never exercises)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -250,7 +264,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     writer = _BitWriter()
     preds = [0] * len(planes)
     n_blocks = comp_blocks[0].shape[0]
+    n_rst = 0
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            writer.restart(n_rst)
+            n_rst = (n_rst + 1) & 7
+            preds = [0] * len(planes)  # DC predictors reset at restart
         for ci in range(len(planes)):
             preds[ci] = _encode_component_blocks(
                 writer,
@@ -284,6 +303,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     if nc == 3:
         out.append(seg(0xFFC4, dht(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)))
         out.append(seg(0xFFC4, dht(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))  # DRI
     sos = bytes([nc]) + b"".join(
         bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(nc)
     ) + b"\x00\x3F\x00"

@@ -224,3 +224,73 @@ def test_jpeg_rejects_progressive_and_garbage():
         decode_jpeg(b"\xff\xd8garbage that is not a jpeg stream at all")
     with pytest.raises(ValueError):
         decode_jpeg(b"totally not a jpeg")
+
+
+# ------------------------------------------------------------------- AVI --
+
+from synthetic_datagen_spark.multimodal.avi import (  # noqa: E402
+    avi_frame_chunks,
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+)
+
+
+def _video_frames(n=6, h=24, w=32):
+    y, x = np.mgrid[0:h, 0:w]
+    return [
+        np.stack(
+            [(x * 3 + t * 10) % 256, (y * 5) % 256, ((x + y) * 2 + t * 5) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        for t in range(n)
+    ]
+
+
+def test_avi_mjpeg_roundtrip():
+    frames = _video_frames()
+    avi = encode_avi_mjpeg(frames, fps=12, quality=90)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    meta, back = decode_avi_mjpeg(avi)
+    assert meta == {"fps": 12, "n_frames": 6, "width": 32, "height": 24}
+    assert len(back) == 6
+    for f, b in zip(frames, back):
+        assert b.shape == f.shape and _psnr(f, b) > 40.0
+
+
+def test_avi_frame_chunks_skip_decode():
+    """The container walk yields raw per-frame JPEG bytes WITHOUT pixel
+    work — each chunk is independently decodable (the seekable-sampling
+    contract multimodal_video_frames relies on)."""
+    frames = _video_frames(n=5)
+    meta, chunks = avi_frame_chunks(encode_avi_mjpeg(frames, fps=10))
+    assert len(chunks) == 5
+    for c in chunks:
+        assert c[:2] == b"\xff\xd8"  # every chunk is a standalone JPEG
+    # decode only every 2nd frame — matches the full decode of those
+    sampled = [decode_jpeg(chunks[i]) for i in (0, 2, 4)]
+    _, full = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=10))
+    for s, f in zip(sampled, (full[0], full[2], full[4])):
+        assert np.array_equal(s, f)
+
+
+def test_avi_rejects_garbage_and_mixed_shapes():
+    with pytest.raises(ValueError):
+        avi_frame_chunks(b"RIFFxxxxWAVE")  # a RIFF, but not AVI
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8), np.zeros((9, 8, 3), np.uint8)])
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """encode_jpeg(restart_interval=N) emits DRI + RSTn markers and the
+    decoder's restart path reproduces the exact no-restart decode."""
+    y, x = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    plain = encode_jpeg(px, 90)
+    rst = encode_jpeg(px, 90, restart_interval=4)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
