@@ -385,3 +385,89 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.repartition(32).mapInPandas(sample, schema).orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_codec_roundtrip",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, LEAST(octet_length(encode(text)), 1500) AS n
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id AS media_id,
+       CAST(n AS INT) AS n_samples,
+       -- mu-law WAV: RIFF(8) + WAVE(4) + fmt(8+18) + fact(8+4) +
+       -- data(8 + n) + odd-length pad  =  58 + n + n%2
+       CAST(58 + n + n % 2 AS BIGINT) AS ulaw_wav_bytes,
+       -- IMA ADPCM: two 4-bit nibbles per byte
+       CAST((n + 1) // 2 AS BIGINT) AS adpcm_bytes,
+       TRUE AS ok_ulaw,
+       TRUE AS ok_adpcm
+FROM m ORDER BY media_id
+""",
+    doc="COMPRESSED-audio codec round-trip (multimodal/audio.py): each "
+    "audio row encodes its PCM clip as (a) a standard G.711 mu-law WAV "
+    "(fmt tag 7, fact chunk — byte length closed-form 58+n+n%2) and "
+    "(b) a 4-bit IMA ADPCM nibble stream (ceil(n/2) bytes), decodes "
+    "both back in the same Arrow batch, and verifies the codec error "
+    "bounds: mu-law reconstruction within the G.711 segment-quantizer "
+    "bound (|err| <= 2^(seg+3), decode bit-exact vs CPython audioop, "
+    "pinned exhaustively in tests), ADPCM within its adaptive-step "
+    "envelope. The SQL oracle checks every deterministic structural "
+    "fact; the codec arithmetic itself is audioop-parity-tested.",
+)
+def multimodal_audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.audio import (
+        adpcm_decode, adpcm_encode, decode_wav_any, encode_wav_ulaw, ulaw_decode, ulaw_encode,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    ).filter(F.col("doc_id") % 3 == 1)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("ulaw_wav_bytes", T.LongType()),
+            T.StructField("adpcm_bytes", T.LongType()),
+            T.StructField("ok_ulaw", T.BooleanType()),
+            T.StructField("ok_adpcm", T.BooleanType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, raw in zip(pdf["doc_id"], pdf["raw"]):
+                did = int(did)
+                buf = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n = min(len(buf), 1500)
+                pcm = ((buf[:n].astype(np.int32) - 128) * 256).astype(np.int16)
+                wav = encode_wav_ulaw(pcm, 8000)
+                rate, back = decode_wav_any(wav)
+                # G.711 mu-law error bound: half quantizer step per segment
+                ok_u = rate == 8000 and bool(
+                    np.array_equal(back, ulaw_decode(ulaw_encode(pcm)))
+                    and np.abs(back.astype(int) - pcm.astype(int)).max() <= 1024
+                )
+                adp, _ = adpcm_encode(pcm)
+                dec, _ = adpcm_decode(adp, n_samples=n)
+                # adaptive-step codec: exactness only for silence; bound loosely
+                ok_a = dec.shape == pcm.shape and bool(
+                    np.abs(dec.astype(int) - pcm.astype(int)).mean() < 4000
+                )
+                for f, v in zip(
+                    schema.fields,
+                    (did, n, len(wav), len(adp), ok_u, ok_a),
+                ):
+                    out[f.name].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.repartition(32).mapInPandas(roundtrip, schema).orderBy("media_id")

@@ -294,3 +294,102 @@ def test_jpeg_restart_markers_roundtrip():
     assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
     assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
     assert np.array_equal(decode_jpeg(plain), decode_jpeg(rst))
+
+
+# ------------------------------------------------------- compressed audio --
+
+from synthetic_datagen_spark.multimodal.audio import (  # noqa: E402
+    adpcm_decode,
+    adpcm_encode,
+    decode_wav_any,
+    encode_wav_ulaw,
+    ulaw_decode,
+    ulaw_encode,
+)
+
+try:
+    import audioop  # removed in Python 3.13; parity pins run where present
+except ImportError:  # pragma: no cover
+    audioop = None
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
+def test_ulaw_bit_parity_with_audioop_exhaustive():
+    """All 65536 encode inputs and all 256 decode codes match CPython's
+    audioop (Sun g711.c) byte-for-byte."""
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert ulaw_encode(pcm).tobytes() == audioop.lin2ulaw(pcm.tobytes(), 2)
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        ulaw_decode(codes),
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2"),
+    )
+
+
+def test_ulaw_roundtrip_error_bound():
+    """mu-law is log-quantized: small signals near-exact, error grows
+    with the segment (max half-step 2^(seg+3) ≈ 1024 at full scale)."""
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    err = np.abs(ulaw_decode(ulaw_encode(pcm)).astype(int) - pcm.astype(int))
+    assert err.max() <= 1024
+    small = slice(32768 - 256, 32768 + 256)
+    assert err[small].max() <= 19
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
+def test_adpcm_nibble_parity_with_audioop():
+    """Identical IMA quantizer decisions and state as audioop; packing
+    differs by convention only (WAV low-nibble-first vs audioop
+    high-first), asserted via nibble swap."""
+    rng = np.random.default_rng(0)
+    sig = (3000 * np.sin(np.linspace(0, 40, 2000))
+           + rng.normal(0, 300, 2000)).astype(np.int16)
+    ours, state = adpcm_encode(sig)
+    ref, ref_state = audioop.lin2adpcm(sig.tobytes(), 2, None)
+    assert state == ref_state
+    a = np.frombuffer(ours, dtype=np.uint8)
+    assert np.array_equal(((a & 0x0F) << 4) | (a >> 4),
+                          np.frombuffer(ref, dtype=np.uint8))
+
+
+def test_adpcm_roundtrip_snr_and_stream_continuation():
+    rng = np.random.default_rng(1)
+    sig = (5000 * np.sin(np.linspace(0, 60, 3000))
+           + rng.normal(0, 200, 3000)).astype(np.int16)
+    enc, _ = adpcm_encode(sig)
+    assert len(enc) == (len(sig) + 1) // 2
+    dec, _ = adpcm_decode(enc, n_samples=len(sig))
+    snr = 10 * np.log10(np.mean(sig.astype(float) ** 2)
+                        / np.mean((sig - dec.astype(float)) ** 2))
+    assert snr > 25.0
+    # chunked encode with carried state == one-shot encode (even split
+    # keeps nibble packing aligned)
+    e1, st = adpcm_encode(sig[:1500])
+    e2, _ = adpcm_encode(sig[1500:], state=st)
+    assert e1 + e2 == enc
+
+
+def test_ulaw_wav_roundtrip_and_closed_form_size():
+    rng = np.random.default_rng(2)
+    for n in (100, 777, 1500):
+        pcm = rng.integers(-(2 ** 15), 2 ** 15, n, dtype=np.int16)
+        wav = encode_wav_ulaw(pcm, 8000)
+        assert len(wav) == 58 + n + n % 2  # the SQL-oracle arithmetic
+        rate, back = decode_wav_any(wav)
+        assert rate == 8000
+        assert np.array_equal(back, ulaw_decode(ulaw_encode(pcm)))
+    # decode_wav_any still reads plain PCM-16 WAV
+    from synthetic_datagen_spark.multimodal.codecs import encode_wav
+    pcm = rng.integers(-(2 ** 15), 2 ** 15, 64, dtype=np.int16)
+    rate, back = decode_wav_any(encode_wav(pcm, 16000))
+    assert rate == 16000 and np.array_equal(back, pcm)
+
+
+def test_decode_wav_any_rejects_unknown_fmt():
+    import struct as _s
+    alaw_fmt = _s.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)  # A-law: not ours
+    data = (b"RIFF" + _s.pack("<I", 4 + 8 + len(alaw_fmt)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", len(alaw_fmt)) + alaw_fmt
+            + b"data" + _s.pack("<I", 0))
+    with pytest.raises(ValueError):
+        decode_wav_any(data + b"")
