@@ -203,3 +203,90 @@ def decode_wav_any(data: bytes) -> tuple[int, np.ndarray]:
     if fmt_tag == 7 and bits == 8:
         return int(sample_rate), ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
     raise ValueError(f"unsupported WAV: fmt={fmt_tag} bits={bits}")
+
+
+# ------------------------------------------------------ MP3 frame parsing --
+
+_MP3_BITRATES = {  # kbps, index 1..14 (0/15 invalid), by (version-group, layer)
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_frames(data: bytes) -> dict:
+    """Walk an MP3 bitstream's frame headers WITHOUT audio decode —
+    the metadata-extraction pass a large-scale audio-curation pipeline
+    runs first (full Layer III synthesis is the one codec left to an
+    ffmpeg-backed kernel; the container/framing layer is real here).
+
+    Skips ID3v2, syncs on 0xFFE, validates header fields against the
+    spec tables, and returns {n_frames, sample_rate, channels,
+    bitrate_kbps (mean), duration_sec, has_id3, layer, mpeg_version}.
+    Raises ValueError if no valid frame sequence exists.
+    """
+    pos = 0
+    has_id3 = False
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+               ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        pos = 10 + size
+        has_id3 = True
+    n = len(data)
+    frames = 0
+    bitrates: list[int] = []
+    sample_rate = channels = None
+    layer_out = version_out = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            if frames:  # past the last frame (tag/garbage tail)
+                break
+            pos += 1
+            continue
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        version_id = (b1 >> 3) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_id = (b1 >> 1) & 0x03     # 3=Layer I, 2=II, 1=III
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if version_id == 1 or layer_id == 0 or br_idx in (0, 15) or sr_idx == 3:
+            if frames:
+                break
+            pos += 1
+            continue
+        layer = 4 - layer_id            # 1/2/3
+        vgroup = "1" if version_id == 3 else "2"
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+        rate = _MP3_RATES[version_id][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            per = 144 if (vgroup == "1" or layer == 2) else 72
+            flen = per * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break
+        frames += 1
+        bitrates.append(kbps)
+        sample_rate = rate
+        channels = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        layer_out, version_out = layer, {3: "1", 2: "2", 0: "2.5"}[version_id]
+        pos += flen
+    if not frames:
+        raise ValueError("no valid MP3 frames found")
+    spf = 384 if layer_out == 1 else (
+        1152 if (version_out == "1" or layer_out == 2) else 576
+    )
+    return {
+        "n_frames": frames,
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates), 1),
+        "duration_sec": round(frames * spf / sample_rate, 3),
+        "has_id3": has_id3,
+        "layer": int(layer_out),
+        "mpeg_version": version_out,
+    }

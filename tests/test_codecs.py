@@ -393,3 +393,31 @@ def test_decode_wav_any_rejects_unknown_fmt():
             + b"data" + _s.pack("<I", 0))
     with pytest.raises(ValueError):
         decode_wav_any(data + b"")
+
+
+TEST_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+@pytest.mark.skipif(not os.path.exists(TEST_MP3), reason="no sample mp3 on host")
+def test_mp3_frame_parse_real_file():
+    """Frame-walk a REAL encoder-produced MP3 (ID3v2 + MPEG-2 Layer III
+    frames): header tables, frame-length arithmetic and the ID3 skip
+    must agree with the bitstream end-to-end — 45 frames of 576 samples
+    at 22.05 kHz is 1.176 s of mono audio at 64 kbps."""
+    from synthetic_datagen_spark.multimodal.audio import mp3_frames
+
+    meta = mp3_frames(open(TEST_MP3, "rb").read())
+    assert meta == {
+        "n_frames": 45, "sample_rate": 22050, "channels": 1,
+        "bitrate_kbps": 64.0, "duration_sec": 1.176, "has_id3": True,
+        "layer": 3, "mpeg_version": "2",
+    }
+
+
+def test_mp3_frame_parse_rejects_garbage():
+    from synthetic_datagen_spark.multimodal.audio import mp3_frames
+
+    with pytest.raises(ValueError):
+        mp3_frames(b"\x00" * 100)
+    with pytest.raises(ValueError):
+        mp3_frames(b"ID3\x04\x00\x00\x00\x00\x00\x10" + b"\x00" * 64)
