@@ -552,3 +552,173 @@ class IvfIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank")
         )
+
+
+# ------------------------------------------------------ product quantization --
+
+
+def fit_pq_codebooks(sample, m: int = 8, k: int = 16, n_iter: int = 15, seed: int = 42):
+    """Train PQ codebooks on a (n, d) numpy sample: the vector splits
+    into ``m`` subspaces of d/m dims, each quantized to ``k`` centroids
+    by seeded Lloyd k-means. Returns (m, k, d/m) float64.
+
+    Trained on a BOUNDED driver-side sample (the FAISS practice —
+    codebooks need thousands of examples, not the corpus), deterministic
+    in (sample, seed). Encoding/scoring run distributed.
+    """
+    import numpy as np
+
+    from ..generators.seeds import derive_seed
+
+    x = np.asarray(sample, dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    k = min(k, n)
+    books = np.empty((m, k, ds))
+    for sub in range(m):
+        xs = x[:, sub * ds : (sub + 1) * ds]
+        rng = np.random.default_rng(derive_seed(seed, sub))
+        cent = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            # assign: (n, k) squared distances via the expansion trick
+            d2 = (
+                (xs * xs).sum(1, keepdims=True)
+                - 2.0 * xs @ cent.T
+                + (cent * cent).sum(1)
+            )
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(0)
+        books[sub] = cent
+    return books
+
+
+def pq_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 8,
+    n_cent: int = 16,
+    top_c: int = 50,
+    train_cap: int = 4096,
+    seed: int = 42,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate kNN — the memory-bound 100 TB ANN path
+    (FAISS-style): vectors L2-normalize (so inner product == cosine),
+    encode to ``m`` sub-codes of log2(n_cent) bits each (64-dim float64
+    512 B → 8 B at the defaults, 64×), queries score the WHOLE corpus
+    through asymmetric-distance lookup tables (one (m, n_cent) table
+    per query, m adds per vector — no vector arithmetic in the scan),
+    then the top ``top_c`` ADC candidates per query rescore exactly.
+
+    The third ANN family beside sign-LSH (hash-bucketed) and IVF
+    (partition-pruned): PQ trades a small recall loss for a corpus that
+    fits in RAM at any scale, and composes with IVF lists the same way
+    FAISS IVFPQ does. Codebooks train on a bounded seeded sample;
+    encoding is one Arrow-batched pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    # bounded, deterministic training sample (orderBy id → layout-stable)
+    sample_rows = (
+        c.orderBy("neighbor_id").limit(train_cap).select("cv", "cn").collect()
+    )
+    x = np.array([np.asarray(r["cv"]) / (r["cn"] or 1.0) for r in sample_rows])
+    books = fit_pq_codebooks(x, m=m, k=n_cent, seed=seed)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    q_rows = q.collect()  # query set is small by contract (top-k per query)
+    q_ids = np.array([int(r["query_id"]) for r in q_rows])
+    qm = np.array([np.asarray(r["qv"]) / (r["qn"] or 1.0) for r in q_rows])
+    n_q, d = qm.shape
+    ds = d // m
+    # per-query ADC tables: table[qi, sub, code] = dot(q_sub, centroid)
+    tables = np.einsum("qsd,skd->qsk", qm.reshape(n_q, m, ds), books)
+    bc_tables = spark.sparkContext.broadcast(tables)
+    bc_qids = spark.sparkContext.broadcast(q_ids)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_ip", T.DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches):
+        books_l = bc_books.value
+        tables_l = bc_tables.value
+        qids_l = bc_qids.value
+        mm, kk, dds = books_l.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["cv"]]
+            )
+            norms = pdf["cn"].to_numpy()
+            vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
+            sub = vecs.reshape(len(pdf), mm, dds)
+            # encode: per subspace argmin distance == argmax (2*dot - |c|^2)
+            codes = np.empty((len(pdf), mm), dtype=np.int64)
+            for s in range(mm):
+                d2 = -2.0 * sub[:, s, :] @ books_l[s].T + (books_l[s] ** 2).sum(1)
+                codes[:, s] = d2.argmin(1)
+            # ADC: scores[q, b] = sum_s tables[q, s, codes[b, s]]
+            sub_idx = np.arange(mm)
+            scores = np.empty((len(qids_l), len(pdf)))
+            for qi in range(len(qids_l)):
+                scores[qi] = tables_l[qi][sub_idx, codes].sum(1)
+            nid = pdf["neighbor_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_l, len(pdf)),
+                    "neighbor_id": np.tile(nid, len(qids_l)),
+                    "adc_ip": scores.reshape(-1),
+                }
+            )
+
+    scored = c.mapInPandas(adc_scan, out_schema).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("adc_ip"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_c))
+        .filter(F.col("_r") <= top_c)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the ADC short-list
+    qv = q.select("query_id", "qv", "qn")
+    exact = (
+        cand.join(c.hint("shuffle_hash"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

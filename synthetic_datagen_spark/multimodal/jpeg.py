@@ -115,7 +115,7 @@ def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(t, 1, 255).astype(np.int32)
 
 
-def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+def _canonical_codes_impl(bits: tuple, vals: tuple) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) from the BITS/HUFFVAL spec (T.81 C.2)."""
     out: dict[int, tuple[int, int]] = {}
     code = 0
@@ -127,6 +127,19 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
             k += 1
         code <<= 1
     return out
+
+
+_CODES_CACHE: dict = {}
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Memoized wrapper — the four Annex K tables are rebuilt for every
+    encode call otherwise."""
+    key = (tuple(bits), tuple(vals))
+    hit = _CODES_CACHE.get(key)
+    if hit is None:
+        hit = _CODES_CACHE[key] = _canonical_codes_impl(*key)
+    return hit
 
 
 # ---------------------------------------------------------------- encoder --

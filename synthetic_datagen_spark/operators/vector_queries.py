@@ -386,3 +386,28 @@ def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "knn_pq",
+    oracle=None,  # codebooks come from seeded k-means (engine-internal
+    # float iteration, no closed SQL form); recall vs brute force and
+    # cross-partitioning determinism are pinned in tests/test_vectors.py
+    doc="PQ/ADC approximate kNN — the memory-bound 100 TB ANN path "
+    "(FAISS-style product quantization): corpus vectors L2-normalize "
+    "and encode to 8 sub-codes of 4 bits (512 B float64 -> 4 B, 128x "
+    "compression), queries scan the code table via asymmetric-distance "
+    "lookup (m adds per vector, no vector arithmetic), top-50 ADC "
+    "candidates rescore exactly. Codebooks train on a bounded seeded "
+    "sample driver-side (the FAISS practice); encoding and the ADC "
+    "scan are one Arrow-batched mapInPandas pass each. Third ANN "
+    "family beside sign-LSH (knn_lsh_bucketed) and IVF (knn_ivf) — at "
+    "100 TB, PQ is what lets the index live in executor memory.",
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ)
+    out = V.pq_knn(q, emb, _K, m=8, n_cent=16, top_c=50, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
