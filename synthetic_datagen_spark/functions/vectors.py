@@ -722,3 +722,188 @@ def pq_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+class PqIndex:
+    """Persistable PQ index — the FAISS ``IndexPQ`` lifecycle on Spark:
+    train once (``build``: seeded codebooks + one distributed encode
+    pass), ``save`` to an artifact dir (codebooks.json + codes.parquet
+    — the 4-bit codes are the WHOLE stored corpus, 128x smaller than
+    float64 vectors), ``load`` in any later session, ``query`` many
+    times via the same ADC scan as ``pq_knn``.
+
+    ``query(..., rescore=corpus_df)`` exact-rescores the ADC short-list
+    against the original vectors (FAISS's refine step); without it the
+    returned ``score`` column is the ADC inner-product approximation —
+    at 100 TB that is the mode where only the 8-byte codes live in
+    memory and the float vectors stay on cold storage.
+    """
+
+    def __init__(self, books, codes: DataFrame):
+        self.books = books  # (m, k, d/m) numpy
+        self.codes = codes  # (neighbor_id, codes array<int>)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        m: int = 8,
+        n_cent: int = 16,
+        train_cap: int = 4096,
+        seed: int = 42,
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+    ) -> "PqIndex":
+        import numpy as np
+        import pandas as pd
+
+        spark = corpus.sparkSession
+        c = corpus.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        sample_rows = (
+            c.orderBy("neighbor_id").limit(train_cap).select("cv", "cn").collect()
+        )
+        x = np.array([np.asarray(r["cv"]) / (r["cn"] or 1.0) for r in sample_rows])
+        books = fit_pq_codebooks(x, m=m, k=n_cent, seed=seed)
+        bc = spark.sparkContext.broadcast(books)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+        def encode(batches):
+            bk = bc.value
+            mm, kk, ds = bk.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+                norms = pdf["cn"].to_numpy()
+                vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
+                sub = vecs.reshape(len(pdf), mm, ds)
+                codes = np.empty((len(pdf), mm), dtype=np.int32)
+                for s in range(mm):
+                    d2 = -2.0 * sub[:, s, :] @ bk[s].T + (bk[s] ** 2).sum(1)
+                    codes[:, s] = d2.argmin(1)
+                yield pd.DataFrame(
+                    {"neighbor_id": pdf["neighbor_id"].to_numpy(),
+                     "codes": list(codes)}
+                )
+
+        return cls(books, c.mapInPandas(encode, schema))
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "codebooks.json"), "w") as f:
+            json.dump([[list(c) for c in book] for book in self.books], f)
+        self.codes.write.mode("overwrite").parquet(os.path.join(path, "codes.parquet"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PqIndex":
+        import json
+        import os
+
+        import numpy as np
+
+        with open(os.path.join(path, "codebooks.json")) as f:
+            books = np.asarray(json.load(f), dtype=np.float64)
+        return cls(books, spark.read.parquet(os.path.join(path, "codes.parquet")))
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        top_c: int = 50,
+        rescore: DataFrame | None = None,
+        q_id: str = "vec_id",
+        q_vec: str = "embedding",
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+    ) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = self.codes.sparkSession
+        q = queries.select(
+            F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+        ).withColumn("qn", l2_norm(F.col("qv")))
+        q_rows = q.collect()
+        q_ids = np.array([int(r["query_id"]) for r in q_rows])
+        qm = np.array([np.asarray(r["qv"]) / (r["qn"] or 1.0) for r in q_rows])
+        mm, kk, ds = self.books.shape
+        tables = np.einsum("qsd,skd->qsk", qm.reshape(len(q_ids), mm, ds), self.books)
+        bc_t = spark.sparkContext.broadcast(tables)
+        bc_q = spark.sparkContext.broadcast(q_ids)
+
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("adc_ip", T.DoubleType()),
+            ]
+        )
+
+        def adc(batches):
+            tl, ql = bc_t.value, bc_q.value
+            sub_idx = np.arange(mm)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+                scores = np.empty((len(ql), len(pdf)))
+                for qi in range(len(ql)):
+                    scores[qi] = tl[qi][sub_idx, codes].sum(1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ql, len(pdf)),
+                        "neighbor_id": np.tile(pdf["neighbor_id"].to_numpy(), len(ql)),
+                        "adc_ip": scores.reshape(-1),
+                    }
+                )
+
+        scored = self.codes.mapInPandas(adc, out_schema).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        w_c = Window.partitionBy("query_id").orderBy(F.desc("adc_ip"), F.asc("neighbor_id"))
+        if rescore is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(w_c))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc_ip").alias("score"), "rank")
+            )
+        cand = (
+            scored.withColumn("_r", F.row_number().over(w_c))
+            .filter(F.col("_r") <= top_c)
+            .select("query_id", "neighbor_id")
+        )
+        c = rescore.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        qv = q.select("query_id", "qv", "qn")
+        exact = (
+            cand.join(c.hint("shuffle_hash"), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )

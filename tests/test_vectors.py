@@ -263,3 +263,31 @@ def test_pq_codebooks_shape_and_determinism():
     # isotropic Gaussian is PQ's worst case: rate ~ k^(-2/ds) = 16^-0.25
     # ≈ 0.5 per subspace; assert meaningfully below the 1-centroid baseline
     assert err_pq < 0.7 * err_mean
+
+
+def test_pq_index_save_load_query_parity(spark, sf_smoke, tmp_path):
+    """PqIndex mirrors the FAISS IndexPQ lifecycle: build once, save
+    (codebooks.json + 4-bit codes.parquet — the codes ARE the stored
+    corpus), load in a fresh handle, query. Loaded results must equal
+    built results exactly, in BOTH modes: pure-ADC (approximate score,
+    codes only) and exact-rescore (refine against original vectors)."""
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = V.PqIndex.build(emb, m=8, n_cent=16, seed=7)
+    path = str(tmp_path / "pq_index")
+    idx.save(path)
+    idx2 = V.PqIndex.load(spark, path)
+
+    import numpy as np
+    assert np.array_equal(idx.books, idx2.books)
+
+    adc1 = sorted(map(tuple, idx.query(q, 5).collect()))
+    adc2 = sorted(map(tuple, idx2.query(q, 5).collect()))
+    assert adc1 == adc2 and len(adc1) == 25
+
+    ex1 = sorted(map(tuple, idx.query(q, 5, rescore=emb).collect()))
+    ex2 = sorted(map(tuple, idx2.query(q, 5, rescore=emb).collect()))
+    assert ex1 == ex2
+    # rescored mode agrees with the one-shot pq_knn at the same config
+    one = sorted(map(tuple, V.pq_knn(q, emb, 5, m=8, n_cent=16, seed=7).collect()))
+    assert {(r[0], r[1]) for r in ex1} == {(r[0], r[1]) for r in one}
