@@ -724,6 +724,54 @@ def pq_knn(
     )
 
 
+def pq_encode_frame(
+    frame: DataFrame,
+    books,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """L2-normalize + PQ-encode a vector frame to (neighbor_id, codes)
+    with broadcast codebooks — one Arrow-batched pass. Works identically
+    on a BATCH or a STREAMING frame (mapInPandas is stateless per
+    batch), so a continuous embedding ingest can encode on arrival with
+    codebooks trained offline; stream/batch code parity is pinned by
+    stream_pq_encode_parity."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = frame.sparkSession.sparkContext.broadcast(np.asarray(books, dtype=np.float64))
+    c = frame.select(
+        F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        bk = bc.value
+        mm, kk, ds = bk.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            norms = pdf["cn"].to_numpy()
+            vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
+            sub = vecs.reshape(len(pdf), mm, ds)
+            codes = np.empty((len(pdf), mm), dtype=np.int32)
+            for s in range(mm):
+                d2 = -2.0 * sub[:, s, :] @ bk[s].T + (bk[s] ** 2).sum(1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return c.mapInPandas(encode, schema)
+
+
 class PqIndex:
     """Persistable PQ index — the FAISS ``IndexPQ`` lifecycle on Spark:
     train once (``build``: seeded codebooks + one distributed encode
@@ -755,9 +803,7 @@ class PqIndex:
         c_vec: str = "embedding",
     ) -> "PqIndex":
         import numpy as np
-        import pandas as pd
 
-        spark = corpus.sparkSession
         c = corpus.select(
             F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
         ).withColumn("cn", l2_norm(F.col("cv")))
@@ -766,37 +812,7 @@ class PqIndex:
         )
         x = np.array([np.asarray(r["cv"]) / (r["cn"] or 1.0) for r in sample_rows])
         books = fit_pq_codebooks(x, m=m, k=n_cent, seed=seed)
-        bc = spark.sparkContext.broadcast(books)
-
-        from pyspark.sql import types as T
-
-        schema = T.StructType(
-            [
-                T.StructField("neighbor_id", T.LongType()),
-                T.StructField("codes", T.ArrayType(T.IntegerType())),
-            ]
-        )
-
-        def encode(batches):
-            bk = bc.value
-            mm, kk, ds = bk.shape
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
-                norms = pdf["cn"].to_numpy()
-                vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
-                sub = vecs.reshape(len(pdf), mm, ds)
-                codes = np.empty((len(pdf), mm), dtype=np.int32)
-                for s in range(mm):
-                    d2 = -2.0 * sub[:, s, :] @ bk[s].T + (bk[s] ** 2).sum(1)
-                    codes[:, s] = d2.argmin(1)
-                yield pd.DataFrame(
-                    {"neighbor_id": pdf["neighbor_id"].to_numpy(),
-                     "codes": list(codes)}
-                )
-
-        return cls(books, c.mapInPandas(encode, schema))
+        return cls(books, pq_encode_frame(corpus, books, c_id, c_vec))
 
     def save(self, path: str) -> None:
         import json

@@ -415,3 +415,68 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("series_id")
     )
+
+
+@register(
+    "stream_pq_encode_parity",
+    oracle=None,  # codebooks are engine-internal seeded k-means output;
+    # the parity contract (stream codes == batch codes, exactly, per
+    # vector) is asserted inside the query's own output
+    doc="Streaming embedding-ingest PQ encoding with batch parity: "
+    "codebooks train OFFLINE (seeded sample, functions/vectors."
+    "fit_pq_codebooks), then the same broadcast-codebook "
+    "pq_encode_frame pass runs over (a) the staged embeddings as a "
+    "file stream (availableNow micro-batches) and (b) the batch frame. "
+    "Output: per-corpus summary with n_vectors, n_code_matches and "
+    "exact_match — a continuous ANN-index ingest (new embeddings "
+    "PQ-encode on arrival, 4 bits/subspace into the code store) must "
+    "produce bit-identical codes to an offline rebuild, or the index "
+    "silently degrades. Stateless per batch: the stream side needs no "
+    "watermark and O(1) state at any corpus size.",
+)
+def stream_pq_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    import numpy as np
+
+    from ..functions.vectors import fit_pq_codebooks, pq_encode_frame
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    base = f"/tmp/spark_graft_stream/emb_{os.path.basename(sf_dir.rstrip('/'))}"
+    emb.write.mode("overwrite").parquet(base)
+
+    sample = emb.orderBy("vec_id").limit(4096).collect()
+    x = np.array(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+    )
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    books = fit_pq_codebooks(x, m=8, k=16, seed=42)
+
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+    name = f"pqenc_{uuid.uuid4().hex[:8]}"
+    q = (
+        pq_encode_frame(stream, books)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.table(name).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("codes").alias("s_codes")
+    )
+    batch = pq_encode_frame(emb, books).select(
+        F.col("neighbor_id").alias("vec_id"), F.col("codes").alias("b_codes")
+    )
+    joined = streamed.join(batch, "vec_id").select(
+        "vec_id", (F.col("s_codes") == F.col("b_codes")).alias("match")
+    )
+    return joined.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.col("match").cast("long")).alias("n_code_matches"),
+        (F.count("*") == F.sum(F.col("match").cast("long"))).alias("exact_match"),
+    )

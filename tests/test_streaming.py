@@ -157,3 +157,15 @@ def test_stream_regime_generate_parity_query(spark, sf_smoke):
     for r in rows:
         assert r.exact_match, r
         assert r.n_steps == 120 and r.n_price_eq == 120 and r.n_regime_eq == 120
+
+
+def test_stream_pq_encode_parity_query(spark, sf_smoke):
+    """Continuous embedding ingest: PQ codes produced per micro-batch
+    (stateless mapInPandas with broadcast codebooks) must equal the
+    batch encode bit-for-bit — the contract that keeps a streaming
+    ANN-index ingest equivalent to an offline rebuild."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    row = REGISTRY["stream_pq_encode_parity"].build(spark, sf_smoke).first()
+    assert row.exact_match, row
+    assert row.n_vectors > 0 and row.n_code_matches == row.n_vectors
