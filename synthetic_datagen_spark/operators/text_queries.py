@@ -968,3 +968,96 @@ def udf_token_count_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.expr("token_count_vec(text)").cast("long")).alias("vec_tokens"),
     )
+
+
+@register(
+    "doc_lm_perplexity",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), dd AS (
+  SELECT * FROM d WHERE length(t) >= 3
+), tri AS (
+  SELECT doc_id, u.tri
+  FROM (SELECT doc_id,
+               list_transform(generate_series(1, length(t) - 2),
+                              i -> substr(t, i, 3)) AS tris
+        FROM dd),
+       UNNEST(tris) AS u(tri)
+), m3 AS (
+  SELECT tri, COUNT(*) AS c3 FROM tri GROUP BY tri
+), m2 AS (
+  SELECT substr(tri, 1, 2) AS ctx, SUM(c3) AS c2 FROM m3 GROUP BY ctx
+), v AS (
+  SELECT COUNT(DISTINCT substr(tri, 3, 1)) AS vs FROM m3
+), score AS (
+  SELECT tr.doc_id,
+         COUNT(*) AS n_tri,
+         AVG(ln((m3.c3 + 1.0) / (m2.c2 + v.vs))) AS avg_lp
+  FROM tri tr
+  JOIN m3 USING (tri)
+  JOIN m2 ON substr(tr.tri, 1, 2) = m2.ctx
+  CROSS JOIN v
+  GROUP BY tr.doc_id
+)
+SELECT s.doc_id, dd.lang,
+       CAST(s.n_tri AS BIGINT) AS n_trigrams,
+       ROUND(exp(-s.avg_lp), 6) AS ppl
+FROM score s JOIN dd ON s.doc_id = dd.doc_id
+ORDER BY s.doc_id
+""",
+    doc="CCNet-style LM quality scoring: a char-trigram language model "
+    "with add-one smoothing trains on the corpus itself (counts = two "
+    "hash aggregates), then every document scores its own perplexity "
+    "exp(-mean ln P(c|ab)) — the classic curation signal that flags "
+    "boilerplate/garbage text a length/punct heuristic misses. "
+    "Spark-first scale shape: the model is BOUNDED by charset size "
+    "(<= |alphabet|^3 trigram rows regardless of corpus bytes), so "
+    "both model joins broadcast and the per-doc pass is one explode + "
+    "hash agg — no shuffle grows with corpus size except the doc-id "
+    "agg. Fully SQL-oracled (same normalization, same smoothing "
+    "arithmetic in DuckDB).",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("t"),
+    ).filter(F.length("t") >= 3)
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.col("t").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    m3 = tri.groupBy("tri").agg(F.count("*").alias("c3"))
+    m2 = m3.groupBy(F.substring("tri", 1, 2).alias("ctx")).agg(
+        F.sum("c3").alias("c2")
+    )
+    vs = m3.select(F.countDistinct(F.substring("tri", 3, 1)).alias("vs"))
+    score = (
+        tri.join(F.broadcast(m3), "tri")
+        .withColumn("ctx", F.substring("tri", 1, 2))
+        .join(F.broadcast(m2), "ctx")
+        .crossJoin(F.broadcast(vs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.avg(
+                F.log((F.col("c3") + F.lit(1.0)) / (F.col("c2") + F.col("vs")))
+            ).alias("avg_lp"),
+        )
+    )
+    return (
+        score.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.col("n_tri").cast("long").alias("n_trigrams"),
+            F.round(F.exp(-F.col("avg_lp")), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
