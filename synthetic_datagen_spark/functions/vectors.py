@@ -923,3 +923,249 @@ class PqIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rank")
         )
+
+
+class IvfPqIndex:
+    """IVFPQ — the canonical 100 TB ANN index (FAISS ``IndexIVFPQ``):
+    a KMeans coarse quantizer splits the (L2-normalized) corpus into
+    inverted lists, and each vector stores only its list id + the PQ
+    codes of its RESIDUAL (v − centroid). Queries probe their
+    ``n_probe`` closest centroids and ADC-scan only those lists'
+    codes: score ≈ q·centroid + Σ_s table[s, code_s], where the
+    residual lookup table is list-independent — so a probe costs
+    m adds per candidate plus one centroid dot per list.
+
+    Storage: 1 small centroid set + (list_id: int, codes: m×4 bit) per
+    vector — the corpus floats never need to be in memory. Residual
+    encoding concentrates what PQ must represent (distance to an
+    assigned centroid, not an arbitrary point on the sphere), which is
+    why IVFPQ beats flat PQ at equal code budget.
+
+    Same lifecycle as IvfIndex/PqIndex: build → save → load → query
+    (optionally exact-rescored against the original vectors).
+    """
+
+    def __init__(self, centroids, books, codes: DataFrame):
+        self.centroids = centroids  # (n_lists, d) numpy, normalized space
+        self.books = books          # (m, k, d/m) numpy, residual space
+        self.codes = codes          # (neighbor_id, list_id, codes)
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        n_lists: int = 16,
+        m: int = 8,
+        n_cent: int = 16,
+        train_cap: int = 4096,
+        seed: int = 42,
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+    ) -> "IvfPqIndex":
+        import numpy as np
+        import pandas as pd
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = corpus.sparkSession
+        c = corpus.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        # coarse quantizer trains on the NORMALIZED vectors (IP == cosine)
+        nc = c.select(
+            "neighbor_id",
+            F.transform(
+                "cv", lambda x: x / F.when(F.col("cn") > 0, F.col("cn")).otherwise(F.lit(1.0))
+            ).alias("nv"),
+        )
+        km = KMeans(k=n_lists, seed=seed, featuresCol="_fv", predictionCol="list_id")
+        model = km.fit(nc.withColumn("_fv", array_to_vector("nv")))
+        centroids = np.array([list(ctr) for ctr in model.clusterCenters()])
+
+        # codebooks train on RESIDUALS of a bounded deterministic sample
+        sample = nc.orderBy("neighbor_id").limit(train_cap).collect()
+        xs = np.array([np.asarray(r["nv"]) for r in sample])
+        assign = ((xs @ centroids.T)).argmax(1)  # nearest-by-IP on the sphere
+        # KMeans assigns by euclidean distance; on normalized data with
+        # non-normalized centroids the argmin_l |x-c|^2 = argmax (x·c - |c|^2/2)
+        adj = (centroids * centroids).sum(1) / 2.0
+        assign = (xs @ centroids.T - adj).argmax(1)
+        books = fit_pq_codebooks(xs - centroids[assign], m=m, k=n_cent, seed=seed)
+
+        bc_ctr = spark.sparkContext.broadcast(centroids)
+        bc_books = spark.sparkContext.broadcast(books)
+
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("list_id", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+
+        def encode(batches):
+            ctr = bc_ctr.value
+            bk = bc_books.value
+            mm, kk, ds = bk.shape
+            adj_l = (ctr * ctr).sum(1) / 2.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+                lists = (vecs @ ctr.T - adj_l).argmax(1)
+                resid = (vecs - ctr[lists]).reshape(len(pdf), mm, ds)
+                codes = np.empty((len(pdf), mm), dtype=np.int32)
+                for s in range(mm):
+                    d2 = -2.0 * resid[:, s, :] @ bk[s].T + (bk[s] ** 2).sum(1)
+                    codes[:, s] = d2.argmin(1)
+                yield pd.DataFrame(
+                    {
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "list_id": lists.astype(np.int32),
+                        "codes": list(codes),
+                    }
+                )
+
+        return cls(centroids, books, nc.mapInPandas(encode, schema))
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "coarse.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": [list(map(float, c)) for c in self.centroids],
+                    "codebooks": [[list(map(float, c)) for c in b] for b in self.books],
+                },
+                f,
+            )
+        # partitioned by list so a probed query prunes file groups
+        self.codes.write.mode("overwrite").partitionBy("list_id").parquet(
+            os.path.join(path, "codes.parquet")
+        )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json
+        import os
+
+        import numpy as np
+
+        with open(os.path.join(path, "coarse.json")) as f:
+            meta = json.load(f)
+        return cls(
+            np.asarray(meta["centroids"], dtype=np.float64),
+            np.asarray(meta["codebooks"], dtype=np.float64),
+            spark.read.parquet(os.path.join(path, "codes.parquet")),
+        )
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int = 4,
+        top_c: int = 50,
+        rescore: DataFrame | None = None,
+        q_id: str = "vec_id",
+        q_vec: str = "embedding",
+        c_id: str = "vec_id",
+        c_vec: str = "embedding",
+    ) -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        spark = self.codes.sparkSession
+        q = queries.select(
+            F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+        ).withColumn("qn", l2_norm(F.col("qv")))
+        q_rows = q.collect()
+        q_ids = np.array([int(r["query_id"]) for r in q_rows])
+        qm = np.array([np.asarray(r["qv"]) / (r["qn"] or 1.0) for r in q_rows])
+        mm, kk, ds = self.books.shape
+        # per-query: centroid IPs, probed list set, residual ADC table
+        q_ctr_ip = qm @ self.centroids.T                       # (n_q, n_lists)
+        probe_sets = np.argsort(-q_ctr_ip, axis=1)[:, :n_probe]
+        tables = np.einsum("qsd,skd->qsk", qm.reshape(len(q_ids), mm, ds), self.books)
+        bc = spark.sparkContext.broadcast(
+            (q_ids, q_ctr_ip, probe_sets, tables)
+        )
+
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("adc_ip", T.DoubleType()),
+            ]
+        )
+
+        def adc(batches):
+            ql, ctr_ip, probes, tl = bc.value
+            sub_idx = np.arange(mm)
+            probe_mask = {
+                qi: set(int(x) for x in probes[qi]) for qi in range(len(ql))
+            }
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack([np.asarray(cd, dtype=np.int64) for cd in pdf["codes"]])
+                lists = pdf["list_id"].to_numpy()
+                nid = pdf["neighbor_id"].to_numpy()
+                out_q, out_n, out_s = [], [], []
+                for qi in range(len(ql)):
+                    sel = np.isin(lists, list(probe_mask[qi]))
+                    if not sel.any():
+                        continue
+                    sc = tl[qi][sub_idx, codes[sel]].sum(1) + ctr_ip[qi][lists[sel]]
+                    out_q.append(np.full(sel.sum(), ql[qi]))
+                    out_n.append(nid[sel])
+                    out_s.append(sc)
+                if not out_q:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adc_ip": np.concatenate(out_s),
+                    }
+                )
+
+        scored = self.codes.mapInPandas(adc, out_schema).filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        w_c = Window.partitionBy("query_id").orderBy(F.desc("adc_ip"), F.asc("neighbor_id"))
+        if rescore is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(w_c))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", F.col("adc_ip").alias("score"), "rank")
+            )
+        cand = (
+            scored.withColumn("_r", F.row_number().over(w_c))
+            .filter(F.col("_r") <= top_c)
+            .select("query_id", "neighbor_id")
+        )
+        c = rescore.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        ).withColumn("cn", l2_norm(F.col("cv")))
+        qv = q.select("query_id", "qv", "qn")
+        exact = (
+            cand.join(c.hint("shuffle_hash"), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )

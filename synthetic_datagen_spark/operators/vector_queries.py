@@ -411,3 +411,28 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+@register(
+    "knn_ivfpq",
+    oracle=None,  # KMeans lists + k-means codebooks are engine-internal;
+    # recall vs brute force and the save/load/query lifecycle are pinned
+    # in tests/test_vectors.py
+    doc="IVFPQ approximate kNN — the canonical 100 TB ANN composition "
+    "(FAISS IndexIVFPQ): KMeans coarse quantizer -> inverted lists; "
+    "each vector stores list_id + 4-bit PQ codes of its RESIDUAL "
+    "(v - centroid), so the whole searchable corpus is ~5 bytes/vector "
+    "plus one small centroid set. Queries probe their 4 nearest of 8 "
+    "centroids and ADC-scan only those lists (score = q.centroid + "
+    "residual table lookups, m adds per candidate), then the top-50 "
+    "rescore exactly. Completes the ANN family: sign-LSH (hashing), "
+    "IVF (partition pruning), PQ (compression), IVFPQ (both).",
+)
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _NQ)
+    idx = V.IvfPqIndex.build(emb, n_lists=8, m=8, n_cent=16, seed=42)
+    out = idx.query(q, _K, n_probe=4, top_c=50, rescore=emb)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )

@@ -291,3 +291,35 @@ def test_pq_index_save_load_query_parity(spark, sf_smoke, tmp_path):
     # rescored mode agrees with the one-shot pq_knn at the same config
     one = sorted(map(tuple, V.pq_knn(q, emb, 5, m=8, n_cent=16, seed=7).collect()))
     assert {(r[0], r[1]) for r in ex1} == {(r[0], r[1]) for r in one}
+
+
+def test_ivfpq_index_lifecycle_and_recall(spark, sf_smoke, tmp_path):
+    """IVFPQ (FAISS IndexIVFPQ shape): build -> save -> load -> query
+    parity in both ADC and rescored modes; probing half the lists with
+    residual-PQ codes + exact top-50 rescore keeps most true neighbors."""
+    import numpy as np
+
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    idx = V.IvfPqIndex.build(emb, n_lists=8, m=8, n_cent=16, seed=42)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in V.brute_force_knn(q, emb, 5).collect()}
+    got_rows = idx.query(q, 5, n_probe=4, rescore=emb).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(bf & got) / len(bf) >= 0.4  # half the lists probed
+
+    path = str(tmp_path / "ivfpq")
+    idx.save(path)
+    idx2 = V.IvfPqIndex.load(spark, path)
+    assert np.array_equal(idx.centroids, idx2.centroids)
+    assert np.array_equal(idx.books, idx2.books)
+    a = sorted(map(tuple, got_rows))
+    b = sorted(map(tuple, idx2.query(q, 5, n_probe=4, rescore=emb).collect()))
+    assert a == b
+    adc1 = sorted(map(tuple, idx.query(q, 5, n_probe=4).collect()))
+    adc2 = sorted(map(tuple, idx2.query(q, 5, n_probe=4).collect()))
+    assert adc1 == adc2 and len(adc1) == 40
+    # probing MORE lists can only improve (or keep) recall
+    more = {(r.query_id, r.neighbor_id)
+            for r in idx.query(q, 5, n_probe=8, rescore=emb).collect()}
+    assert len(bf & more) >= len(bf & got)
