@@ -266,6 +266,79 @@ def embedding_near_dups(
     )
 
 
+def _with_sign_buckets_arrow(
+    df: DataFrame,
+    id_alias: str,
+    vec_alias: str,
+    src_id: str,
+    src_vec: str,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    """Arrow/numpy twin of ``_with_sign_buckets``: identical output
+    schema and SEMANTICS (same splitmix hyperplanes, same big-endian bit
+    packing), but the plane dots compute as one BLAS matmul per batch
+    instead of per-element Catalyst expression evaluation — the map-side
+    cost that dominates the scale-aware configs (the 13×33 config does
+    429 64-term dots per vector; interpreted HOF evaluation pays ~100 ns
+    per element, numpy ~0.1 ns).
+
+    Bucket BITS can differ from the JVM path only for a dot within
+    float addition-order noise of exactly 0 (|dot| ≲ 1e-13 — measure-
+    zero for real embeddings), so this path backs the rows-only
+    recall-tested queries; SQL-oracled queries keep the JVM fold whose
+    sequential order is bit-identical to the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (T, P, D)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    src = df.select(
+        F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_alias, T.LongType()),
+            T.StructField(vec_alias, T.ArrayType(T.DoubleType())),
+            T.StructField(f"{vec_alias}_n", T.DoubleType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+
+    def buckets(batches):
+        P = bc.value
+        tt, pp, dd = P.shape
+        flat = P.reshape(-1, dd)
+        weights = (1 << np.arange(pp - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]])
+            signs = (V @ flat.T) >= 0            # (B, T*P)
+            bucks = signs.reshape(len(pdf), tt, pp).astype(np.int64) @ weights
+            norms = np.sqrt((V * V).sum(1))
+            ids = pdf[id_alias].to_numpy()
+            vec_list = list(pdf[vec_alias])
+            yield pd.DataFrame(
+                {
+                    id_alias: np.repeat(ids, tt),
+                    vec_alias: [v for v in vec_list for _ in range(tt)],
+                    f"{vec_alias}_n": np.repeat(norms, tt),
+                    "tbl": np.tile(np.arange(tt, dtype=np.int32), len(pdf)),
+                    "bucket": bucks.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(buckets, schema)
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float,
@@ -275,6 +348,7 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_buckets: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH candidate
     pruning + exact rescore — the scale path (the registered operator).
@@ -288,8 +362,14 @@ def lsh_near_dup_pairs(
     boundary — asserted vs the brute-force oracle in tests. The planes
     are engine-independent splitmix literals, so a SQL oracle builds
     the identical candidate set (same trick as `lsh_bucketed_knn`).
+
+    ``arrow_buckets=True`` swaps the bucket pass for the numpy matmul
+    kernel (`_with_sign_buckets_arrow`) — same planes/semantics, ~10×
+    faster map side at scale-aware plane counts; reserved for the
+    rows-only queries (the JVM fold stays bit-identical to SQL oracles).
     """
-    b = _with_sign_buckets(df, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed)
+    mk = _with_sign_buckets_arrow if arrow_buckets else _with_sign_buckets
+    b = mk(df, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed)
     b = b.persist()  # signatures + norms computed once, read three times
     # candidate generation and dedup run on BARE ID PAIRS — the bucket
     # self-join and the dropDuplicates shuffle move 16-byte rows, not

@@ -140,18 +140,22 @@ def _cached_pairs(
     n_tables: int,
     n_planes: int,
     corpus,
+    arrow: bool = False,
 ) -> DataFrame:
     """The sign-LSH candidate-pair scaffold shared across the embedding
     family: embedding_near_dup_pairs and embedding_dedup_clusters use
     the identical (0.35, 8×4) pair set; the strict/scaled siblings memo
-    their own configs. One (session, input, config) → one bucket-join."""
+    their own configs. One (session, input, config) → one bucket-join.
+    ``arrow=True`` selects the numpy bucket kernel (rows-only queries
+    only; oracled configs keep the SQL-bit-identical JVM fold)."""
     corpus_kind = getattr(corpus, "__name__", str(corpus))
     return V.cached_lsh_pairs(
         spark,
-        ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind),
+        ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind, arrow),
         lambda: V.lsh_near_dup_pairs(
             corpus(spark, sf_dir), threshold, dim=64,
             n_tables=n_tables, n_planes=n_planes, seed=42,
+            arrow_buckets=arrow,
         ),
     )
 
@@ -374,8 +378,12 @@ def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFra
     labels = cached_min_label_components(
         spark,
         (f"emb_lsh_cc_scaled_0.9_{L}x{b}", sf_dir),
+        # Arrow bucket kernel: this query is rows-only (no SQL oracle to
+        # stay bit-identical to) and its scale-aware configs carry the
+        # largest plane counts in the catalog — exactly where the numpy
+        # matmul beats interpreted per-element HOF evaluation most
         lambda: _cached_pairs(
-            spark, sf_dir, 0.9, L, b, _planted_corpus
+            spark, sf_dir, 0.9, L, b, _planted_corpus, arrow=True
         ).select("id_a", "id_b"),
     )
     return (
