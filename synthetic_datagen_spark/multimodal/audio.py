@@ -174,6 +174,26 @@ def encode_wav_ulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono -> standard A-law WAV (fmt tag 6, 8 bits/sample,
+    fact chunk); closed-form byte length 58 + n + n%2, same framing as
+    encode_wav_ulaw."""
+    pcm = np.asarray(samples, dtype=np.int16)
+    if pcm.ndim != 1:
+        raise ValueError(f"expected 1-D mono samples, got shape {pcm.shape}")
+    data = alaw_encode(pcm).tobytes()
+    fmt = struct.pack("<HHIIHHH", 6, 1, sample_rate, sample_rate, 1, 8, 0)
+    fact = struct.pack("<I", len(pcm))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav_any(data: bytes) -> tuple[int, np.ndarray]:
     """RIFF/WAVE -> (rate, int16 samples) for PCM-16 (tag 1) AND
     mu-law (tag 7) files — the chunk walk of codecs.decode_wav extended
@@ -202,6 +222,8 @@ def decode_wav_any(data: bytes) -> tuple[int, np.ndarray]:
         return int(sample_rate), np.frombuffer(raw, dtype="<i2").copy()
     if fmt_tag == 7 and bits == 8:
         return int(sample_rate), ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    if fmt_tag == 6 and bits == 8:  # A-law WAV (fmt tag 6)
+        return int(sample_rate), alaw_decode(np.frombuffer(raw, dtype=np.uint8))
     raise ValueError(f"unsupported WAV: fmt={fmt_tag} bits={bits}")
 
 
@@ -290,3 +312,34 @@ def mp3_frames(data: bytes) -> dict:
         "layer": int(layer_out),
         "mpeg_version": version_out,
     }
+
+
+# ------------------------------------------------------------- G.711 A-law --
+
+_SEG_AEND = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 samples -> G.711 A-law bytes (uint8), vectorized — the
+    European telephony companion to mu-law. Exactly Sun g711.c
+    ``linear2alaw`` (audioop's implementation): 13-bit input, segment
+    lookup, 0x55 toggle. Bit-exact vs audioop.lin2alaw (pinned)."""
+    x = np.asarray(pcm, dtype=np.int16).astype(np.int32) >> 3  # 13-bit
+    mask = np.where(x >= 0, 0xD5, 0x55)  # sign bit | 0x55 toggle
+    mag = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_SEG_AEND, mag, side="left")
+    low = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    aval = (seg.astype(np.int32) << 4) | low
+    return (np.where(seg >= 8, 0x7F ^ mask, aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(data: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 samples, vectorized (Sun g711.c
+    ``alaw2linear`` arithmetic)."""
+    a = (np.asarray(data, dtype=np.int32) ^ 0x55) & 0xFF
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, ((t + 0x108) << (seg - 1))))
+    return np.where(a & 0x80, t, -t).astype(np.int16)

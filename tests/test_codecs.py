@@ -387,9 +387,10 @@ def test_ulaw_wav_roundtrip_and_closed_form_size():
 
 def test_decode_wav_any_rejects_unknown_fmt():
     import struct as _s
-    alaw_fmt = _s.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)  # A-law: not ours
-    data = (b"RIFF" + _s.pack("<I", 4 + 8 + len(alaw_fmt)) + b"WAVE"
-            + b"fmt " + _s.pack("<I", len(alaw_fmt)) + alaw_fmt
+    # IEEE-float WAV (fmt tag 3) is outside the PCM/mu-law/A-law contract
+    f32_fmt = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = (b"RIFF" + _s.pack("<I", 4 + 8 + len(f32_fmt)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", len(f32_fmt)) + f32_fmt
             + b"data" + _s.pack("<I", 0))
     with pytest.raises(ValueError):
         decode_wav_any(data + b"")
@@ -421,3 +422,29 @@ def test_mp3_frame_parse_rejects_garbage():
         mp3_frames(b"\x00" * 100)
     with pytest.raises(ValueError):
         mp3_frames(b"ID3\x04\x00\x00\x00\x00\x00\x10" + b"\x00" * 64)
+
+
+@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
+def test_alaw_bit_parity_with_audioop_exhaustive():
+    from synthetic_datagen_spark.multimodal.audio import alaw_decode, alaw_encode
+
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert alaw_encode(pcm).tobytes() == audioop.lin2alaw(pcm.tobytes(), 2)
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        alaw_decode(codes),
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2"),
+    )
+
+
+def test_alaw_wav_roundtrip():
+    from synthetic_datagen_spark.multimodal.audio import (
+        alaw_decode, alaw_encode, encode_wav_alaw,
+    )
+
+    rng = np.random.default_rng(5)
+    pcm = rng.integers(-(2 ** 15), 2 ** 15, 333, dtype=np.int16)
+    wav = encode_wav_alaw(pcm, 8000)
+    assert len(wav) == 58 + 333 + 1
+    rate, back = decode_wav_any(wav)
+    assert rate == 8000 and np.array_equal(back, alaw_decode(alaw_encode(pcm)))
