@@ -1061,3 +1061,86 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(u.t), 1, 8))::BIGINT AS h
+  FROM t, UNNEST(toks) AS u(t)
+), bit_votes AS (
+  SELECT doc_id, b.b AS bit,
+         CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS v
+  FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b
+  GROUP BY doc_id, b.b
+), sh AS (
+  SELECT doc_id, CAST(SUM(v * (1::BIGINT << (31 - bit))) AS BIGINT) AS simhash
+  FROM bit_votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, blk.i AS blk,
+         (simhash >> (8 * blk.i)) & 255 AS val
+  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) blk
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
+ORDER BY id_a, id_b
+""",
+    doc="SimHash near-duplicate PAIRS via the Manku/WWW'07 pigeonhole "
+    "scheme: any two 32-bit signatures within Hamming distance 3 must "
+    "agree exactly on at least one of four 8-bit blocks, so candidates "
+    "come from a plain equi-join on (block_idx, block_value) — never an "
+    "all-pairs scan — and the exact Hamming check (bit_count of xor) "
+    "runs only on collisions. At 100 TB this is the classic web-scale "
+    "dedup shape: 4 shuffle-joins on 1-byte keys, candidate volume set "
+    "by table skew not corpus size, exact verification ∝ candidates. "
+    "Completes the SimHash family (dedup_simhash emits signatures only). "
+    "Fully SQL-oracled: identical signatures, blocks, and bit_count "
+    "arithmetic in DuckDB.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    sh = d.select("doc_id", _simhash_expr(toks).alias("simhash"))
+    blocks = sh.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"), "blk", "val"
+    )
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

@@ -136,3 +136,28 @@ def test_cc_labels_cached_per_session(spark):
         assert calls["n"] == 2
     finally:
         G.min_label_components = orig
+
+
+def test_simhash_pairs_pigeonhole_complete(spark, sf_smoke):
+    """Manku pigeonhole guarantee: hamming(a,b) <= 3 over 32 bits means
+    at least one of the four 8-bit blocks matches exactly, so the
+    block-join candidate set must contain EVERY such pair — verified
+    against the brute-force all-pairs hamming scan of the signatures."""
+    from itertools import combinations
+
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    sigs = {
+        r.doc_id: r.simhash
+        for r in REGISTRY["dedup_simhash"].build(spark, sf_smoke).collect()
+    }
+    expect = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got_rows = REGISTRY["dedup_simhash_pairs"].build(spark, sf_smoke).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    assert got == expect  # complete AND exact (no false positives)
+    for r in got_rows:
+        assert r.hamming == bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1")
