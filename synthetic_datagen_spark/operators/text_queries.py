@@ -336,28 +336,33 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_expr(toks: Column) -> Column:
-    """32-bit SimHash: per-token 32-bit MD5-prefix hash; signature bit b
-    is the sign of sum over tokens of ±1 on that bit."""
-    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+def _simhash_expr(toks: Column, n_bits: int = 32) -> Column:
+    """SimHash signature: per-token MD5-prefix hash (ceil(n_bits/4) hex
+    chars); signature bit b is the sign of the sum over tokens of ±1 on
+    that bit. 32-bit form backs the oracled signature query; the pairs
+    query uses 60 bits (15 hex chars — still a positive BIGINT in both
+    engines) so pigeonhole blocks are selective at corpus scale."""
+    hex_len = (n_bits + 3) // 4
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, hex_len), 16, 10).cast("long")  # noqa: E731
     hashes = F.transform(toks, h)
-    bits = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, x: acc
-                + F.when(x.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for b in range(32)
-    ]
-    out = F.lit(0).cast("long")
-    for b in bits:
-        out = out * 2 + b
-    return out
+    # ONE nested-HOF pass: a per-bit ±1 vote array folds over the token
+    # hashes, then packs MSB-first. The per-bit-aggregate form put
+    # n_bits separate aggregate nodes in the tree — the 60-bit signature
+    # blew the analyzer's fixed-point iteration budget (same pathology
+    # as the per-plane sign-LSH literals, fixed the same way).
+    idx = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, x: F.zip_with(
+            acc, idx,
+            lambda a, b: a + F.when(F.getbit(x, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    bits = F.transform(
+        votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
 
 
 @register(
@@ -386,6 +391,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     return d.select("doc_id", _simhash_expr(toks).alias("simhash"))
+
+
+def simhash60_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 60-bit (doc_id, simhash) signatures memoized per
+    (session, input) — the pairs query's signature; wider than the
+    32-bit oracled panel so pigeonhole blocks stay selective (15-bit
+    blocks: expected random collisions n²·4/2¹⁵ vs n²·4/2⁸ at 8-bit)."""
+    from ..functions.vectors import cached_lsh_pairs
+
+    def build() -> DataFrame:
+        d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        return d.select("doc_id", _simhash_expr(toks, 60).alias("simhash"))
+
+    return cached_lsh_pairs(spark, ("simhash_sigs60", sf_dir), build)
 
 
 @register(
@@ -1070,19 +1090,19 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
   FROM documents WHERE length(trim(text)) > 0
 ), tok AS (
-  SELECT doc_id, ('0x' || substr(md5(u.t), 1, 8))::BIGINT AS h
+  SELECT doc_id, ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
   FROM t, UNNEST(toks) AS u(t)
 ), bit_votes AS (
   SELECT doc_id, b.b AS bit,
          CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS v
-  FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b
+  FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) b
   GROUP BY doc_id, b.b
 ), sh AS (
-  SELECT doc_id, CAST(SUM(v * (1::BIGINT << (31 - bit))) AS BIGINT) AS simhash
+  SELECT doc_id, CAST(SUM(v * (1::BIGINT << (59 - bit))) AS BIGINT) AS simhash
   FROM bit_votes GROUP BY doc_id
 ), blocks AS (
   SELECT doc_id, simhash, blk.i AS blk,
-         (simhash >> (8 * blk.i)) & 255 AS val
+         (simhash >> (15 * blk.i)) & 32767 AS val
   FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS i) blk
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1096,21 +1116,21 @@ WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
 ORDER BY id_a, id_b
 """,
     doc="SimHash near-duplicate PAIRS via the Manku/WWW'07 pigeonhole "
-    "scheme: any two 32-bit signatures within Hamming distance 3 must "
-    "agree exactly on at least one of four 8-bit blocks, so candidates "
-    "come from a plain equi-join on (block_idx, block_value) — never an "
-    "all-pairs scan — and the exact Hamming check (bit_count of xor) "
-    "runs only on collisions. At 100 TB this is the classic web-scale "
-    "dedup shape: 4 shuffle-joins on 1-byte keys, candidate volume set "
-    "by table skew not corpus size, exact verification ∝ candidates. "
-    "Completes the SimHash family (dedup_simhash emits signatures only). "
-    "Fully SQL-oracled: identical signatures, blocks, and bit_count "
-    "arithmetic in DuckDB.",
+    "scheme over a 60-BIT signature: any two signatures within Hamming "
+    "distance 3 must agree exactly on at least one of four 15-bit "
+    "blocks, so candidates come from a plain equi-join on (block_idx, "
+    "block_value) — never an all-pairs scan — and the exact Hamming "
+    "check (bit_count of xor) runs only on collisions. Random-signature "
+    "collisions are ~4n²/2¹⁵ per block table (the block width is the "
+    "selectivity dial: production 64-bit simhash with wider blocks "
+    "pushes this arbitrarily low; the 8-bit-block strawman would be "
+    "n²/64 — quadratic with a constant, a scale-killer). Exact "
+    "verification ∝ candidates. Fully SQL-oracled: identical 60-bit "
+    "signatures (15-hex md5 prefixes stay positive BIGINTs in both "
+    "engines), blocks, and bit_count arithmetic in DuckDB.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    sh = d.select("doc_id", _simhash_expr(toks).alias("simhash"))
+    sh = simhash60_signatures(spark, sf_dir)
     blocks = sh.select(
         "doc_id", "simhash",
         F.explode(
@@ -1118,8 +1138,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), 8 * i)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit(32767))
                         .alias("val"),
                     )
                     for i in range(4)

@@ -146,10 +146,11 @@ def test_simhash_pairs_pigeonhole_complete(spark, sf_smoke):
     from itertools import combinations
 
     from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators.text_queries import simhash60_signatures
 
     sigs = {
         r.doc_id: r.simhash
-        for r in REGISTRY["dedup_simhash"].build(spark, sf_smoke).collect()
+        for r in simhash60_signatures(spark, sf_smoke).collect()
     }
     expect = {
         (a, b)
