@@ -448,3 +448,38 @@ def test_alaw_wav_roundtrip():
     assert len(wav) == 58 + 333 + 1
     rate, back = decode_wav_any(wav)
     assert rate == 8000 and np.array_equal(back, alaw_decode(alaw_encode(pcm)))
+
+
+# --------------------------------------------------------- property fuzz --
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1))
+def test_fuzz_lossless_image_roundtrips(h, w, seed):
+    """Any shape, any pixels: BMP and PNG round-trip bit-exactly."""
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_png(encode_png(px, level=1)), px)
+    assert len(encode_png(px, level=0)) == png_stored_size(h, w)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 400), st.integers(0, 2 ** 32 - 1))
+def test_fuzz_audio_codec_bounds(n, seed):
+    """Any mono PCM clip: WAV exact; mu-law within the G.711 segment
+    bound; ADPCM nibble stream has the exact packed length."""
+    from synthetic_datagen_spark.multimodal.audio import (
+        adpcm_encode, ulaw_decode, ulaw_encode,
+    )
+
+    pcm = np.random.default_rng(seed).integers(
+        -(2 ** 15), 2 ** 15, n, dtype=np.int16
+    )
+    rate, back = decode_wav(encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(back, pcm)
+    err = np.abs(ulaw_decode(ulaw_encode(pcm)).astype(int) - pcm.astype(int))
+    assert err.max() <= 1024
+    enc, _ = adpcm_encode(pcm)
+    assert len(enc) == (n + 1) // 2
