@@ -419,7 +419,16 @@ def cached_lsh_pairs(
 
     ``builder`` is only invoked on a miss; the result is eagerly
     localCheckpoint'ed (deterministic in (input, config), so cached vs
-    fresh frames are interchangeable)."""
+    fresh frames are interchangeable).
+
+    Durability note: localCheckpoint stores blocks NON-reliably — if an
+    executor holding them dies, the truncated lineage cannot recompute
+    and reads fail. That is fine in local[*] (executor == driver JVM,
+    the single-process bench/test mode this memo targets). On a real
+    cluster, callers that need fault tolerance should either rebuild
+    via ``builder`` on block-fetch failure (the memo key makes the
+    retry trivial) or use ``spark.sparkContext.setCheckpointDir`` +
+    reliable ``checkpoint()`` on cold storage instead."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, cache_key)
     hit = _PAIRS_CACHE.get(key)

@@ -156,8 +156,9 @@ def adpcm_decode(
 
 def encode_wav_ulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """int16 mono -> standard mu-law WAV (fmt tag 7, 8 bits/sample,
-    cbSize=0 extension + fact chunk, as non-PCM WAV requires).
-    Byte length is the closed form 58 + n_samples."""
+    cbSize=0 extension + fact chunk, as non-PCM WAV requires);
+    closed-form byte length 58 + n + n%2 (RIFF pad byte for odd n),
+    same framing as encode_wav_alaw."""
     pcm = np.asarray(samples, dtype=np.int16)
     if pcm.ndim != 1:
         raise ValueError(f"expected 1-D mono samples, got shape {pcm.shape}")

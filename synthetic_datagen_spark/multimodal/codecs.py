@@ -185,7 +185,9 @@ def decode_png(data: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if len(body) != length or pos + 12 + length > len(data):
+            # second clause: chunk body present but the 4 CRC bytes are
+            # cut off — still a truncation, not a struct.error
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
         if crc != zlib.crc32(ctype + body):

@@ -423,12 +423,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htrees: dict[tuple[int, int], _HuffTree] = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes (repeated
+        # 0xFF); skip them so legal libjpeg padding doesn't misparse.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
         (length,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + length]
         pos += 2 + length

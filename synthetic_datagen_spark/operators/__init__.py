@@ -4,9 +4,7 @@ from .base import REGISTRY, QuerySpec, register  # noqa: F401
 
 # Registration order is rotated round-over-round so the correctness
 # driver's first-50 sample accumulates hash coverage across the whole
-# catalog (names never change, only order).  Round 6: the text / vector
-# / window / source families (never driver-sampled in rounds 1-5) fill
-# the 50-entry window exactly (18 + 7 + 17 + 8).
+# catalog (names never change, only order).
 from . import text_queries  # noqa: F401,E402
 from . import vector_queries  # noqa: F401,E402
 from . import window_queries  # noqa: F401,E402
@@ -20,5 +18,78 @@ from . import flagship  # noqa: F401,E402
 from . import generator_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
+
+# Round 7 window (first 50): the 11 SQL-oracled queries never driver-
+# sampled in rounds 1-6, the re-check of cyclical_time_features (the
+# -0.0 fix), then the stalest-sampled oracled queries (last seen r1-r5)
+# so every slot yields a hash verdict. After this rotation, cumulative
+# driver coverage includes every SQL-oracled query in the catalog.
+_ROUND7_WINDOW = [
+    "intersect_except_users",
+    "interval_join_lineitem_orderdate",
+    "json_props_extract",
+    "minmax_scaling",
+    "multimodal_audio_codec_roundtrip",
+    "p_filters_panel",
+    "stream_corpus_curation_parity",
+    "stream_dedup_parity",
+    "stream_session_parity",
+    "string_functions_panel",
+    "zscore_normalization",
+    "cyclical_time_features",
+    "anti_join_customers_without_orders",
+    "asof_join_purchase_click",
+    "dedup_first_event_per_user",
+    "orders_customer_nation_enrich",
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "top_orders_by_totalprice",
+    "union_dedup_events",
+    "q5_region_nation_revenue",
+    "semi_join_customers_with_orders",
+    "q3_top_revenue_orders",
+    "a12_generator_summary",
+    "a13_metric_map_mean",
+    "a14_distinct_states",
+    "a1_moment_panel",
+    "a3_histogram_100",
+    "a4_quantile_edges",
+    "a5_state_frequency",
+    "a7_transition_matrix",
+    "a8_per_regime_stats",
+    "a9_price_quantity_correlation",
+    "cube_type_dow_stats",
+    "d1_js_divergence",
+    "d2_wasserstein",
+    "d3_ks_statistic",
+    "d4_adf_stationarity",
+    "d6_hurst_exponent",
+    "d7_moment_ratio_panel",
+    "flagship_series_panel",
+    "multimodal_codec_roundtrip",
+    "multimodal_metadata_panel",
+    "multimodal_resize_roundtrip",
+    "pivot_type_dow_avg",
+    "q1_pricing_summary",
+    "rollup_region_status_revenue",
+    "skew_salted_agg",
+    "boilerplate_ngram_coverage",
+    "corpus_curation_pipeline",
+]
+
+
+def _rotate(window: list[str]) -> None:
+    """Reorder REGISTRY in place: ``window`` first, the rest unchanged."""
+    missing = [n for n in window if n not in REGISTRY]
+    if missing:  # names are stable; a typo here must fail loudly
+        raise KeyError(f"rotation window names not in REGISTRY: {missing}")
+    tail = [n for n in REGISTRY if n not in set(window)]
+    snapshot = dict(REGISTRY)
+    REGISTRY.clear()
+    for n in window + tail:
+        REGISTRY[n] = snapshot[n]
+
+
+_rotate(_ROUND7_WINDOW)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

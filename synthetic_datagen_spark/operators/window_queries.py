@@ -282,22 +282,31 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cyclical_time_features",
     oracle="""
 SELECT event_id,
-       ROUND(SIN(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS hour_sin,
-       ROUND(COS(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) AS hour_cos,
-       ROUND(SIN(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) AS dow_sin,
-       ROUND(COS(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) AS dow_cos,
-       ROUND(SIN(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) AS month_sin,
-       ROUND(COS(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) AS month_cos
+       ROUND(SIN(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) + 0.0 AS hour_sin,
+       ROUND(COS(2 * PI() * EXTRACT(hour FROM ts) / 24.0), 6) + 0.0 AS hour_cos,
+       ROUND(SIN(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) + 0.0 AS dow_sin,
+       ROUND(COS(2 * PI() * (CAST(EXTRACT(isodow FROM ts) AS INT) - 1) / 5.0), 6) + 0.0 AS dow_cos,
+       ROUND(SIN(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) + 0.0 AS month_sin,
+       ROUND(COS(2 * PI() * (EXTRACT(month FROM ts) - 1) / 12.0), 6) + 0.0 AS month_cos
 FROM events
 """,
     doc="Temporal feature matrix — sin/cos cyclical encodings with the "
     "reference's trading-week dow period of 5 "
-    "(reference: app/data_processor.py:70-92).",
+    "(reference: app/data_processor.py:70-92). The oracle adds `+ 0.0` "
+    "after each ROUND: DuckDB's ROUND(SIN(...),6) preserves IEEE -0.0 "
+    "where Spark's BigDecimal-backed round emits +0.0, and the driver's "
+    "byte-level hash distinguishes the two zero encodings (the r1-r6 "
+    "hash failure). IEEE `x + 0.0` maps -0.0 to +0.0 under "
+    "round-to-nearest, matching Spark exactly.",
 )
 def cyclical_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = TS.cyclical_time_features(_events(spark, sf_dir), "ts")
     cols = ["hour_sin", "hour_cos", "dow_sin", "dow_cos", "month_sin", "month_cos"]
-    return d.select("event_id", *[F.round(c, 6).alias(c) for c in cols])
+    # `+ 0.0` mirrors the oracle's -0.0 normalization (Spark's round
+    # already emits +0.0 today; this pins the contract either way).
+    return d.select(
+        "event_id", *[(F.round(c, 6) + F.lit(0.0)).alias(c) for c in cols]
+    )
 
 
 @register(

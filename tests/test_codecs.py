@@ -483,3 +483,74 @@ def test_fuzz_audio_codec_bounds(n, seed):
     assert err.max() <= 1024
     enc, _ = adpcm_encode(pcm)
     assert len(enc) == (n + 1) // 2
+
+
+# -------------------------------------------- external-encoder interop pins --
+
+# 8-bit RGB non-interlaced PNGs shipped with the container's nodejs docs
+# (matplotlib / screenshot-tool encoded — zlib streams and filter choices
+# encode_png never emits). Smallest first; the test uses the first found.
+EXTERNAL_RGB8_PNGS = [
+    "/usr/share/doc/nodejs/contributing/doc_img/youtube-stream-share.png",
+    "/usr/share/doc/nodejs/contributing/doc_img/youtube-stream-title-description.png",
+    "/usr/share/doc/nodejs/contributing/doc_img/youtube-stream-status.png",
+]
+_EXT_PNG = next((p for p in EXTERNAL_RGB8_PNGS if os.path.exists(p)), None)
+
+
+@pytest.mark.skipif(_EXT_PNG is None, reason="no external RGB8 PNG fixture")
+def test_png_decodes_external_file_exact_vs_javax(spark):
+    """Interop pin (decode direction): a PNG produced by an EXTERNAL
+    encoder decodes bit-exactly equal to the JVM's javax.imageio read of
+    the same file. PNG is lossless, so unlike the JPEG pin this is an
+    EXACT cross-engine equality, not a tolerance check."""
+    ours = decode_png(open(_EXT_PNG, "rb").read())
+    row = spark.read.format("image").load(_EXT_PNG).select("image.*").first()
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[:, :, ::-1]  # javax gives BGR
+    assert ours.shape == ref.shape
+    assert np.array_equal(ours, ref)
+
+
+def test_png_encode_read_by_javax_exact(spark, tmp_path):
+    """Interop pin (encode direction): encode_png output is a standards-
+    valid PNG that an independent decoder (javax.imageio via Spark's
+    image datasource) reads back bit-exactly."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    p = tmp_path / "ours.png"
+    p.write_bytes(encode_png(px, level=6))
+    row = spark.read.format("image").load(str(p)).select("image.*").first()
+    ref = np.frombuffer(bytes(row.data), dtype=np.uint8).reshape(
+        row.height, row.width, row.nChannels
+    )[:, :, ::-1]
+    assert np.array_equal(ref, px)
+
+
+def test_png_truncated_between_body_and_crc():
+    """A PNG cut off after a chunk body but before its 4 CRC bytes must
+    raise the documented ValueError, not struct.error."""
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = encode_png(px)
+    idat_at = data.index(b"IDAT")
+    (length,) = struct.unpack_from(">I", data, idat_at - 4)
+    cut = data[: idat_at + 4 + length + 2]  # 2 bytes into the CRC
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(cut)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes, and
+    TEM (0x01) is a standalone length-less marker — both legal in real
+    encoder output; the segment walk must skip them, decoding to the
+    same pixels as the unpadded stream."""
+    from synthetic_datagen_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(px, quality=90)
+    base = decode_jpeg(data)
+    # splice fill bytes + TEM right after SOI, before the first segment
+    padded = data[:2] + b"\xff\xff\xff" + b"\xff\x01" + data[2:]
+    assert np.array_equal(decode_jpeg(padded), base)

@@ -139,10 +139,11 @@ def test_cc_labels_cached_per_session(spark):
 
 
 def test_simhash_pairs_pigeonhole_complete(spark, sf_smoke):
-    """Manku pigeonhole guarantee: hamming(a,b) <= 3 over 32 bits means
-    at least one of the four 8-bit blocks matches exactly, so the
-    block-join candidate set must contain EVERY such pair — verified
-    against the brute-force all-pairs hamming scan of the signatures."""
+    """Manku pigeonhole guarantee: hamming(a,b) <= 3 over 60 bits means
+    at least one of the four 15-bit blocks matches exactly (4 blocks,
+    <= 3 differing bits), so the block-join candidate set must contain
+    EVERY such pair — verified against the brute-force all-pairs
+    hamming scan of the signatures."""
     from itertools import combinations
 
     from synthetic_datagen_spark.operators import REGISTRY

@@ -49,6 +49,11 @@ def cells_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
+        # Match the driver's byte-level hash: -0.0 and +0.0 are DIFFERENT
+        # encodings even though -0.0 == 0.0 in Python. This blind spot
+        # hid the cyclical_time_features driver failure for five rounds.
+        if af == 0.0 and bf == 0.0:
+            return math.copysign(1.0, af) == math.copysign(1.0, bf)
         return af == bf
     return a == b
 

@@ -32,6 +32,39 @@ HEAVY = [
 ]
 
 
+def _emb_pair_counter(threshold, n_tables, n_planes, corpus_name, arrow=False):
+    """Count the internal near-dup PAIR frame a cluster query consumes —
+    the output-bound quantity that explains super-linear wall-time rows
+    in the sweep (VERDICT r6 item 4). Hits the session pair memo, so
+    counting after the timed run costs ~0."""
+
+    def count(spark, d):
+        from synthetic_datagen_spark.operators import vector_queries as VQ
+
+        corpus = getattr(VQ, corpus_name)
+        if n_tables is None:  # scale-aware config: derive like the query
+            from synthetic_datagen_spark.functions.vectors import scaled_lsh_params
+
+            n = corpus(spark, d).count()
+            b, L = scaled_lsh_params(n, threshold)
+        else:
+            b, L = n_planes, n_tables
+        return VQ._cached_pairs(spark, d, threshold, L, b, corpus, arrow=arrow).count()
+
+    return count
+
+
+# query -> callable(spark, dir) -> emitted-pair count for that config.
+# embedding_near_dup_pairs needs no entry: its OUTPUT rows are the pairs.
+PAIR_ATTRIBUTION = {
+    "embedding_dedup_clusters": _emb_pair_counter(0.35, 8, 4, "_emb"),
+    "embedding_dedup_clusters_strict": _emb_pair_counter(0.9, 12, 6, "_planted_corpus"),
+    "embedding_dedup_clusters_scaled": _emb_pair_counter(
+        0.9, None, None, "_planted_corpus", arrow=True
+    ),
+}
+
+
 def main() -> None:
     dirs = sys.argv[1:3]
     names = sys.argv[3:] or HEAVY
@@ -59,7 +92,19 @@ def main() -> None:
             n = qs[name](spark, d).count()
             rec[tag] = round(time.time() - t0, 2)
             rec[f"{tag}_rows"] = n
+            counter = PAIR_ATTRIBUTION.get(name)
+            if counter is not None:
+                rec[f"{tag}_pairs"] = counter(spark, d)
         rec["ratio"] = round(rec["big"] / max(rec["small"], 1e-9), 2)
+        if "small_pairs" in rec:
+            rec["pairs_ratio"] = round(
+                rec["big_pairs"] / max(rec["small_pairs"], 1), 2
+            )
+            # time growth per unit of output growth — ≲2 means the extra
+            # wall time is the extra OUTPUT, not a super-linear algorithm
+            rec["time_per_output_growth"] = round(
+                rec["ratio"] / max(rec["pairs_ratio"], 1e-9), 2
+            )
         out[name] = rec
         print(f"[probe] {name}: {rec}", file=sys.stderr)
     print(json.dumps({"dirs": dirs, "queries": out}))
