@@ -73,8 +73,8 @@ _ROUND7_WINDOW = [
     "q1_pricing_summary",
     "rollup_region_status_revenue",
     "skew_salted_agg",
-    "boilerplate_ngram_coverage",
-    "corpus_curation_pipeline",
+    "decontamination_ngram_overlap",
+    "decontamination_retention_by_lang",
 ]
 
 

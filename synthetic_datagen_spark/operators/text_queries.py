@@ -1164,3 +1164,142 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------ decontamination --
+
+_DECON_N = 3  # word-n-gram order. Production pipelines use 8-13 grams
+# (GPT-3 used 13-gram overlap; PaLM 8-gram); this synthetic token soup
+# has no natural collisions beyond trigrams, so the catalog config uses
+# n=3 to exercise the identical plan with a non-trivial hit rate. The
+# pseudo-benchmark set is doc_id % 97 == 0 — deterministic in the input,
+# so Spark and DuckDB derive the same contamination verdicts.
+
+
+def _decon_gram_frames(spark: SparkSession, sf_dir: str, n: int = _DECON_N):
+    """(corpus doc-distinct n-gram frame, benchmark gram set).
+
+    Scale shape: the benchmark suite is FIXED-SIZE (a few thousand eval
+    documents) regardless of corpus scale, so its distinct-gram set is
+    the textbook broadcast side — the 100 TB corpus grams stream past it
+    map-side with no shuffle of the exploded corpus. Grams are
+    doc-distinct before the join (set-overlap semantics + smaller
+    explode output).
+    """
+    toks = (
+        _docs_wide(spark, sf_dir)
+        .select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    # array_distinct BEFORE the explode: per-doc set semantics with no
+    # shuffle — a plain .distinct() after exploding would shuffle the
+    # full corpus-gram stream (the widest frame in the plan)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + F.lit(1), n)),
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return grams, bench
+
+
+_DECON_GRAMS_CTE = f"""toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= {_DECON_N}
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - {_DECON_N - 2})) AS u(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)"""
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle=f"""
+WITH {_DECON_GRAMS_CTE}
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_grams
+FROM grams g JOIN bench b USING (g)
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+    doc="Benchmark decontamination detector — the train/eval leakage "
+    "check every LLM data pipeline runs before training (13-gram "
+    "overlap in GPT-3's appendix; 8-gram in PaLM): corpus docs sharing "
+    "any word n-gram with the benchmark set, with the overlapping-gram "
+    "count per contaminated doc. The benchmark gram set is broadcast "
+    "(fixed-size regardless of corpus scale); corpus grams are "
+    "doc-distinct before the join so the explode output carries set "
+    "semantics. Fully SQL-oracled.",
+)
+def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams, bench = _decon_gram_frames(spark, sf_dir)
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "decontamination_retention_by_lang",
+    oracle=f"""
+WITH {_DECON_GRAMS_CTE}
+, contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (g)
+  WHERE g.doc_id % 97 != 0
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_benchmark,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN d.doc_id % 97 != 0 AND c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       ROUND(SUM(CASE WHEN d.doc_id % 97 != 0 AND c.doc_id IS NULL THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN d.doc_id % 97 != 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS retention
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+GROUP BY d.lang ORDER BY d.lang
+""",
+    doc="Decontamination ACTION stage: drop contaminated docs and report "
+    "per-language retention — benchmark members excluded from the "
+    "denominator so `retention` is the fraction of actual training "
+    "candidates that survive. Same broadcast-bench gram join as the "
+    "detector; the contaminated set is doc-ids only (tiny) so the "
+    "reporting join is a broadcast left-anti in practice.",
+)
+def decontamination_retention_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams, bench = _decon_gram_frames(spark, sf_dir)
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    is_bench = (F.col("doc_id") % 97 == 0).cast("long")
+    is_cand = (F.col("doc_id") % 97 != 0).cast("long")
+    flagged = docs.join(
+        F.broadcast(contaminated.withColumn("_c", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(is_bench).alias("n_benchmark"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("n_contaminated"),
+            F.sum(is_cand * (1 - F.coalesce(F.col("_c"), F.lit(0)))).alias("n_retained"),
+            F.round(
+                F.sum(is_cand * (1 - F.coalesce(F.col("_c"), F.lit(0))))
+                / F.sum(is_cand).cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("lang")
+    )

@@ -244,3 +244,18 @@ def test_stream_curation_state_is_watermark_bounded(spark):
     plan = curated._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
     assert "EventTimeWatermark" in plan
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is fixed-size regardless of corpus scale:
+    the overlap join must broadcast it (never shuffle the exploded
+    corpus grams into an SMJ), and the corpus-side per-doc gram dedup
+    must be the shuffle-free array_distinct, not a global distinct."""
+    for name in (
+        "decontamination_ngram_overlap",
+        "decontamination_retention_by_lang",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "array_distinct" in plan, name
