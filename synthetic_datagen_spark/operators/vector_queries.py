@@ -365,8 +365,10 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with log2(n) so the random-collision candidate term (L·2⁻ᵇ·n²/2, "
     "quadratic under ANY fixed config) stays ≤ ~50 candidates/vector, "
     "tables set for ≥99% pair recall at the threshold. Probe-measured "
-    "at 10× data: 3.67× wall time with exactly linear output "
-    "(PERFORMANCE.md round 5); at sf0.01 the chosen config is 6×10, at "
+    "at 10× data (round 7, output-attributed): 5.86× wall time while "
+    "the emitted pair set grows 104× (the replicated fixture's "
+    "within-group duplicates) — time_per_output_growth 0.06 "
+    "(SCALE_SWEEP_r7.json); at sf0.01 the chosen config is 6×10, at "
     "sf1-equivalent 13×33.",
 )
 def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
