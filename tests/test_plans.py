@@ -259,3 +259,22 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "array_distinct" in plan, name
+
+
+def test_curation_funnel_is_single_pass(spark):
+    """The funnel must be ONE flag-based pass: one parquet scan of
+    documents, one fingerprint window, conditional-sum agg — not the
+    naive four count legs outer-joined (4 scans / 6 windows / 4 SMJs
+    before round 7). The CC-dupes side enters as a broadcast of the
+    memoized label checkpoint, never a sort-merge join."""
+    import re
+
+    plan = plan_of(spark, "corpus_curation_pipeline")
+    # "formatted" explain lists every node twice (tree + detail section);
+    # count the numbered detail headers, which appear exactly once per node
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    windows = re.findall(r"\(\d+\) Window", plan)
+    assert len(scans) == 1, plan
+    assert len(windows) == 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
