@@ -58,11 +58,30 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
+def _canon_dtype(dt) -> str:
+    """Collapse a pandas dtype to the value-encoding family a byte-level
+    hash would see: ints, floats, bools, datetimes, or objects."""
+    k = dt.kind  # i/u -> int, f -> float, b -> bool, M -> datetime, O -> obj
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}.get(k, "obj")
+
+
 def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     sc, dc = sorted(spark_pd.columns), sorted(duck_pd.columns)
     if sc != dc:
         return [f"schema mismatch: spark={sc} duck={dc}"]
+    # dtype-family mismatches (int column one side, float/decimal-object
+    # the other) hash differently byte-level even when == says equal —
+    # the same blind-spot family as -0.0 vs +0.0. Hard-fail them.
+    for c in sc:
+        fa, fb = _canon_dtype(spark_pd[c].dtype), _canon_dtype(duck_pd[c].dtype)
+        if fa != fb:
+            errs.append(
+                f"dtype mismatch col {c}: spark={spark_pd[c].dtype}({fa}) "
+                f"duck={duck_pd[c].dtype}({fb})"
+            )
+    if errs:
+        return errs
     if len(spark_pd) != len(duck_pd):
         errs.append(f"rowcount mismatch: spark={len(spark_pd)} duck={len(duck_pd)}")
     a, b = canon(spark_pd), canon(duck_pd)
