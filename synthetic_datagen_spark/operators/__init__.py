@@ -21,9 +21,11 @@ from . import regime_queries  # noqa: F401,E402
 
 # Round 7 window (first 50): the 11 SQL-oracled queries never driver-
 # sampled in rounds 1-6, the re-check of cyclical_time_features (the
-# -0.0 fix), then the stalest-sampled oracled queries (last seen r1-r5)
-# so every slot yields a hash verdict. After this rotation, cumulative
-# driver coverage includes every SQL-oracled query in the catalog.
+# -0.0 fix), the four queries REGISTERED this round (decontamination
+# pair, training mix, sequence packing — all oracled), then the
+# stalest-sampled oracled queries (last seen r1-r5) so every slot
+# yields a hash verdict. After this rotation, cumulative driver
+# coverage includes every SQL-oracled query in the catalog.
 _ROUND7_WINDOW = [
     "intersect_except_users",
     "interval_join_lineitem_orderdate",
@@ -50,7 +52,7 @@ _ROUND7_WINDOW = [
     "q3_top_revenue_orders",
     "a12_generator_summary",
     "a13_metric_map_mean",
-    "a14_distinct_states",
+    "training_mix_resample",
     "a1_moment_panel",
     "a3_histogram_100",
     "a4_quantile_edges",
@@ -58,7 +60,7 @@ _ROUND7_WINDOW = [
     "a7_transition_matrix",
     "a8_per_regime_stats",
     "a9_price_quantity_correlation",
-    "cube_type_dow_stats",
+    "sequence_packing_bins",
     "d1_js_divergence",
     "d2_wasserstein",
     "d3_ks_statistic",

@@ -1308,3 +1308,144 @@ def decontamination_retention_by_lang(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------- training-mix assembly --
+
+
+@register(
+    "training_mix_resample",
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), weights AS (
+  SELECT source, n,
+         SQRT(CAST(n AS DOUBLE)) / SUM(SQRT(CAST(n AS DOUBLE))) OVER () AS w
+  FROM counts
+), targets AS (
+  SELECT source, n, w,
+         LEAST(CAST(FLOOR(1000.0 * w) AS BIGINT), n) AS target_n
+  FROM weights
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT t.source, t.n AS n_docs, ROUND(t.w, 6) AS weight, t.target_n,
+       COUNT(r.doc_id) AS n_sampled
+FROM targets t LEFT JOIN ranked r
+  ON r.source = t.source AND r.rk <= t.target_n
+GROUP BY t.source, t.n, t.w, t.target_n
+ORDER BY t.source
+""",
+    doc="Temperature-weighted training-mixture resampling — the "
+    "source-mixing step of every LLM pretraining corpus (Pile/LLaMA "
+    "style): per-source weight ∝ n^α with α=0.5 (upweights small "
+    "sources, tempers dominant ones), a 1000-doc budget allocated by "
+    "FLOOR(K·w) capped at the source size (no replacement), survivors "
+    "chosen by md5(doc_id) rank — deterministic across engines, "
+    "reruns, and partitionings. Scale shape: one count agg, a scalar "
+    "weight table (broadcast-sized: one row per source), one per-source "
+    "rank window — a single shuffle on the source key at any corpus "
+    "size. FLOOR not ROUND for the budget: both engines compute the "
+    "identical double so floor is stable, while round half-up/half-even "
+    "conventions differ.",
+)
+def training_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    weights = counts.withColumn(
+        "w",
+        F.sqrt(F.col("n").cast("double"))
+        / F.sum(F.sqrt(F.col("n").cast("double"))).over(wall),
+    )
+    targets = weights.withColumn(
+        "target_n",
+        F.least(F.floor(F.lit(1000.0) * F.col("w")).cast("long"), F.col("n")),
+    )
+    wrk = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.withColumn("rk", F.row_number().over(wrk))
+    # rename the broadcast side to break the self-join lineage ambiguity
+    tgt = targets.select(
+        F.col("source").alias("_src"), "n", "w", "target_n"
+    )
+    joined = ranked.join(
+        F.broadcast(tgt),
+        (F.col("source") == F.col("_src")) & (F.col("rk") <= F.col("target_n")),
+        "right",
+    )
+    return (
+        joined.groupBy("_src", "n", "w", "target_n")
+        .agg(F.count("doc_id").alias("n_sampled"))
+        .select(
+            F.col("_src").alias("source"),
+            F.col("n").alias("n_docs"),
+            F.round("w", 6).alias("weight"),
+            "target_n",
+            "n_sampled",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "sequence_packing_bins",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                    / 256.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, COALESCE(bin, 0) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(SUM(n_tokens) / 256.0, 6) AS fill_ratio
+FROM packed GROUP BY lang, COALESCE(bin, 0) ORDER BY lang, bin
+""",
+    doc="Sequence packing for pretraining batches — concat-and-chunk "
+    "shard assignment (the GPT-style packer: documents concatenate in "
+    "deterministic doc_id order per language shard and a doc belongs "
+    "to the 256-token window its first token lands in). Emits per-bin "
+    "doc counts, token sums, and fill ratio — the packing-efficiency "
+    "metric batch-assembly jobs monitor. Scale shape: one running-sum "
+    "window PARTITIONED BY the shard key (never global) + one hash "
+    "agg; a 100 TB corpus packs with a single shuffle on (lang).",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    toks = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin",
+        F.coalesce(
+            F.floor(F.sum("n_tokens").over(w).cast("double") / 256.0).cast("long"),
+            F.lit(0),
+        ),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens") / 256.0, 6).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin")
+    )
