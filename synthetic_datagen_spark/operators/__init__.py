@@ -71,7 +71,7 @@ _ROUND7_WINDOW = [
     "multimodal_codec_roundtrip",
     "multimodal_metadata_panel",
     "multimodal_resize_roundtrip",
-    "pivot_type_dow_avg",
+    "stream_decontamination_parity",
     "q1_pricing_summary",
     "rollup_region_status_revenue",
     "skew_salted_agg",

@@ -480,3 +480,82 @@ def stream_pq_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("match").cast("long")).alias("n_code_matches"),
         (F.count("*") == F.sum(F.col("match").cast("long"))).alias("exact_match"),
     )
+
+
+@register(
+    "stream_decontamination_parity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap_grams
+FROM grams g JOIN bench b USING (g)
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+""",
+    doc="STREAM-STATIC broadcast join (SURVEY §2.13 × the "
+    "decontamination brief): documents arrive as a file stream, "
+    "per-doc-distinct word trigrams explode batch-side-identically "
+    "(array_distinct before the explode), and each micro-batch joins "
+    "the STATIC benchmark gram set — broadcast, stateless, no "
+    "watermark: a stream-static inner join keeps zero streaming state "
+    "regardless of corpus size, the right shape for continuously "
+    "decontaminating a 100 TB ingest against a fixed benchmark suite. "
+    "Matched (doc_id, gram) rows append to the sink; the per-doc "
+    "overlap counts (batch-aggregated from the sink, exactly the "
+    "pattern of stream_corpus_curation_parity) must equal the batch "
+    "decontamination_ngram_overlap output, and the oracle is that "
+    "query's SQL verbatim.",
+)
+def stream_decontamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .text_queries import _decon_gram_frames
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    base = f"/tmp/spark_graft_stream/decon_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs.write.mode("overwrite").parquet(base)
+
+    # static side: benchmark gram set from the batch reader
+    _, bench = _decon_gram_frames(spark, sf_dir)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+    toks = stream.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + F.lit(1), 3)),
+                )
+            )
+        ).alias("g"),
+    ).filter(F.col("doc_id") % 97 != 0)
+    matched = grams.join(F.broadcast(bench), "g").select("doc_id", "g")
+
+    name = f"decon_{uuid.uuid4().hex[:8]}"
+    q = (
+        matched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_grams"))
+        .orderBy("doc_id")
+    )
