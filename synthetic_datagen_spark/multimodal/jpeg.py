@@ -6,13 +6,17 @@ Upgrades the last stubbed image format to a real implementation:
   subsampling), JFIF APP0, ITU-T T.81 Annex K quantization tables
   scaled by the libjpeg quality formula, Annex K Huffman tables,
   differential DC + run-length AC entropy coding with byte stuffing.
-- ``decode_jpeg``: full baseline decoder — marker parse (DQT/SOF0/DHT/
-  SOS/DRI), canonical Huffman decode with stuffed-byte handling and
-  restart markers, dequantize → inverse zigzag → IDCT, chroma
+- ``decode_jpeg``: full baseline (SOF0/1) AND progressive (SOF2)
+  decoder — marker parse (DQT/SOF/DHT/SOS/DRI), canonical Huffman
+  decode with stuffed-byte handling and restart markers, a multi-scan
+  coefficient engine covering spectral selection + successive
+  approximation (DC/AC first and refinement scans, EOB runs, T.81
+  G.2), dequantize → inverse zigzag → vectorized-einsum IDCT, chroma
   upsampling for any (H, V) sampling factors incl. 4:2:0, YCbCr→RGB.
-  Interop-pinned in tests against a real libjpeg-encoded file shipped
-  with Spark's MLlib sample data (baseline 4:2:0 — an encoding path
-  this encoder never emits). Progressive (SOF2) raises ValueError.
+  Interop-pinned in tests against real libjpeg files for BOTH coding
+  modes (baseline 4:2:0 kittens from Spark's MLlib samples; an SOF2
+  progressive banner from the nodejs docs — javax.imageio agreement
+  mean |Δ| 0.09, max 2). Arithmetic/lossless SOFs raise ValueError.
 
 JPEG is lossy: the round-trip contract is bounded error (PSNR), not
 bit-exactness — pinned in tests/test_codecs.py. Both directions are
@@ -413,16 +417,22 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w) for
-    single-component files). Raises ValueError for progressive or
-    arithmetic-coded streams."""
+    """JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w) for single-component
+    files). Decodes BASELINE (SOF0/1) and PROGRESSIVE (SOF2: spectral
+    selection + successive approximation, DC/AC first+refinement scans,
+    EOB runs per T.81 G.2) streams through one multi-scan coefficient
+    engine; arithmetic-coded / lossless / hierarchical SOFs raise
+    ValueError. Cross-checked against javax.imageio on real libjpeg
+    baseline AND progressive files in tests/test_codecs.py."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htrees: dict[tuple[int, int], _HuffTree] = {}
     frame = None
+    state = None  # comp_id -> (blocks_y, blocks_x, 64) zigzag coef array
     restart_interval = 0
+    saw_scan = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
@@ -468,7 +478,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -476,9 +486,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG coding (SOF{marker - 0xC0}) — baseline only")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            state = _alloc_coef_state(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF{marker - 0xC0}) — baseline/progressive only"
+            )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -488,75 +501,207 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tables >> 4, tables & 0x0F))
-            return _decode_scan(data, pos, frame, scan, qtabs, htrees, restart_interval)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = _decode_scan(
+                data, pos, frame, scan, (ss, se, ah, al), state, htrees,
+                restart_interval,
+            )
+            saw_scan = True
+            if not frame["progressive"]:
+                break  # baseline: one scan covers everything
         # other markers (APPn/COM) are skipped
-    raise ValueError("no SOS marker found")
+    if frame is None or not saw_scan:
+        raise ValueError("no SOS marker found")
+    return _reconstruct(frame, state, qtabs)
 
 
-def _decode_scan(data, pos, frame, scan, qtabs, htrees, restart_interval):
-    h, w = frame["h"], frame["w"]
+def _alloc_coef_state(frame):
+    """Per-component zigzag coefficient planes sized to the MCU grid."""
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component coefficient planes (in 8×8 block units)
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["hmax"], frame["vmax"], frame["mcux"], frame["mcuy"] = hmax, vmax, mcux, mcuy
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         for c in frame["comps"]
     }
+
+
+def _comp_block_dims(frame, comp):
+    """Used block grid of a NON-interleaved scan (T.81 A.2.2): ceil of
+    the component's sample dimensions, not the MCU-padded grid."""
+    cw = -(-frame["w"] * comp["h"] // frame["hmax"])
+    ch = -(-frame["h"] * comp["v"] // frame["vmax"])
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan(data, pos, frame, scan, spectral, state, htrees, restart_interval):
+    """Decode one entropy-coded scan into the coefficient state and
+    return the byte offset of the next marker. Handles baseline full
+    scans and all four progressive scan kinds."""
+    ss, se, ah, al = spectral
     br = _BitReader(data, pos)
-    preds = {c["id"]: 0 for c in frame["comps"]}
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.align_to_marker()
-                preds = {k: 0 for k in preds}
-            n_mcu += 1
-            for comp, dct, act in scan:
-                dc_tree = htrees.get((0, dct))
-                ac_tree = htrees.get((1, act))
-                if dc_tree is None or ac_tree is None:
-                    raise ValueError("missing Huffman table")
-                qt = qtabs[comp["tq"]]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        s = dc_tree.decode(br)
-                        diff = _extend(br.read(s), s) if s else 0
-                        preds[comp["id"]] += diff
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = ac_tree.decode(br)
-                            if sym == 0x00:  # EOB
+    preds = {comp["id"]: 0 for comp, _, _ in scan}
+    eobrun = [0]  # boxed: shared across blocks within the scan
+
+    def dc_tree(dct):
+        t = htrees.get((0, dct))
+        if t is None:
+            raise ValueError("missing DC Huffman table")
+        return t
+
+    def ac_tree(act):
+        t = htrees.get((1, act))
+        if t is None:
+            raise ValueError("missing AC Huffman table")
+        return t
+
+    def decode_block(comp, dct, act, zz):
+        # baseline full block / progressive first-pass kinds
+        if ss == 0 and ah == 0:  # DC first (and baseline AC if se > 0)
+            s = dc_tree(dct).decode(br)
+            diff = _extend(br.read(s), s) if s else 0
+            preds[comp["id"]] += diff
+            zz[0] = preds[comp["id"]] << al
+        elif ss == 0:  # DC refinement: one appended magnitude bit
+            if br.read(1):
+                zz[0] |= 1 << al
+        if se == 0:
+            return
+        if ah == 0:  # AC first pass (baseline: ss==0, se==63, al==0)
+            if eobrun[0] > 0:
+                eobrun[0] -= 1
+                return
+            k = max(ss, 1)
+            tree = ac_tree(act)
+            while k <= se:
+                sym = tree.decode(br)
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<run)+bits end-of-band blocks
+                    eobrun[0] = (1 << run) - 1
+                    if run:
+                        eobrun[0] += br.read(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC index out of range")
+                zz[k] = _extend(br.read(size), size) << al
+                k += 1
+        else:  # AC refinement (T.81 G.2 / libjpeg decode_mcu_AC_refine)
+            p1, m1 = 1 << al, -1 << al
+            tree = ac_tree(act)
+            k = ss
+
+            def correct(idx):
+                # history coefficient: maybe append a magnitude bit
+                if zz[idx] != 0 and br.read(1) and (zz[idx] & p1) == 0:
+                    zz[idx] += p1 if zz[idx] >= 0 else m1
+
+            if eobrun[0] == 0:
+                while k <= se:
+                    sym = tree.decode(br)
+                    run, size = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if size == 0:
+                        if run < 15:
+                            eobrun[0] = (1 << run)
+                            if run:
+                                eobrun[0] += br.read(run)
+                            break  # EOB: tail handled below
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError("bad AC refinement symbol")
+                        newval = p1 if br.read(1) else m1
+                    # advance over `run` zero-history coefs, correcting
+                    # nonzero-history ones on the way
+                    while k <= se:
+                        if zz[k] != 0:
+                            correct(k)
+                        else:
+                            if run == 0:
+                                if newval:
+                                    zz[k] = newval
+                                k += 1
                                 break
-                            run, size = sym >> 4, sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.read(size), size)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[_ZIGZAG] = zz
-                        coef = blk.reshape(8, 8) * qt
-                        pix = _C.T @ coef @ _C + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
-    # upsample each component to full MCU-grid resolution, crop, convert
+                            run -= 1
+                        k += 1
+            if eobrun[0] > 0:
+                while k <= se:
+                    correct(k)
+                    k += 1
+                eobrun[0] -= 1
+
+    n_restart = 0
+
+    def maybe_restart(n_units):
+        nonlocal n_restart
+        if restart_interval and n_units and n_units % restart_interval == 0:
+            br.align_to_marker()
+            for kk in preds:
+                preds[kk] = 0
+            eobrun[0] = 0
+            n_restart += 1
+
+    if len(scan) > 1:  # interleaved: MCU order over the full grid
+        n_mcu = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart(n_mcu)
+                n_mcu += 1
+                for comp, dct, act in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = state[comp["id"]][
+                                my * comp["v"] + by, mx * comp["h"] + bx
+                            ]
+                            decode_block(comp, dct, act, zz)
+    else:  # non-interleaved: the component's own used-block raster
+        comp, dct, act = scan[0]
+        bh, bw = _comp_block_dims(frame, comp)
+        n_blk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(n_blk)
+                n_blk += 1
+                decode_block(comp, dct, act, state[comp["id"]][by, bx])
+
+    # next marker after this scan's entropy data (skip stuffing + RSTs)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _reconstruct(frame, state, qtabs):
+    """Dequantize + IDCT every block (vectorized einsum), assemble the
+    component planes, upsample to full resolution, color-convert."""
+    h, w = frame["h"], frame["w"]
     out_planes = []
     for c in frame["comps"]:
-        p = planes[c["id"]]
-        ry, rx = vmax // c["v"], hmax // c["h"]
+        zz = state[c["id"]].astype(np.float64)  # (by, bx, 64) zigzag
+        by, bx = zz.shape[0], zz.shape[1]
+        blocks = np.zeros((by, bx, 64), dtype=np.float64)
+        blocks[:, :, _ZIGZAG] = zz
+        qt = qtabs[c["tq"]].astype(np.float64)
+        coef = blocks.reshape(by, bx, 8, 8) * qt
+        pix = np.einsum("ij,yxjk,kl->yxil", _C.T, coef, _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        ry, rx = frame["vmax"] // c["v"], frame["hmax"] // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = out_planes
