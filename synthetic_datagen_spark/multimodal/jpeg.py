@@ -423,7 +423,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     EOB runs per T.81 G.2) streams through one multi-scan coefficient
     engine; arithmetic-coded / lossless / hierarchical SOFs raise
     ValueError. Cross-checked against javax.imageio on real libjpeg
-    baseline AND progressive files in tests/test_codecs.py."""
+    baseline AND progressive files in tests/test_codecs.py.
+
+    Contract (same as decode_png/decode_bmp): EVERY malformed input
+    raises ValueError — truncations and corruptions that would surface
+    as struct.error / IndexError / KeyError / StopIteration from the
+    parser are converted here (fuzz-pinned in tests)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (struct.error, IndexError, KeyError, StopIteration) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -595,3 +595,29 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     # splice fill bytes + TEM right after SOI, before the first segment
     padded = data[:2] + b"\xff\xff\xff" + b"\xff\x01" + data[2:]
     assert np.array_equal(decode_jpeg(padded), base)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2 ** 32 - 1))
+def test_fuzz_jpeg_malformed_always_valueerror(seed):
+    """decode_jpeg's error contract (same as decode_png/decode_bmp):
+    truncations and single-byte corruptions either decode or raise
+    ValueError — never struct.error / IndexError / KeyError /
+    StopIteration from parser internals."""
+    from synthetic_datagen_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = encode_jpeg(px, quality=75)
+    k = int(rng.integers(2, len(data)))
+    try:
+        decode_jpeg(data[:k])
+    except ValueError:
+        pass
+    b = bytearray(data)
+    i = int(rng.integers(2, len(b)))
+    b[i] ^= int(rng.integers(1, 256))
+    try:
+        decode_jpeg(bytes(b))
+    except ValueError:
+        pass
