@@ -50,13 +50,13 @@ _ROUND7_WINDOW = [
     "q5_region_nation_revenue",
     "semi_join_customers_with_orders",
     "q3_top_revenue_orders",
-    "a12_generator_summary",
+    "incremental_ingest_dedup",
     "a13_metric_map_mean",
     "training_mix_resample",
     "a1_moment_panel",
     "a3_histogram_100",
     "a4_quantile_edges",
-    "a5_state_frequency",
+    "doc_chunking_windows",
     "a7_transition_matrix",
     "a8_per_regime_stats",
     "a9_price_quantity_correlation",

@@ -1449,3 +1449,141 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# ------------------------------------------------- incremental ingestion --
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id < 400
+), incoming AS (
+  SELECT doc_id, lang, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM fp WHERE doc_id >= 400
+)
+SELECT i.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vs_corpus_dupes,
+       CAST(SUM(CASE WHEN e.fp IS NULL AND i.rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within_batch_dupes,
+       CAST(SUM(CASE WHEN e.fp IS NULL AND i.rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted
+FROM incoming i LEFT JOIN existing e ON i.fp = e.fp
+GROUP BY i.lang ORDER BY i.lang
+""",
+    doc="Incremental-ingestion dedup — the daily-crawl shape of corpus "
+    "maintenance: an incoming batch (doc_id >= 400 stands in for the "
+    "new crawl) dedupes FIRST against the existing corpus fingerprint "
+    "store (left join on normalized-md5), then within itself "
+    "(keep-first by fingerprint rank), and the funnel reports "
+    "per-language admitted / vs-corpus-dupe / within-batch-dupe "
+    "counts. Scale shape: at 100 TB the fingerprint store is a "
+    "sorted/bucketed table keyed by fp, so the anti-join is a "
+    "shuffle-on-fp hash join (or shuffle-free if both sides bucket by "
+    "fp) touching only the fp column — never the text; the "
+    "within-batch rank windows on fp, the same key, so one exchange "
+    "serves both stages.",
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = _docs_wide(spark, sf_dir).select(
+        "doc_id", "lang", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    existing = fp.filter(F.col("doc_id") < 400).select("fp").distinct()
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    incoming = fp.filter(F.col("doc_id") >= 400).withColumn(
+        "rk", F.row_number().over(wfp)
+    )
+    joined = incoming.join(
+        existing.withColumn("_seen", F.lit(True)), "fp", "left"
+    )
+    seen = F.col("_seen").isNotNull()
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(seen.cast("long")).alias("n_vs_corpus_dupes"),
+            F.sum((~seen & (F.col("rk") > 1)).cast("long")).alias(
+                "n_within_batch_dupes"
+            ),
+            F.sum((~seen & (F.col("rk") == 1)).cast("long")).alias("n_admitted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_chunking_windows",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t
+  FROM documents WHERE len(string_split(text, ' ')) >= 1
+), chunks AS (
+  SELECT doc_id, lang,
+         CAST(u.i AS BIGINT) AS chunk_id,
+         array_to_string(t[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk_text,
+         LEAST(len(t) - u.i * 24, 32) AS n_tokens
+  FROM toks,
+       UNNEST(range(0, GREATEST(CAST(FLOOR((len(t) - 9) / 24.0) AS BIGINT), 0) + 1)) AS u(i)
+)
+SELECT doc_id, chunk_id, n_tokens,
+       md5(chunk_text) AS chunk_fp
+FROM chunks
+WHERE doc_id < 50
+ORDER BY doc_id, chunk_id
+""",
+    doc="Document chunking for embedding/RAG prep: fixed 32-token "
+    "windows with a 24-token stride (8-token overlap) per document — "
+    "the standard pre-embedding splitter. Chunks materialize as "
+    "(doc_id, chunk_id, token_count, md5 fingerprint); the text "
+    "itself stays an array slice + concat inside the row (no "
+    "shuffle — chunking is embarrassingly parallel over docs, an "
+    "explode of per-row sequences). Output limited to the first 50 "
+    "docs for the gate; the plan is identical at any corpus size. "
+    "Chunk count per doc is ceil((n-32)/24)+1 (always >= 1), matching "
+    "the window/stride recurrence both engines compute in integer "
+    "arithmetic.",
+)
+def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 1)
+    size, stride = 32, 24
+    n_chunks = F.greatest(
+        F.floor((F.size("t") - size + (stride - 1)) / stride).cast("long"),
+        F.lit(0),
+    ) + 1
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_id"),
+                    F.concat_ws(
+                        " ", F.slice("t", i * stride + 1, size)
+                    ).alias("chunk_text"),
+                    F.least(
+                        F.size("t") - i * stride, F.lit(size)
+                    ).alias("n_tokens"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_fp"),
+        )
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id", "chunk_id")
+    )
