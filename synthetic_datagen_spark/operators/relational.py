@@ -427,3 +427,188 @@ def interval_join_lineitem_orderdate(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").alias("n_lines_shipped_30d"),
         F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty_30d"),
     )
+
+
+@register(
+    "q4_priority_late_ship",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="TPC-H Q4-style order-priority check, adapted to this schema "
+    "(no commitdate/receiptdate: 'late' = some line shipped >60 days "
+    "after the order date). EXISTS becomes a LEFT SEMI join — Spark "
+    "never materializes the multiplicity of matching lines, and the "
+    "orderdate window filter is pushed to the orders scan. The "
+    "correlated ship-vs-order-date predicate rides the equi-join key "
+    "so the plan stays hash/sort-merge, never nested-loop. "
+    "Reference analog: app/data_processor.py date-window slicing.",
+)
+def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = cat.table("lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE), 6) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY ship_month
+ORDER BY ship_month
+""",
+    doc="TPC-H Q14-style promo revenue share per ship-month: fact scan "
+    "with the year filter pushed to parquet, BROADCAST join to the "
+    "part dim (no fact shuffle for the join — only the month group-by "
+    "shuffles), decimal-exact numerator/denominator, share rounded on "
+    "both sides. The conditional-aggregate pattern every revenue-mix "
+    "dashboard uses.",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = cat.dim("part")
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(disc_price).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_share", F.round(F.col("promo_revenue") / F.col("total_revenue"), 6)
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice DESC, o.o_orderkey
+LIMIT 50
+""",
+    doc="TPC-H Q18 large-volume orders: aggregate-then-join. The "
+    "lineitem group-by reduces 600k lines to ~0.5% survivors before "
+    "any join; the survivor set is broadcast into orders (AQE would "
+    "pick this too — we pin it), customer is a broadcast dim, and the "
+    "top-50 is a TakeOrderedAndProject, never a full sort. The "
+    "canonical 'filter early via HAVING' plan shape.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.dim("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_brand_filter",
+    oracle=f"""
+SELECT p.p_brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+GROUP BY p.p_brand ORDER BY p.p_brand
+""",
+    doc="TPC-H Q19-style disjunctive predicate join: three OR'd "
+    "(brand, size-range, quantity-range) clauses. The part side of "
+    "each disjunct filters the broadcast dim before the join "
+    "(Catalyst extracts the common p_brand IN (...) superset), the "
+    "quantity ranges evaluate post-join, and revenue stays decimal-"
+    "exact. Exercises OR-predicate pushdown that naive planners turn "
+    "into a cartesian filter.",
+)
+def q19_disjunctive_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li, p = cat.table("lineitem"), cat.dim("part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(20, 50))
+    )
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy("p_brand")
+    )

@@ -278,3 +278,35 @@ def test_curation_funnel_is_single_pass(spark):
     assert len(windows) == 1, plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_plans_semi_join(spark):
+    """EXISTS must plan a semi join (no multiplicity materialized) and
+    the orderdate window must reach the orders parquet scan."""
+    plan = plan_of(spark, "q4_priority_late_ship")
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q14_q19_broadcast_part_dim(spark):
+    """The part dim must broadcast — a shuffled fact-dim join here
+    would reshuffle 600k (at 100 TB: billions of) lineitem rows."""
+    for name in ("q14_promo_revenue_share", "q19_disjunctive_brand_filter"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q14_shipdate_filter_pushdown(spark):
+    plan = plan_of(spark, "q14_promo_revenue_share")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q18_agg_then_broadcast_and_topk(spark):
+    """Q18's plan discipline: the HAVING survivors broadcast into
+    orders (never the reverse), and the top-50 is TakeOrdered, not a
+    global sort."""
+    plan = plan_of(spark, "q18_large_volume_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0].split("\n")[-1]
