@@ -51,15 +51,15 @@ _ROUND7_WINDOW = [
     "semi_join_customers_with_orders",
     "q3_top_revenue_orders",
     "incremental_ingest_dedup",
-    "a13_metric_map_mean",
+    "q4_priority_late_ship",
     "training_mix_resample",
-    "a1_moment_panel",
-    "a3_histogram_100",
-    "a4_quantile_edges",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_brand_filter",
     "doc_chunking_windows",
-    "a7_transition_matrix",
-    "a8_per_regime_stats",
-    "a9_price_quantity_correlation",
+    "gopher_quality_rules",
+    "global_shuffle_shards",
+    "corpus_snapshot_diff",
     "sequence_packing_bins",
     "d1_js_divergence",
     "d2_wasserstein",

@@ -1587,3 +1587,195 @@ def doc_chunking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=r"""
+WITH d AS (
+  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), m AS (
+  SELECT lang,
+         len(toks) AS wc,
+         list_sum(list_transform(toks, t -> len(t))) / CAST(len(toks) AS DOUBLE) AS mwl,
+         len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio
+  FROM d
+), r AS (
+  SELECT lang,
+         CASE WHEN wc BETWEEN 30 AND 90 THEN 1 ELSE 0 END AS pass_wc,
+         CASE WHEN mwl >= 4.2 AND mwl <= 5.0 THEN 1 ELSE 0 END AS pass_mwl,
+         CASE WHEN distinct_ratio >= 0.4 THEN 1 ELSE 0 END AS pass_distinct
+  FROM m
+)
+SELECT lang, COUNT(*) AS docs,
+       CAST(SUM(pass_wc) AS BIGINT) AS pass_word_count,
+       CAST(SUM(pass_mwl) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(pass_distinct) AS BIGINT) AS pass_distinct_ratio,
+       CAST(SUM(pass_wc * pass_mwl * pass_distinct) AS BIGINT) AS retained,
+       ROUND(SUM(pass_wc * pass_mwl * pass_distinct) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS retention_frac
+FROM r GROUP BY lang ORDER BY lang
+""",
+    doc="Gopher-style quality-rule funnel (Rae et al. 2021 §A1.1 "
+    "adapted to this corpus): word-count window [30,90], mean word "
+    "length [4.2,5.0], distinct-token ratio >= 0.4; per-language pass "
+    "counts per rule plus all-rules retention. Every metric is a pure "
+    "array expression on the scan (size / aggregate / array_distinct) "
+    "— no explode, no UDF, single hash-agg shuffle on lang. Mean word "
+    "length divides an exact integer token-length sum by the count, so "
+    "both engines produce the identical IEEE double and threshold "
+    "comparisons can't diverge.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    wc = F.size(toks)
+    len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    mwl = len_sum.cast("double") / wc.cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / wc.cast("double")
+    r = d.select(
+        "lang",
+        F.when(wc.between(30, 90), 1).otherwise(0).alias("pass_wc"),
+        F.when((mwl >= 4.2) & (mwl <= 5.0), 1).otherwise(0).alias("pass_mwl"),
+        F.when(distinct_ratio >= 0.4, 1).otherwise(0).alias("pass_distinct"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("pass_wc").alias("pass_word_count"),
+            F.sum("pass_mwl").alias("pass_mean_word_len"),
+            F.sum("pass_distinct").alias("pass_distinct_ratio"),
+            F.sum(F.col("pass_wc") * F.col("pass_mwl") * F.col("pass_distinct")).alias(
+                "retained"
+            ),
+        )
+        .withColumn(
+            "retention_frac",
+            F.round(F.col("retained").cast("double") / F.col("docs").cast("double"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "global_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS hx,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       arg_min(doc_id, hx) AS first_doc_id,
+       arg_max(doc_id, hx) AS last_doc_id
+FROM h GROUP BY shard ORDER BY shard
+""",
+    doc="Deterministic global shuffle + shard assignment for training-"
+    "data assembly: shard = top-60-bits(md5(doc_id)) mod 16, reading "
+    "order within a shard = ascending md5. Deliberately hash-mod, NOT "
+    "a global-ORDER-BY NTILE — ntile plans an Exchange SinglePartition "
+    "(every row through one task, the #1 scale hazard); hash-sharding "
+    "is embarrassingly parallel, statistically balanced, and "
+    "reproducible across cluster sizes, which is exactly how large "
+    "training runs shard their corpora. first/last_doc_id pin the "
+    "intra-shard order so the oracle verifies the read order, not "
+    "just membership.",
+)
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.conv(F.substring(hx, 1, 15), 16, 10).cast("bigint"), F.lit(16))
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", hx.alias("hx"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min_by("doc_id", "hx").alias("first_doc_id"),
+            F.max_by("doc_id", "hx").alias("last_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, lang, md5(text) AS fp FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 13 = 0 THEN md5(text || ' [rev2]') ELSE md5(text) END AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, md5(text || ' [new]') AS fp
+  FROM documents WHERE doc_id % 19 = 0
+), j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(a.lang, b.lang) AS lang,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT lang, status, COUNT(*) AS n_docs
+FROM j GROUP BY lang, status ORDER BY lang, status
+""",
+    doc="Corpus snapshot diff — the maintenance op behind incremental "
+    "training-set refreshes: compare snapshot A (current documents) "
+    "with snapshot B (a deterministically derived next release: every "
+    "17th doc dropped, every 13th revised, every 19th spawning a new "
+    "doc) by content fingerprint and classify added / removed / "
+    "changed / unchanged per language. One FULL OUTER shuffle join on "
+    "doc_id with md5 fingerprints computed at the scan — at 100 TB "
+    "both snapshots hash-partition on doc_id so the join co-locates, "
+    "and fingerprint comparison avoids shipping text. The B-side "
+    "derivation doubles as the test harness; real deployments read "
+    "two parquet snapshot roots through the same plan.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    a = d.select("doc_id", "lang", F.md5("text").alias("fp"))
+    b_kept = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.md5(F.concat(F.col("text"), F.lit(" [rev2]")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    b_new = d.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("fp"),
+    )
+    b = b_kept.unionByName(b_new)
+    j = a.alias("a").join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "status")
+    )

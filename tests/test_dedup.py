@@ -163,3 +163,42 @@ def test_simhash_pairs_pigeonhole_complete(spark, sf_smoke):
     assert got == expect  # complete AND exact (no false positives)
     for r in got_rows:
         assert r.hamming == bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1")
+
+
+def test_global_shuffle_shards_partition_complete(spark):
+    """Every doc lands in exactly one shard; shard sizes are hash-
+    balanced (no shard more than 3x the mean at n=500)."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    pdf = REGISTRY["global_shuffle_shards"].build(spark, "/root/testdata/sf0.01").toPandas()
+    n_docs = int(pdf["n_docs"].sum())
+    import duckdb
+
+    truth = duckdb.sql(
+        "select count(*) from '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchone()[0]
+    assert n_docs == truth
+    assert set(pdf["shard"]) <= set(range(16))
+    mean = n_docs / len(pdf)
+    assert pdf["n_docs"].max() <= 3 * mean
+
+
+def test_corpus_snapshot_diff_counts_match_modulus_math(spark):
+    """added/removed/changed totals equal the closed-form counts the
+    B-side derivation implies (17-drop wins over 13-revise on overlap)."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    pdf = REGISTRY["corpus_snapshot_diff"].build(spark, "/root/testdata/sf0.01").toPandas()
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        "select doc_id from '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()]
+    exp_removed = sum(1 for i in ids if i % 17 == 0)
+    exp_added = sum(1 for i in ids if i % 19 == 0)
+    exp_changed = sum(1 for i in ids if i % 13 == 0 and i % 17 != 0)
+    by = pdf.groupby("status")["n_docs"].sum().to_dict()
+    assert by.get("removed", 0) == exp_removed
+    assert by.get("added", 0) == exp_added
+    assert by.get("changed", 0) == exp_changed
+    assert by.get("unchanged", 0) == len(ids) - exp_removed - exp_changed

@@ -310,3 +310,34 @@ def test_q18_agg_then_broadcast_and_topk(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0].split("\n")[-1]
+
+
+def test_gopher_rules_no_explode_single_shuffle(spark):
+    """All three quality metrics are array expressions on the scan —
+    an explode+groupBy rewrite would shuffle every token; the only
+    exchange allowed is the per-lang hash agg."""
+    plan = plan_of(spark, "gopher_quality_rules")
+    assert "Generate" not in plan  # Generate = explode
+    import re
+
+    # formatted plans list each node once in the tree and once in the
+    # detail section — count detail headers only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # lang agg + orderBy
+
+
+def test_global_shuffle_shards_no_single_partition(spark):
+    """Hash-mod sharding must stay embarrassingly parallel — a global
+    NTILE would plan Exchange SinglePartition."""
+    plan = plan_of(spark, "global_shuffle_shards")
+    assert "SinglePartition" not in plan
+
+
+def test_snapshot_diff_joins_on_fingerprints_only(spark):
+    """The diff join ships (doc_id, lang, fp) — never the text column
+    — through the full-outer shuffle."""
+    plan = plan_of(spark, "corpus_snapshot_diff")
+    assert "FullOuter" in plan
+    import re
+    joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert joins, "expected a shuffle full-outer join"
+    assert not re.search(r"Exchange hashpartitioning\(.*text#", plan)
