@@ -61,13 +61,13 @@ _ROUND7_WINDOW = [
     "global_shuffle_shards",
     "corpus_snapshot_diff",
     "sequence_packing_bins",
-    "d1_js_divergence",
+    "label_balanced_resample",
     "d2_wasserstein",
     "d3_ks_statistic",
     "d4_adf_stationarity",
     "d6_hurst_exponent",
-    "d7_moment_ratio_panel",
-    "flagship_series_panel",
+    "embedding_int8_quantization_error",
+    "doc_embedding_join_panel",
     "multimodal_codec_roundtrip",
     "multimodal_metadata_panel",
     "multimodal_resize_roundtrip",

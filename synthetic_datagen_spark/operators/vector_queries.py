@@ -446,3 +446,148 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
+
+
+_NORM = "sqrt({d})".format(d=_DOT.format(a="embedding", b="embedding"))
+
+
+@register(
+    "label_balanced_resample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, label, embedding,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_kept,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(CAST(ROUND({_NORM}, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+FROM ranked WHERE rk <= 40
+GROUP BY label ORDER BY label
+""",
+    doc="Class-balanced dataset assembly: keep a deterministic 40-"
+    "vector sample per label, ranked by md5(vec_id) — the same hash-"
+    "rank idiom as stratified_hash_downsample, so the selection is "
+    "reproducible across engines and cluster sizes (no RAND). The "
+    "window partitions by label (never a global sort), and sum_vec_id "
+    "pins the exact selected membership while the decimal-summed "
+    "norms pin the payloads. The balancing step behind every "
+    "class-skew-corrected training mix.",
+)
+def label_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    norm = V.l2_norm(V._as_double(F.col("embedding")))
+    return (
+        emb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+            F.sum(F.round(norm, 6).cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_int8_quantization_error",
+    oracle="""
+WITH el AS (
+  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+), stats AS (
+  SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM el GROUP BY dim
+), q AS (
+  SELECT el.dim, el.x, s.vmin, s.vmax,
+         CASE WHEN s.vmax = s.vmin THEN 0.0
+              ELSE ABS(el.x - (s.vmin + FLOOR((el.x - s.vmin) / ((s.vmax - s.vmin) / 255.0) + 0.5)
+                                       * ((s.vmax - s.vmin) / 255.0)))
+         END AS abs_err
+  FROM el JOIN stats s USING (dim)
+)
+SELECT dim,
+       ROUND(MIN(vmin), 6) AS vmin,
+       ROUND(MAX(vmax), 6) AS vmax,
+       ROUND(CAST(SUM(CAST(ROUND(abs_err, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_abs_err,
+       ROUND(MAX(abs_err), 9) AS max_abs_err
+FROM q GROUP BY dim ORDER BY dim
+""",
+    doc="Int8 scalar-quantization error panel — the compression step "
+    "that shrinks an ANN corpus 4x before PQ even starts: per-"
+    "dimension min/max over the corpus, 255-level uniform grid, "
+    "round-to-nearest code (FLOOR(u+0.5) — identical in both engines, "
+    "unlike ROUND's tie rules), reconstruction error per element. The "
+    "64-row stats side broadcasts back onto the exploded elements, so "
+    "the plan is two hash-aggs plus a broadcast join — no shuffle of "
+    "the element table twice. Errors are decimal-summed after 9dp "
+    "rounding so the cross-row mean is order-independent.",
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    el = emb.select(
+        "vec_id", F.posexplode(V._as_double(F.col("embedding"))).alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    stats = el.groupBy("dim").agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+    scale = (F.col("vmax") - F.col("vmin")) / F.lit(255.0)
+    recon = F.col("vmin") + F.floor((F.col("x") - F.col("vmin")) / scale + 0.5) * scale
+    abs_err = F.when(F.col("vmax") == F.col("vmin"), F.lit(0.0)).otherwise(
+        F.abs(F.col("x") - recon)
+    )
+    q = el.join(F.broadcast(stats), "dim").withColumn("abs_err", abs_err)
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.round(F.min("vmin"), 6).alias("vmin"),
+            F.round(F.max("vmax"), 6).alias("vmax"),
+            F.round(
+                F.sum(F.round(F.col("abs_err"), 9).cast("decimal(18,9)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("mean_abs_err"),
+            F.round(F.max("abs_err"), 9).alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "doc_embedding_join_panel",
+    oracle=f"""
+SELECT e.label, d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(ROUND({_NORM.replace('embedding', 'e.embedding')}, 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY e.label, d.lang ORDER BY e.label, d.lang
+""",
+    doc="Document-to-embedding-row join: the RAG/curation primitive "
+    "that attaches a vector (and its cluster label) to each document "
+    "for label-aware corpus slicing. Plain co-partitioned equi-join on "
+    "the id — at 100 TB BOTH sides are large, so neither broadcasts; "
+    "the shuffle keys match the natural storage bucketing (doc_id / "
+    "vec_id), then one hash-agg per (label, lang). Decimal-summed "
+    "norms keep the cross-row float aggregation order-independent.",
+)
+def doc_embedding_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = cat.table("documents")
+    e = _emb(spark, sf_dir)
+    norm = V.l2_norm(V._as_double(F.col("embedding")))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.round(norm, 6).cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+        )
+        .orderBy("label", "lang")
+    )

@@ -341,3 +341,27 @@ def test_snapshot_diff_joins_on_fingerprints_only(spark):
     joins = [l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
     assert joins, "expected a shuffle full-outer join"
     assert not re.search(r"Exchange hashpartitioning\(.*text#", plan)
+
+
+def test_label_balance_window_partitioned(spark):
+    """The per-label rank window must partition by label — a global
+    rank would plan Exchange SinglePartition."""
+    plan = plan_of(spark, "label_balanced_resample")
+    assert "hashpartitioning(label" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_int8_quant_broadcasts_dim_stats(spark):
+    """The 64-row per-dim stats side must broadcast back onto the
+    exploded elements — reshuffling the element table on dim would
+    move corpus x 64 rows twice."""
+    plan = plan_of(spark, "embedding_int8_quantization_error")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_embedding_join_is_equi(spark):
+    """Co-partitioned equi-join on the id — never a nested loop."""
+    plan = plan_of(spark, "doc_embedding_join_panel")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
