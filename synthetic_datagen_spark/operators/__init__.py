@@ -18,6 +18,7 @@ from . import flagship  # noqa: F401,E402
 from . import generator_queries  # noqa: F401,E402
 from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
+from . import event_queries  # noqa: F401,E402
 
 # Round 7 window (first 50): the 11 SQL-oracled queries never driver-
 # sampled in rounds 1-6, the re-check of cyclical_time_features (the
@@ -72,9 +73,9 @@ _ROUND7_WINDOW = [
     "multimodal_metadata_panel",
     "multimodal_resize_roundtrip",
     "stream_decontamination_parity",
-    "q1_pricing_summary",
-    "rollup_region_status_revenue",
-    "skew_salted_agg",
+    "event_sessionization",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
     "decontamination_ngram_overlap",
     "decontamination_retention_by_lang",
 ]

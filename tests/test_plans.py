@@ -365,3 +365,27 @@ def test_doc_embedding_join_is_equi(spark):
     plan = plan_of(spark, "doc_embedding_join_panel")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionization_single_user_shuffle(spark):
+    """LAG and the running-SUM session id share one (user_id) window
+    spec — exactly one hashpartitioning(user_id) exchange, never a
+    SinglePartition global window."""
+    plan = plan_of(spark, "event_sessionization")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_funnel_no_self_joins(spark):
+    """The funnel computes all three stage timestamps via window
+    functions over one partition spec — the plan must contain no join
+    at all (the oracle uses staged joins; Spark must not)."""
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert j not in plan
+
+
+def test_cohort_retention_broadcasts_sizes(spark):
+    plan = plan_of(spark, "cohort_retention_weekly")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
