@@ -46,8 +46,8 @@ _ROUND7_WINDOW = [
     "orders_customer_nation_enrich",
     "q10_returned_items",
     "q6_forecast_revenue",
-    "top_orders_by_totalprice",
-    "union_dedup_events",
+    "range_window_trailing_1h",
+    "ntile_rank_panel",
     "q5_region_nation_revenue",
     "semi_join_customers_with_orders",
     "q3_top_revenue_orders",

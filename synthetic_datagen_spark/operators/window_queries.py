@@ -586,3 +586,91 @@ def resample_4h_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("avg_raw", ignorenulls=True).over(w), 6).alias("avg_value"),
         F.col("avg_raw").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "range_window_trailing_1h",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), w AS (
+  SELECT event_id, event_type, ts_us,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_sum,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY ts_us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_n
+  FROM e
+)
+SELECT event_id, event_type, CAST(trail_sum AS DOUBLE) AS trail_sum,
+       CAST(trail_n AS BIGINT) AS trail_n
+FROM w WHERE event_id < 2000 ORDER BY event_id
+""",
+    doc="RANGE-interval window (vs the ROWS windows of W3-W8): per "
+    "series, the trailing ONE-HOUR sum/count — frame bounds follow the "
+    "timestamp value, not row offsets, so ties and gaps are handled "
+    "by time semantics. Runs on epoch-microsecond BIGINT ordering "
+    "(identical frame edges in both engines) with decimal-exact sums; "
+    "the window partitions by event_type, never SinglePartition. The "
+    "time-decayed-feature primitive rows-based windows can't express.",
+)
+def range_window_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.sum("v").over(w).cast("double").alias("trail_sum"),
+            F.count("*").over(w).cast("bigint").alias("trail_n"),
+        )
+        .filter(F.col("event_id") < 2000)
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "ntile_rank_panel",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM r GROUP BY event_type, decile ORDER BY event_type, decile
+""",
+    doc="Rank-family coverage: NTILE(10) deciles within each series "
+    "(event_id tiebreak makes tile assignment deterministic), then "
+    "per-decile count / decimal-exact sum / min / max. Partitioned by "
+    "event_type — ntile needs a full-partition sort but never a "
+    "global one. The quantile-bucketing twin of A5's fixed-edge "
+    "digitize.",
+)
+def ntile_rank_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("event_type", "decile")
+    )

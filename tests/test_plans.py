@@ -389,3 +389,12 @@ def test_cohort_retention_broadcasts_sizes(spark):
     plan = plan_of(spark, "cohort_retention_weekly")
     assert "BroadcastHashJoin" in plan
     assert "SinglePartition" not in plan
+
+
+def test_range_and_ntile_windows_partitioned(spark):
+    """RANGE and NTILE windows stay series-partitioned — no global
+    sort, no SinglePartition exchange."""
+    for name in ("range_window_trailing_1h", "ntile_rank_panel"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning(event_type" in plan, name
+        assert "SinglePartition" not in plan, name
