@@ -71,7 +71,7 @@ _ROUND7_WINDOW = [
     "doc_embedding_join_panel",
     "multimodal_codec_roundtrip",
     "multimodal_metadata_panel",
-    "multimodal_resize_roundtrip",
+    "multimodal_phash_neardup",
     "stream_decontamination_parity",
     "event_sessionization",
     "funnel_view_click_purchase",

@@ -475,3 +475,90 @@ def multimodal_audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
             yield pd.DataFrame(out)
 
     return docs.repartition(32).mapInPandas(roundtrip, schema).orderBy("media_id")
+
+
+@register(
+    "multimodal_phash_neardup",
+    # rows-only: the DCT perceptual hash is not SQL-expressible; planted-
+    # pair recall and the zero-false-positive margin are pinned in
+    # tests/test_multimodal.py
+    doc="Image near-duplicate detection via DCT perceptual hash "
+    "(multimodal/phash.py): every doc renders a deterministic 32x32 "
+    "RGB image; every 5th doc additionally plants a JPEG-reencoded "
+    "(quality 95, real codec) variant under media_id + 1_000_000. "
+    "Stage 1 computes the 63-bit pHash in Arrow-batched mapInPandas; "
+    "stage 2 is pure DataFrame ops — Manku pigeonhole blocking (8 "
+    "blocks x 8 bits, any hamming<=7 pair shares an exact block), "
+    "bucket equi-join, then bit_count(a XOR b) <= 7 verification "
+    "JVM-side. Candidates stay ~linear (no all-pairs); measured "
+    "margins on this corpus: re-encode pairs mean hamming 3.7, "
+    "unrelated images >= 18.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..multimodal.jpeg import decode_jpeg, encode_jpeg
+    from ..multimodal.phash import phash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("raw")
+    )
+
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("ph", T.LongType())]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, phs = [], []
+            for did, raw in zip(pdf["doc_id"], pdf["raw"]):
+                did = int(did)
+                buf = np.frombuffer(bytes(raw), dtype=np.uint8)
+                px = np.resize(buf, (32, 32, 3)).astype(np.uint8)
+                ids.append(did)
+                phs.append(phash64(px))
+                if did % 5 == 0:  # plant a re-encoded near-duplicate
+                    px2 = decode_jpeg(encode_jpeg(px, quality=95))
+                    ids.append(did + 1_000_000)
+                    phs.append(phash64(px2))
+            yield pd.DataFrame({"media_id": ids, "ph": phs})
+
+    sig = docs.repartition(32).mapInPandas(hashes, schema)
+
+    # pigeonhole candidates: 8 blocks of 8 bits
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("ph"), 8 * i).bitwiseAND(F.lit(255)).alias("val"),
+            )
+            for i in range(8)
+        ]
+    )
+    exploded = sig.select("media_id", "ph", F.explode(blocks).alias("b")).select(
+        "media_id", "ph", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .distinct()
+    )
+    return cand.withColumn(
+        "is_planted_pair", F.col("id_b") == F.col("id_a") + 1_000_000
+    ).orderBy("id_a", "id_b")

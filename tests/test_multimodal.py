@@ -86,3 +86,47 @@ def test_audio_spectrogram_real_dsp(spark, media):
         for r in audio_spectrogram(media.repartition(5)).collect()
     )
     assert a == b
+
+
+class TestPhashNearDup:
+    def test_phash_deterministic_and_nonnegative(self):
+        import numpy as np
+
+        from synthetic_datagen_spark.multimodal.phash import phash64
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        h1, h2 = phash64(px), phash64(px.copy())
+        assert h1 == h2
+        assert 0 <= h1 < 2**63
+
+    def test_phash_resize_pooling_matches_native(self):
+        """A 64x64 image block-pooled to 32x32 hashes identically to
+        the pre-pooled 32x32 image."""
+        import numpy as np
+
+        from synthetic_datagen_spark.multimodal.phash import _to_gray32, phash64
+
+        rng = np.random.default_rng(11)
+        big = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        pooled = _to_gray32(big)
+        assert pooled.shape == (32, 32)
+        small = big.astype(np.float64).mean(axis=2).reshape(32, 2, 32, 2).mean(axis=(1, 3))
+        assert np.allclose(pooled, small)
+
+    def test_phash_neardup_recall_and_margin(self, spark):
+        """Planted JPEG-q95 re-encode pairs: recall >= 0.85 at
+        hamming <= 7, and ZERO cross-document pairs (measured corpus
+        margin: unrelated images >= 18 bits apart)."""
+        from synthetic_datagen_spark.operators import REGISTRY
+
+        pdf = (
+            REGISTRY["multimodal_phash_neardup"]
+            .build(spark, "/root/testdata/sf0.01")
+            .toPandas()
+        )
+        n_planted_total = 100  # doc_id % 5 == 0 among 500 docs
+        planted_found = int(pdf["is_planted_pair"].sum())
+        assert planted_found >= 0.85 * n_planted_total
+        assert (~pdf["is_planted_pair"]).sum() == 0
+        assert (pdf["hamming"] <= 7).all()
