@@ -130,3 +130,31 @@ class TestPhashNearDup:
         assert planted_found >= 0.85 * n_planted_total
         assert (~pdf["is_planted_pair"]).sum() == 0
         assert (pdf["hamming"] <= 7).all()
+
+
+class TestAudioFingerprintNearDup:
+    def test_audio_fingerprint_recall_and_precision(self, spark):
+        """All 125 planted mu-law roundtrip pairs found (doc_id%4==0 of
+        500 docs); every additional pair must be a GENUINE near-dup —
+        the corpus contains planted text near-duplicates whose derived
+        signals are legitimately close (>=90% identical prefix chars)."""
+        import duckdb
+
+        from synthetic_datagen_spark.operators import REGISTRY
+
+        pdf = (
+            REGISTRY["multimodal_audio_fingerprint_neardup"]
+            .build(spark, "/root/testdata/sf0.01")
+            .toPandas()
+        )
+        assert int(pdf["is_planted_pair"].sum()) == 125
+        texts = dict(
+            duckdb.sql(
+                "select doc_id, text from '/root/testdata/sf0.01/documents.parquet'"
+            ).fetchall()
+        )
+        for _, r in pdf[~pdf["is_planted_pair"]].iterrows():
+            a, b = int(r.id_a) % 1_000_000, int(r.id_b) % 1_000_000
+            pa, pb = texts[a][:1500], texts[b][:1500]
+            match = sum(1 for x, y in zip(pa, pb) if x == y) / max(len(pa), len(pb))
+            assert match >= 0.90, (a, b, match)
