@@ -202,3 +202,47 @@ def test_corpus_snapshot_diff_counts_match_modulus_math(spark):
     assert by.get("added", 0) == exp_added
     assert by.get("changed", 0) == exp_changed
     assert by.get("unchanged", 0) == len(ids) - exp_removed - exp_changed
+
+
+def test_pigeonhole_pairs_complete_vs_brute_force(spark):
+    """The shared bit-signature kernel (functions/bitsig.py) must find
+    EXACTLY the brute-force hamming<=7 pair set on random 63-bit
+    signatures — completeness is the pigeonhole guarantee, precision
+    is the bit_count verify."""
+    import random
+
+    from synthetic_datagen_spark.functions.bitsig import pigeonhole_pairs
+
+    rng = random.Random(1234)
+    # cluster some signatures so qualifying pairs actually exist
+    base = [rng.getrandbits(63) for _ in range(40)]
+    sigs = []
+    for i, b in enumerate(base):
+        sigs.append((i * 10, b))
+        for j in range(2):  # two perturbed variants within hamming 7
+            flipped = b
+            for bit in rng.sample(range(63), rng.randint(0, 7)):
+                flipped ^= 1 << bit
+            sigs.append((i * 10 + j + 1, flipped))
+    truth = {
+        (a_id, b_id)
+        for i, (a_id, a) in enumerate(sigs)
+        for b_id, b in sigs[i + 1 :]
+        if bin(a ^ b).count("1") <= 7
+        for a_id, b_id in [(min(a_id, b_id), max(a_id, b_id))]
+    }
+    df = spark.createDataFrame(sigs, ["sid", "sig"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in pigeonhole_pairs(df, "sid", "sig", max_hamming=7).collect()
+    }
+    assert got == truth and len(truth) >= 80  # every planted variant pairs
+
+
+def test_pigeonhole_rejects_incomplete_config():
+    import pytest as _pytest
+
+    from synthetic_datagen_spark.functions.bitsig import pigeonhole_pairs
+
+    with _pytest.raises(ValueError):
+        pigeonhole_pairs(None, "id", "sig", n_blocks=4, max_hamming=4)
