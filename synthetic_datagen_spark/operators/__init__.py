@@ -40,7 +40,7 @@ _ROUND7_WINDOW = [
     "string_functions_panel",
     "zscore_normalization",
     "cyclical_time_features",
-    "anti_join_customers_without_orders",
+    "q7_nation_volume_shipping",
     "asof_join_purchase_click",
     "dedup_first_event_per_user",
     "orders_customer_nation_enrich",
@@ -48,9 +48,9 @@ _ROUND7_WINDOW = [
     "q6_forecast_revenue",
     "range_window_trailing_1h",
     "ntile_rank_panel",
-    "q5_region_nation_revenue",
-    "semi_join_customers_with_orders",
-    "q3_top_revenue_orders",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
     "incremental_ingest_dedup",
     "q4_priority_late_ship",
     "training_mix_resample",

@@ -612,3 +612,193 @@ def q19_disjunctive_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lines"), F.sum(disc_price).cast("double").alias("revenue"))
         .orderBy("p_brand")
     )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7-style cross-nation volume: one fact-fact shuffle "
+    "(lineitem x orders on orderkey) and FOUR broadcast dims — the "
+    "supplier/customer nation pair filter prunes both dim sides "
+    "before their joins, so the disjunctive nation-pair predicate "
+    "never touches the fact shuffle. Year extraction groups the "
+    "decimal-exact revenue.",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = cat.table("orders")
+    c, s = cat.dim("customer"), cat.dim("supplier")
+    nc = cat.dim("nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = cat.dim("nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q15_top_supplier_revenue",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({_DISC_PRICE}) AS DECIMAL(18,4)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15 top supplier: quarterly per-supplier revenue, then "
+    "the scalar-subquery MAX filter. Spark reuses ONE revenue frame "
+    "for both the max (a single-row broadcast) and the equality "
+    "filter; revenue stays DECIMAL through the comparison so the "
+    "max-equality can't be lost to float rounding, and only the "
+    "final projection casts to double.",
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(disc_price).cast("decimal(18,4)").alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = cat.dim("supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pavg AS (
+  SELECT l_partkey, AVG(CAST(l_quantity AS DECIMAL(12,2))) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN pavg p ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(12,2)) < 0.5 * p.avg_qty
+""",
+    doc="TPC-H Q17-style small-quantity revenue: the correlated "
+    "per-part average becomes a self-aggregate joined back on "
+    "partkey. Both sides shuffle on l_partkey (the agg output is "
+    "per-part and at 100 TB is NOT broadcastable — the co-partitioned "
+    "join is the honest plan; AQE may still broadcast at small sf). "
+    "The avg is computed in DECIMAL: DuckDB's AVG over DECIMAL and "
+    "Spark's agree exactly, so the 0.5x threshold comparison can't "
+    "straddle a float ulp.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    pavg = li.groupBy("l_partkey").agg(F.avg(_dec("l_quantity")).alias("avg_qty"))
+    j = li.alias("l").join(pavg.alias("p"), "l_partkey").filter(
+        _dec("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.count("*").alias("n_lines"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+    )
+
+
+@register(
+    "q22_idle_customer_balance",
+    oracle="""
+WITH pos AS (
+  SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) > pos.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+    doc="TPC-H Q22-style dormant high-balance customers: scalar "
+    "subquery (above-average positive balance, decimal-exact so the "
+    "threshold is bit-identical in both engines) + NOT EXISTS "
+    "(no order since mid-2000 — every customer in this corpus has "
+    "SOME order, so dormancy is recency-scoped) as a LEFT ANTI join "
+    "against the date-filtered orders, grouped by market segment. "
+    "The single-row average broadcasts; the anti join shuffles on "
+    "custkey with the date filter pushed to the orders scan.",
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(_dec("c_acctbal")).alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal), _dec("c_acctbal") > F.col("avg_bal"))
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

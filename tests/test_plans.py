@@ -398,3 +398,26 @@ def test_range_and_ntile_windows_partitioned(spark):
         plan = plan_of(spark, name)
         assert "hashpartitioning(event_type" in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_q7_single_fact_shuffle_four_broadcasts(spark):
+    """Q7's only shuffle join is lineitem x orders; customer, supplier
+    and both nation copies broadcast."""
+    plan = plan_of(spark, "q7_nation_volume_shipping")
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 4
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) <= 1
+
+
+def test_q15_decimal_max_broadcast(spark):
+    """The scalar MAX side is a single-row broadcast; revenue stays
+    decimal through the equality."""
+    plan = plan_of(spark, "q15_top_supplier_revenue")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q22_anti_join_with_pushed_date(spark):
+    plan = plan_of(spark, "q22_idle_customer_balance")
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
