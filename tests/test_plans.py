@@ -421,3 +421,46 @@ def test_q22_anti_join_with_pushed_date(spark):
     plan = plan_of(spark, "q22_idle_customer_balance")
     assert "LeftAnti" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime filtering (the third pruning axis after static pushdown
+    and partition pruning): a selective filter on the orders side of a
+    shuffle join must inject a bloom filter that pre-prunes the
+    lineitem scan (might_contain in the executed plan) — at 100 TB
+    this skips whole row groups of the fact table at runtime. Spark
+    gates it behind size thresholds sized for clusters, so the test
+    pins the CAPABILITY with thresholds scaled to the fixture."""
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.sources import Catalog
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = Catalog(spark, SF).table("orders").filter(F.col("o_totalprice") > 90000)
+        li = Catalog(spark, SF).table("lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
