@@ -43,8 +43,8 @@ _ROUND7_WINDOW = [
     "q7_nation_volume_shipping",
     "asof_join_purchase_click",
     "dedup_first_event_per_user",
-    "orders_customer_nation_enrich",
-    "q10_returned_items",
+    "s11_orc_roundtrip_summary",
+    "s12_small_file_compaction",
     "q6_forecast_revenue",
     "range_window_trailing_1h",
     "ntile_rank_panel",

@@ -559,3 +559,77 @@ def stream_decontamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("overlap_grams"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "s11_orc_roundtrip_summary",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY lang, source ORDER BY lang, source
+""",
+    doc="ORC source/sink coverage (Spark-native columnar format #2): "
+    "documents round-trip parquet -> ORC (zlib, Spark's native writer) "
+    "-> DataFrame, then aggregate per (lang, source). The oracle reads "
+    "the ORIGINAL parquet — an exact match proves the ORC write/read "
+    "preserved every row, string, and count bit-for-bit, which is the "
+    "fidelity contract a format migration at 100 TB needs. Write is "
+    "cached per sf-dir and idempotent (overwrite).",
+)
+def s11_orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"/tmp/spark_graft_orc/{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = Catalog(spark, sf_dir).table("documents")
+    docs.write.mode("overwrite").orc(f"{base}/documents")
+    back = spark.read.orc(f"{base}/documents")
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "s12_small_file_compaction",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT) AS files_after,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+""",
+    doc="Small-file compaction — the #1 storage-maintenance op on a "
+    "100 TB lake (tiny files strangle scan parallelism setup and NN "
+    "metadata): events written as 64 shards, compacted via "
+    "repartition(4) into 4, both layouts verified by filesystem "
+    "listing (the reported file counts are MEASURED, not assumed) and "
+    "the compacted copy re-aggregated. The oracle reads the original "
+    "events — matching totals prove compaction lost/duplicated "
+    "nothing; decimal sums keep the check exact.",
+)
+def s12_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"/tmp/spark_graft_compact/{os.path.basename(sf_dir.rstrip('/'))}"
+    ev = Catalog(spark, sf_dir).table("events")
+    ev.repartition(64).write.mode("overwrite").parquet(f"{base}/small")
+    small = spark.read.parquet(f"{base}/small")
+    small.repartition(4).write.mode("overwrite").parquet(f"{base}/compact")
+
+    def _n_parquet(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    files_before = _n_parquet(f"{base}/small")
+    files_after = _n_parquet(f"{base}/compact")
+    back = spark.read.parquet(f"{base}/compact")
+    return back.agg(
+        F.lit(files_before).cast("bigint").alias("files_before"),
+        F.lit(files_after).cast("bigint").alias("files_after"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
