@@ -1779,3 +1779,131 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "status")
     )
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str, cap: int = 65536) -> dict[str, int]:
+    """Corpus word-frequency table: ONE hash aggregate (map-side
+    combined), capped to the ``cap`` most frequent words (count desc,
+    word asc) before the driver collect — the bounded-collect idiom
+    shared with the PQ codebook trainer."""
+    tok = (
+        _docs_wide(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(cap)
+    )
+    return {r.w: r.c for r in tok.collect()}
+
+
+@register(
+    "bpe_train_merges",
+    # rows-only: iterative merge learning is not SQL-expressible; the
+    # merge table is pinned against an independent pure-python
+    # reference in tests/test_dedup.py
+    doc="BPE tokenizer training (Sennrich 2016) — the step every LLM "
+    "pipeline runs before anything counts 'tokens': word frequencies "
+    "via ONE distributed hash aggregate (map-side combined, capped "
+    "collect), then 40 merges learned on the compact freq table with "
+    "deterministic (count desc, pair asc) tie-breaking "
+    "(functions/bpe.py — the same trainer structure HF tokenizers / "
+    "SentencePiece use: corpus pass is distributed, the merge loop "
+    "runs on word COUNTS, never the raw corpus). Output is the "
+    "ordered merge table.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import train_bpe
+
+    freq = _bpe_word_freq(spark, sf_dir)
+    merges = train_bpe(freq, n_merges=40)
+    rows = [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_step INT, left STRING, right STRING, pair_count BIGINT"
+    ).orderBy("merge_step")
+
+
+@register(
+    "bpe_tokenize_stats",
+    # rows-only: tokenization applies the learned (non-SQL) merges;
+    # compression invariants pinned in tests
+    doc="BPE tokenization at corpus scale: the 40 learned merges "
+    "broadcast to an Arrow-batched mapInPandas segmenter; per-language "
+    "panel of chars/word, BPE tokens/word, and the compression ratio "
+    "vs character-level tokenization. The corpus pass is "
+    "embarrassingly parallel — rules are a tiny broadcast list, state "
+    "per task is O(|rules|).",
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.bpe import apply_bpe, train_bpe
+
+    freq = _bpe_word_freq(spark, sf_dir)
+    merges = train_bpe(freq, n_merges=40)
+    sc = spark.sparkContext
+    bc = sc.broadcast(merges)
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rules = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out = {"lang": [], "n_words": [], "n_chars": [], "n_bpe_tokens": []}
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                words = [w for w in str(text).lower().strip().split() if w]
+                nc = sum(len(w) for w in words)
+                nt = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(apply_bpe(w, rules))
+                    nt += memo[w]
+                out["lang"].append(lang)
+                out["n_words"].append(len(words))
+                out["n_chars"].append(nc)
+                out["n_bpe_tokens"].append(nt)
+            yield pd.DataFrame(out)
+
+    per_doc = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("lang", "text")
+        .mapInPandas(segment, schema)
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_word",
+            F.round(F.col("total_chars") / F.col("total_words").cast("double"), 6),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("total_bpe_tokens") / F.col("total_words").cast("double"), 6),
+        )
+        .withColumn(
+            "compression_vs_chars",
+            F.round(
+                F.col("total_bpe_tokens")
+                / (F.col("total_chars") + F.col("total_words")).cast("double"),
+                6,
+            ),
+        )
+        .orderBy("lang")
+    )

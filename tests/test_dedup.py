@@ -246,3 +246,92 @@ def test_pigeonhole_rejects_incomplete_config():
 
     with _pytest.raises(ValueError):
         pigeonhole_pairs(None, "id", "sig", n_blocks=4, max_hamming=4)
+
+
+class TestBPE:
+    def test_merge_table_matches_independent_reference(self, spark):
+        """Re-derive the merge sequence with an independent Counter-
+        based implementation over the same DuckDB-computed frequency
+        table; the Spark query's table must match exactly."""
+        import collections
+        import re
+
+        import duckdb
+
+        from synthetic_datagen_spark.operators import REGISTRY
+
+        texts = [
+            r[0]
+            for r in duckdb.sql(
+                "select text from '/root/testdata/sf0.01/documents.parquet'"
+            ).fetchall()
+        ]
+        wf = collections.Counter()
+        for t in texts:
+            for w in re.split(r"\s+", t.lower().strip()):
+                if w:
+                    wf[w] += 1
+
+        def reference_merges(freq, n):
+            vocab = collections.Counter()
+            for w, c in freq.items():
+                vocab[tuple(w) + ("</w>",)] += c
+            res = []
+            for _ in range(n):
+                pc = collections.Counter()
+                for sym, c in vocab.items():
+                    for p in zip(sym, sym[1:]):
+                        pc[p] += c
+                if not pc:
+                    break
+                (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+                if cnt < 2:
+                    break
+                res.append((a, b, cnt))
+                nv = collections.Counter()
+                for sym, c in vocab.items():
+                    out, i = [], 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (a, b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    nv[tuple(out)] += c
+                vocab = nv
+            return res
+
+        want = reference_merges(wf, 40)
+        got = [
+            (r.left, r.right, r.pair_count)
+            for r in REGISTRY["bpe_train_merges"]
+            .build(spark, "/root/testdata/sf0.01")
+            .collect()
+        ]
+        assert got == want and len(got) == 40
+
+    def test_tokenize_stats_invariants(self, spark):
+        """BPE tokens/word must sit strictly between 1 and chars/word+1
+        (the char-level count incl. end marker), and compression < 1."""
+        from synthetic_datagen_spark.operators import REGISTRY
+
+        pdf = (
+            REGISTRY["bpe_tokenize_stats"]
+            .build(spark, "/root/testdata/sf0.01")
+            .toPandas()
+        )
+        assert len(pdf) == 5
+        assert (pdf["tokens_per_word"] > 1.0).all()
+        assert (pdf["tokens_per_word"] < pdf["chars_per_word"] + 1.0).all()
+        assert (pdf["compression_vs_chars"] < 1.0).all()
+
+    def test_apply_bpe_roundtrip_identity(self):
+        """Tokenization never loses characters: concatenating tokens
+        (end marker stripped) reproduces the word."""
+        from synthetic_datagen_spark.functions.bpe import apply_bpe, train_bpe
+
+        merges = train_bpe({"window": 10, "widow": 7, "win": 5, "order": 9}, 20)
+        for w in ("window", "widow", "win", "order", "wisdom"):
+            toks = apply_bpe(w, merges)
+            assert "".join(toks).replace("</w>", "") == w
