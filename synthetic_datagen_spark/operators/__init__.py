@@ -42,7 +42,7 @@ _ROUND7_WINDOW = [
     "cyclical_time_features",
     "q7_nation_volume_shipping",
     "asof_join_purchase_click",
-    "dedup_first_event_per_user",
+    "embedding_truncation_fidelity",
     "s11_orc_roundtrip_summary",
     "s12_small_file_compaction",
     "q6_forecast_revenue",

@@ -591,3 +591,89 @@ def doc_embedding_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "lang")
     )
+
+
+def _dot_prefix(a: str, b: str, k: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {k}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+@register(
+    "embedding_truncation_fidelity",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 200
+), dims AS (
+  SELECT id_a, id_b, ea, eb, k
+  FROM pairs, UNNEST([8, 16, 32, 64]) AS t(k)
+), sims AS (
+  SELECT k,
+         {_dot_prefix('ea','eb','k')}
+           / (sqrt({_dot_prefix('ea','ea','k')}) * sqrt({_dot_prefix('eb','eb','k')}))
+           AS cos_k,
+         {_dot_prefix('ea','eb','64')}
+           / (sqrt({_dot_prefix('ea','ea','64')}) * sqrt({_dot_prefix('eb','eb','64')}))
+           AS cos_full
+  FROM dims
+)
+SELECT k, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(ABS(cos_k - cos_full), 9) AS DECIMAL(18,9)))
+                  AS DOUBLE) / COUNT(*), 9) AS mean_abs_err,
+       ROUND(MAX(ABS(cos_k - cos_full)), 9) AS max_abs_err
+FROM sims GROUP BY k ORDER BY k
+""",
+    doc="Matryoshka-style truncation fidelity: how much cosine "
+    "similarity survives keeping only the first k of 64 dimensions "
+    "(k = 8/16/32/64) — the panel that justifies prefix-truncated "
+    "storage tiers before committing a 100 TB re-embed. 200 "
+    "consecutive-id pairs scored at each k with JVM higher-order "
+    "functions (slice + aggregate — no UDF, no explode of the vector "
+    "table); errors decimal-summed after 9dp rounding so the cross-"
+    "row mean is order-independent. k=64 rows pin the harness (error "
+    "exactly 0).",
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+
+    def cos_at(k: int) -> F.Column:
+        ea = V._as_double(F.slice(F.col("ea"), 1, k))
+        eb = V._as_double(F.slice(F.col("eb"), 1, k))
+        return V.dot(ea, eb) / (V.l2_norm(ea) * V.l2_norm(eb))
+
+    dims = pairs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        cos_at(k).alias("cos_k"),
+                        cos_at(64).alias("cos_full"),
+                    )
+                    for k in (8, 16, 32, 64)
+                ]
+            )
+        ).alias("s")
+    ).select("s.k", "s.cos_k", "s.cos_full")
+    err = F.abs(F.col("cos_k") - F.col("cos_full"))
+    return (
+        dims.groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(err, 9).cast("decimal(18,9)")).cast("double") / F.count("*"),
+                9,
+            ).alias("mean_abs_err"),
+            F.round(F.max(err), 9).alias("max_abs_err"),
+        )
+        .orderBy("k")
+    )
