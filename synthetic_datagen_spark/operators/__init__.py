@@ -45,7 +45,7 @@ _ROUND7_WINDOW = [
     "embedding_truncation_fidelity",
     "s11_orc_roundtrip_summary",
     "s12_small_file_compaction",
-    "q6_forecast_revenue",
+    "zipf_rank_frequency_panel",
     "range_window_trailing_1h",
     "ntile_rank_panel",
     "q15_top_supplier_revenue",

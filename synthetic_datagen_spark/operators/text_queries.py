@@ -1907,3 +1907,80 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "zipf_rank_frequency_panel",
+    oracle=r"""
+WITH tok AS (
+  SELECT lang, u.t AS token
+  FROM (SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0) d,
+       UNNEST(toks) AS u(t)
+  WHERE length(u.t) > 0
+), fr AS (
+  SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY lang, token
+), rk AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, token) AS r
+  FROM fr
+), pts AS (
+  SELECT lang, r, c,
+         CAST(ROUND(ln(r), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(ln(c), 9) AS DECIMAL(18,9)) AS y,
+         CAST(ROUND(ln(r) * ln(r), 9) AS DECIMAL(18,9)) AS xx,
+         CAST(ROUND(ln(r) * ln(c), 9) AS DECIMAL(18,9)) AS xy
+  FROM rk
+)
+SELECT lang, COUNT(*) AS n_types,
+       ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+             / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+               - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS zipf_slope,
+       CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) AS top_freq
+FROM pts GROUP BY lang ORDER BY lang
+""",
+    doc="Zipf rank-frequency panel per language: token frequencies "
+    "ranked (deterministic token tiebreak), then the log-log least-"
+    "squares slope from closed-form sums — the corpus-health "
+    "diagnostic (natural text tracks slope ~ -1; synthetic or "
+    "templated corpora deviate hard, which this corpus does). Every "
+    "regression term is rounded then decimal-summed so the per-lang "
+    "slope is bit-identical regardless of aggregation order; the "
+    "rank window partitions by lang.",
+)
+def zipf_rank_frequency_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    fr = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    rk = fr.withColumn("r", F.row_number().over(w))
+    lnr, lnc = F.log(F.col("r").cast("double")), F.log(F.col("c").cast("double"))
+    pts = rk.select(
+        "lang",
+        "r",
+        "c",
+        F.round(lnr, 9).cast("decimal(18,9)").alias("x"),
+        F.round(lnc, 9).cast("decimal(18,9)").alias("y"),
+        F.round(lnr * lnr, 9).cast("decimal(18,9)").alias("xx"),
+        F.round(lnr * lnc, 9).cast("decimal(18,9)").alias("xy"),
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxx, sxy = F.sum("xx").cast("double"), F.sum("xy").cast("double")
+    return (
+        pts.groupBy("lang")
+        .agg(
+            n.alias("n_types"),
+            F.round(
+                (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+            ).alias("zipf_slope"),
+            F.max(F.when(F.col("r") == 1, F.col("c"))).cast("bigint").alias("top_freq"),
+        )
+        .orderBy("lang")
+    )
