@@ -70,7 +70,7 @@ _ROUND7_WINDOW = [
     "embedding_int8_quantization_error",
     "doc_embedding_join_panel",
     "multimodal_codec_roundtrip",
-    "multimodal_metadata_panel",
+    "s13_jsonl_roundtrip_summary",
     "multimodal_phash_neardup",
     "stream_decontamination_parity",
     "event_sessionization",

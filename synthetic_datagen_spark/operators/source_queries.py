@@ -633,3 +633,49 @@ def s12_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "s13_jsonl_roundtrip_summary",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="JSON-lines source/sink coverage (format #3 after CSV and "
+    "ORC): events round-trip parquet -> JSONL (timestamps written as "
+    "epoch microseconds so the text format loses no precision — raw "
+    "JSON timestamps truncate to millis) -> schema-enforced read -> "
+    "aggregate. The oracle reads the ORIGINAL parquet; matching "
+    "decimal sums and exact microsecond endpoints prove the text "
+    "round-trip is lossless. Explicit read schema keeps the scan "
+    "one-pass (no inference job).",
+)
+def s13_jsonl_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = f"/tmp/spark_graft_jsonl/{os.path.basename(sf_dir.rstrip('/'))}"
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.write.mode("overwrite").json(f"{base}/events")
+    back = spark.read.schema(
+        "event_id BIGINT, ts_us BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(f"{base}/events")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.min("ts_us").cast("bigint").alias("first_ts_us"),
+            F.max("ts_us").cast("bigint").alias("last_ts_us"),
+        )
+        .orderBy("event_type")
+    )
