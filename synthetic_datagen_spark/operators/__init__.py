@@ -41,7 +41,7 @@ _ROUND7_WINDOW = [
     "zscore_normalization",
     "cyclical_time_features",
     "q7_nation_volume_shipping",
-    "asof_join_purchase_click",
+    "knn_recall_eval",
     "embedding_truncation_fidelity",
     "s11_orc_roundtrip_summary",
     "s12_small_file_compaction",

@@ -323,3 +323,15 @@ def test_ivfpq_index_lifecycle_and_recall(spark, sf_smoke, tmp_path):
     more = {(r.query_id, r.neighbor_id)
             for r in idx.query(q, 5, n_probe=8, rescore=emb).collect()}
     assert len(bf & more) >= len(bf & got)
+
+
+def test_knn_recall_eval_panel(spark):
+    """The catalog recall evaluator reports the production configs:
+    both index families must clear 0.4 recall@5 at sf0.01, and
+    true_positives must be consistent with the recall column."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    pdf = REGISTRY["knn_recall_eval"].build(spark, "/root/testdata/sf0.01").toPandas()
+    assert set(pdf["method"]) == {"lsh_8x5", "ivf_16_4"}
+    assert (pdf["recall_at_5"] >= 0.4).all()
+    assert (pdf["true_positives"] == (pdf["recall_at_5"] * 50).round()).all()
