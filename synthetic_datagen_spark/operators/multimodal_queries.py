@@ -606,3 +606,71 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
     return cand.withColumn(
         "is_planted_pair", F.col("id_b") == F.col("id_a") + 1_000_000
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_cross_dedup_clusters",
+    # rows-only: composes the (non-SQL) image/audio signature pipelines
+    # with the text MinHash candidates; cluster invariants in tests
+    doc="Cross-modality duplicate clustering — the capstone dedup op: "
+    "text MinHash-LSH candidate pairs, image pHash pairs, and audio "
+    "spectral-fingerprint pairs (planted-variant ids folded back to "
+    "their source doc) union into ONE edge list tagged by modality; "
+    "the shared min-label CC kernel assigns clusters; output reports "
+    "per-cluster size and which modalities found it. A duplicate "
+    "caught by >=2 independent signals is a high-confidence removal "
+    "at 100 TB — single-signal clusters get human review. All three "
+    "pair generators stay banded/bucketed (~linear candidates).",
+)
+def multimodal_cross_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import min_label_components
+    from ..operators.text_queries import _lsh_candidates
+    from .base import REGISTRY
+
+    def doc_level(pairs: DataFrame, modality: str) -> DataFrame:
+        a = F.pmod(F.col("id_a"), F.lit(1_000_000))
+        b = F.pmod(F.col("id_b"), F.lit(1_000_000))
+        return (
+            pairs.select(
+                F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+            .withColumn("modality", F.lit(modality))
+        )
+
+    text = (
+        _lsh_candidates(spark, sf_dir)
+        .withColumn("modality", F.lit("text"))
+        .select("id_a", "id_b", "modality")
+    )
+    image = doc_level(
+        REGISTRY["multimodal_phash_neardup"].build(spark, sf_dir), "image"
+    )
+    audio = doc_level(
+        REGISTRY["multimodal_audio_fingerprint_neardup"].build(spark, sf_dir), "audio"
+    )
+    edges = text.unionByName(image).unionByName(audio)
+    labels = min_label_components(edges.select("id_a", "id_b").distinct())
+    tagged = edges.join(
+        labels, edges.id_a == labels.node_id, "inner"
+    ).select("cluster_id", "modality", "id_a", "id_b")
+    return (
+        tagged.groupBy("cluster_id")
+        .agg(
+            (
+                F.size(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.array("id_a", "id_b")))
+                    )
+                )
+            ).alias("n_docs"),
+            F.sort_array(F.collect_set("modality")).alias("modalities"),
+            F.count(F.when(F.col("modality") == "text", 1)).alias("n_text_pairs"),
+            F.count(F.when(F.col("modality") == "image", 1)).alias("n_image_pairs"),
+            F.count(F.when(F.col("modality") == "audio", 1)).alias("n_audio_pairs"),
+        )
+        .withColumn("n_modalities", F.size("modalities"))
+        .withColumn("modalities", F.concat_ws(",", "modalities"))
+        .orderBy("cluster_id")
+    )

@@ -158,3 +158,28 @@ class TestAudioFingerprintNearDup:
             pa, pb = texts[a][:1500], texts[b][:1500]
             match = sum(1 for x, y in zip(pa, pb) if x == y) / max(len(pa), len(pb))
             assert match >= 0.90, (a, b, match)
+
+
+class TestCrossModalityDedup:
+    def test_cross_dedup_clusters_multi_signal(self, spark):
+        """The union graph must produce clusters, a nonempty subset
+        confirmed by >=2 independent modalities (high-confidence
+        removals), and per-cluster pair counts must sum to the tagged
+        edge totals."""
+        from synthetic_datagen_spark.operators import REGISTRY
+
+        pdf = (
+            REGISTRY["multimodal_cross_dedup_clusters"]
+            .build(spark, "/root/testdata/sf0.01")
+            .toPandas()
+        )
+        assert len(pdf) >= 20
+        assert (pdf["n_docs"] >= 2).all()
+        multi = pdf[pdf["n_modalities"] >= 2]
+        assert len(multi) >= 5
+        # modality string always consistent with the counts
+        for _, r in pdf.iterrows():
+            mods = set(r.modalities.split(","))
+            assert ("text" in mods) == (r.n_text_pairs > 0)
+            assert ("audio" in mods) == (r.n_audio_pairs > 0)
+            assert ("image" in mods) == (r.n_image_pairs > 0)
