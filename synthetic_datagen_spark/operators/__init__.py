@@ -22,11 +22,17 @@ from . import event_queries  # noqa: F401,E402
 
 # Round 7 window (first 50): the 11 SQL-oracled queries never driver-
 # sampled in rounds 1-6, the re-check of cyclical_time_features (the
-# -0.0 fix), the four queries REGISTERED this round (decontamination
-# pair, training mix, sequence packing — all oracled), then the
-# stalest-sampled oracled queries (last seen r1-r5) so every slot
-# yields a hash verdict. After this rotation, cumulative driver
-# coverage includes every SQL-oracled query in the catalog.
+# -0.0 fix), then every query REGISTERED this round (the late-r7
+# wave displaced the stale r1-r5 re-check slots it had originally —
+# new oracled queries outrank green re-checks): TPC-H q4/q7/q14/q15/
+# q17/q18/q19/q22, the training-pipeline ops (gopher rules, shards,
+# snapshot diff, label balance, int8 quant, doc-vec join, truncation
+# fidelity, zipf), event analytics (sessionization/funnel/cohort),
+# RANGE + NTILE windows, source formats (ORC/compaction/JSONL), and
+# the rows-only pHash near-dup + ANN recall panel. Round-8 rotation:
+# re-check any red rows first, then cycle queries last sampled r1-r5
+# (q1/q3/q5/q6/q10, a-family, d1/d7, flagship, union/top-k, asof,
+# multimodal metadata/resize, skew/rollup).
 _ROUND7_WINDOW = [
     "intersect_except_users",
     "interval_join_lineitem_orderdate",
