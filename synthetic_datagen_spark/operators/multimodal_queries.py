@@ -528,11 +528,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "ph": phs})
 
     from ..functions.bitsig import pigeonhole_pairs
+    from ..functions.vectors import cached_lsh_pairs
 
-    sig = docs.repartition(32).mapInPandas(hashes, schema)
-    cand = pigeonhole_pairs(
-        sig, "media_id", "ph", n_blocks=8, block_bits=8, max_hamming=7
-    )
+    def build() -> DataFrame:
+        sig = docs.repartition(32).mapInPandas(hashes, schema)
+        return pigeonhole_pairs(
+            sig, "media_id", "ph", n_blocks=8, block_bits=8, max_hamming=7
+        )
+
+    # session memo: the cross-modality dedup query consumes the same
+    # pair frame — one signature+blocking pass per (session, sf_dir)
+    cand = cached_lsh_pairs(spark, ("phash_pairs", sf_dir), build)
     return cand.withColumn(
         "is_planted_pair", F.col("id_b") == F.col("id_a") + 1_000_000
     ).orderBy("id_a", "id_b")
@@ -601,8 +607,15 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
                     fps.append(fingerprint(s2))
             yield pd.DataFrame({"media_id": ids, "fp": fps})
 
-    sig = docs.repartition(32).mapInPandas(hashes, schema)
-    cand = pigeonhole_pairs(sig, "media_id", "fp", n_blocks=8, block_bits=8, max_hamming=5)
+    from ..functions.vectors import cached_lsh_pairs
+
+    def build() -> DataFrame:
+        sig = docs.repartition(32).mapInPandas(hashes, schema)
+        return pigeonhole_pairs(
+            sig, "media_id", "fp", n_blocks=8, block_bits=8, max_hamming=5
+        )
+
+    cand = cached_lsh_pairs(spark, ("audio_fp_pairs", sf_dir), build)
     return cand.withColumn(
         "is_planted_pair", F.col("id_b") == F.col("id_a") + 1_000_000
     ).orderBy("id_a", "id_b")
@@ -623,7 +636,8 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
     "pair generators stay banded/bucketed (~linear candidates).",
 )
 def multimodal_cross_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import min_label_components
+    from ..functions.graph import cached_min_label_components
+    from ..functions.vectors import cached_lsh_pairs
     from ..operators.text_queries import _lsh_candidates
     from .base import REGISTRY
 
@@ -640,7 +654,9 @@ def multimodal_cross_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     text = (
-        _lsh_candidates(spark, sf_dir)
+        cached_lsh_pairs(
+            spark, ("text_lsh_pairs", sf_dir), lambda: _lsh_candidates(spark, sf_dir)
+        )
         .withColumn("modality", F.lit("text"))
         .select("id_a", "id_b", "modality")
     )
@@ -651,7 +667,11 @@ def multimodal_cross_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFra
         REGISTRY["multimodal_audio_fingerprint_neardup"].build(spark, sf_dir), "audio"
     )
     edges = text.unionByName(image).unionByName(audio)
-    labels = min_label_components(edges.select("id_a", "id_b").distinct())
+    labels = cached_min_label_components(
+        spark,
+        ("cross_modal_cc", sf_dir),
+        lambda: edges.select("id_a", "id_b").distinct(),
+    )
     tagged = edges.join(
         labels, edges.id_a == labels.node_id, "inner"
     ).select("cluster_id", "modality", "id_a", "id_b")
