@@ -75,7 +75,7 @@ _ROUND7_WINDOW = [
     "d6_hurst_exponent",
     "embedding_int8_quantization_error",
     "doc_embedding_join_panel",
-    "multimodal_codec_roundtrip",
+    "stream_funnel_parity",
     "s13_jsonl_roundtrip_summary",
     "multimodal_phash_neardup",
     "stream_decontamination_parity",

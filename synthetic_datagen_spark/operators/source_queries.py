@@ -679,3 +679,75 @@ def s13_jsonl_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_funnel_parity",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), staged AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view
+  FROM e GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, MIN(e.ts_us) AS first_click
+  FROM e JOIN staged s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > s.first_view
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, MIN(e.ts_us) AS first_purchase
+  FROM e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.first_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM staged WHERE first_view IS NOT NULL) AS n_view,
+       (SELECT COUNT(*) FROM clicks) AS n_view_click,
+       (SELECT COUNT(*) FROM purchases) AS n_view_click_purchase
+""",
+    doc="Streaming funnel parity (SURVEY §2.13 custom stateful "
+    "operator): the per-user view->click->purchase state machine runs "
+    "in applyInPandasWithState (O(1) state per user — three stage "
+    "timestamps), fed by an in-order staged stream (availableNow); "
+    "the last emission per user aggregates to the stage-count funnel, "
+    "which must equal the BATCH funnel SQL the oracle runs — the same "
+    "oracle as funnel_view_click_purchase, so the batch window-chain, "
+    "the staged-join SQL, and the streaming state machine are three "
+    "independent derivations pinned to one answer. Note the greedy "
+    "state machine is equivalent to the batch MIN-based definition "
+    "here because it consumes events in event-time order: the first "
+    "qualifying click it accepts IS the minimal one.",
+)
+def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming import read_events_stream, stream_funnel_stages
+
+    base = f"/tmp/spark_graft_stream/funnel_{os.path.basename(sf_dir.rstrip('/'))}"
+    # single file => scan preserves event-time order for the state machine
+    Catalog(spark, sf_dir).table("events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base)
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, base).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    q = (
+        stream_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max("first_view").alias("v"),
+        F.max("first_click").alias("c"),
+        F.max("first_purchase").alias("p"),
+    )
+    return final.agg(
+        F.count(F.when(F.col("v") >= 0, 1)).alias("n_view"),
+        F.count(F.when(F.col("c") >= 0, 1)).alias("n_view_click"),
+        F.count(F.when(F.col("p") >= 0, 1)).alias("n_view_click_purchase"),
+    )

@@ -4,10 +4,12 @@ from .events_stream import (
     stream_dedup_keep_first,
     stream_session_stats,
 )
+from .stateful import stream_funnel_stages
 
 __all__ = [
     "read_events_stream",
     "stream_hourly_rollup",
     "stream_dedup_keep_first",
     "stream_session_stats",
+    "stream_funnel_stages",
 ]

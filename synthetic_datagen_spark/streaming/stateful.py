@@ -261,3 +261,60 @@ def online_generate_batch(
         .groupBy("id")
         .applyInPandas(walk, GEN_OUT_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming funnel — per-user view -> click -> purchase stage machine
+# (SURVEY §2.13 custom stateful operator; batch twin:
+# operators/event_queries.funnel_view_click_purchase)
+
+_FUNNEL_STATE = "first_view LONG, first_click LONG, first_purchase LONG"
+_FUNNEL_OUT = (
+    "user_id LONG, first_view LONG, first_click LONG, first_purchase LONG"
+)
+
+
+def stream_funnel_stages(events: DataFrame) -> DataFrame:
+    """groupBy(user_id).applyInPandasWithState funnel state machine:
+    O(1) state per user (three stage timestamps, -1 = unreached),
+    advancing only on strictly-later events. Exact when events arrive
+    in event-time order (the staged single-file feed preserves it); a
+    production deployment would add a watermark-bounded reorder buffer
+    ahead of the state update, which changes arrival timing but not
+    this transition logic."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_us")
+            for et, ts in zip(pdf["event_type"], pdf["ts_us"].astype(int)):
+                if v < 0:
+                    if et == "view":
+                        v = ts
+                elif c < 0:
+                    if et == "click" and ts > v:
+                        c = ts
+                elif p < 0:
+                    if et == "purchase" and ts > c:
+                        p = ts
+        state.update((v, c, p))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "first_view": [v],
+                "first_click": [c],
+                "first_purchase": [p],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
