@@ -751,3 +751,40 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c") >= 0, 1)).alias("n_view_click"),
         F.count(F.when(F.col("p") >= 0, 1)).alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "s14_python_datasource_ticks",
+    # rows-only: the generated values come from the engine-internal
+    # counter-based RNG; exact parity vs a local recomputation is
+    # pinned in tests/test_ml_and_sources.py
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource): "
+    "the tick generator as a first-class `spark.read.format('sdg_"
+    "ticks')` source — planning emits one InputPartition per series, "
+    "executors draw with the counter-based splitmix64 kernel, so "
+    "every value is a pure function of (seed, series, step) and the "
+    "read is embarrassingly parallel with zero driver generation. "
+    "Output: per-series moment panel over 8x5000 generated ticks.",
+)
+def s14_python_datasource_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register_sdg_ticks
+
+    register_sdg_ticks(spark)
+    ticks = (
+        spark.read.format("sdg_ticks")
+        .option("seed", 42)
+        .option("n_series", 8)
+        .option("n_ticks", 5000)
+        .load()
+    )
+    return (
+        ticks.groupBy("series_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.stddev_samp("value"), 6).alias("std"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("series_id")
+    )

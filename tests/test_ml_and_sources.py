@@ -520,3 +520,50 @@ def test_trainer_raises_on_too_short_series(spark):
     tr.prepare([prices], "value", "ts")
     with pytest.raises(ValueError, match="too short"):
         tr.fit()
+
+
+class TestPythonDataSource:
+    def test_sdg_ticks_exact_parity_and_partitioning(self, spark):
+        """The custom DataSource's distributed output must be BIT-equal
+        to a local recomputation of the counter-based kernel for every
+        series (pure function of (seed, series, step)), and planning
+        must create one partition per series."""
+        import numpy as np
+
+        from synthetic_datagen_spark.sources.pyds import (
+            register_sdg_ticks,
+            series_ticks,
+        )
+
+        register_sdg_ticks(spark)
+        df = (
+            spark.read.format("sdg_ticks")
+            .option("seed", 7)
+            .option("n_series", 4)
+            .option("n_ticks", 256)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 4
+        got = df.toPandas().sort_values(["series_id", "step"])
+        for sid in range(4):
+            _, want = series_ticks(7, sid, 256)
+            have = got[got.series_id == sid]["value"].to_numpy()
+            assert np.array_equal(have, want), sid
+
+    def test_sdg_ticks_seed_sensitivity(self, spark):
+        from synthetic_datagen_spark.sources.pyds import register_sdg_ticks
+
+        register_sdg_ticks(spark)
+
+        def head(seed):
+            return (
+                spark.read.format("sdg_ticks")
+                .option("seed", seed)
+                .option("n_series", 1)
+                .option("n_ticks", 8)
+                .load()
+                .toPandas()["value"]
+                .tolist()
+            )
+
+        assert head(1) != head(2)
