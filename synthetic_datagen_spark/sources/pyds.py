@@ -17,7 +17,12 @@ generation, no shared RNG state; scale-out is adding partitions.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _STEP_SALT = 0x51ED2700  # second-uniform offset for Box-Muller
 
@@ -72,6 +77,9 @@ class SdgTicksDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _SdgTicksReader(self.options)
 
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SdgTicksStreamReader(self.options)
+
 
 def register_sdg_ticks(spark) -> None:
     """Idempotent per-session registration."""
@@ -79,3 +87,38 @@ def register_sdg_ticks(spark) -> None:
         spark.dataSource.register(SdgTicksDataSource)
     except Exception:  # already registered in this session
         pass
+
+
+class _SdgTicksStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: offsets are plain step counters,
+    each micro-batch emits the next `batch_ticks` steps for every
+    series. Because values are counter-based (pure in (seed, series,
+    step)), replaying an offset range after failure reproduces the
+    exact rows — the exactly-once contract comes from determinism, not
+    sink-side dedup. Stream output is therefore bit-equal to the batch
+    read of the same step range (pinned in tests)."""
+
+    def __init__(self, options):
+        self.seed = int(options.get("seed", 42))
+        self.n_series = int(options.get("n_series", 8))
+        self.batch_ticks = int(options.get("batch_ticks", 100))
+        self.sigma = float(options.get("sigma", 0.01))
+
+    def initialOffset(self):
+        return {"step": 0}
+
+    def read(self, start: dict):
+        lo = start["step"]
+        hi = lo + self.batch_ticks
+        return self._rows(lo, hi), {"step": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["step"], end["step"])
+
+    def _rows(self, lo: int, hi: int):
+        out = []
+        for sid in range(self.n_series):
+            steps, values = series_ticks(self.seed, sid, hi, self.sigma)
+            for st, v in zip(steps[lo:hi], values[lo:hi]):
+                out.append((sid, int(st), float(v)))
+        return iter(out)

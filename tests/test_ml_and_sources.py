@@ -567,3 +567,41 @@ class TestPythonDataSource:
             )
 
         assert head(1) != head(2)
+
+    def test_sdg_ticks_streaming_reader_bit_equal(self, spark):
+        """The streaming half (SimpleDataSourceStreamReader, offset =
+        step counter) must emit rows bit-equal to the batch kernel for
+        the same step range — exactly-once by determinism."""
+        import uuid
+
+        import numpy as np
+
+        from synthetic_datagen_spark.sources.pyds import (
+            register_sdg_ticks,
+            series_ticks,
+        )
+
+        register_sdg_ticks(spark)
+        name = f"ticks_{uuid.uuid4().hex[:8]}"
+        st = (
+            spark.readStream.format("sdg_ticks")
+            .option("seed", 11)
+            .option("n_series", 3)
+            .option("batch_ticks", 50)
+            .load()
+        )
+        q = (
+            st.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pdf = spark.table(name).toPandas().sort_values(["series_id", "step"])
+        assert len(pdf) == 150 and pdf["step"].max() == 49
+        for sid in range(3):
+            _, want = series_ticks(11, sid, 50)
+            assert np.array_equal(
+                pdf[pdf.series_id == sid]["value"].to_numpy(), want
+            ), sid
