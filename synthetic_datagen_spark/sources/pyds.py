@@ -55,9 +55,30 @@ class _SdgTicksReader(DataSourceReader):
         self.n_series = int(options.get("n_series", 8))
         self.n_ticks = int(options.get("n_ticks", 1000))
         self.sigma = float(options.get("sigma", 0.01))
+        self._wanted: set[int] | None = None  # None = all series
+
+    def pushFilters(self, filters):
+        """Partition pruning: series_id equality/IN filters are
+        consumed here (planning then skips those partitions entirely);
+        everything else is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("series_id",):
+                self._wanted = {int(f.value)} if self._wanted is None else (
+                    self._wanted & {int(f.value)}
+                )
+            elif isinstance(f, In) and f.attribute == ("series_id",):
+                vals = {int(v) for v in f.value}
+                self._wanted = vals if self._wanted is None else self._wanted & vals
+            else:
+                yield f  # not handled here — Spark keeps it
 
     def partitions(self):
-        return [_TickPartition(s) for s in range(self.n_series)]
+        sids = range(self.n_series) if self._wanted is None else sorted(
+            s for s in self._wanted if 0 <= s < self.n_series
+        )
+        return [_TickPartition(s) for s in sids]
 
     def read(self, partition: _TickPartition):
         sid = partition.series_id
@@ -82,7 +103,12 @@ class SdgTicksDataSource(DataSource):
 
 
 def register_sdg_ticks(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration. Also enables Python-source
+    filter pushdown: merely DEFINING pushFilters() makes reads fail
+    while the flag is off (DATA_SOURCE_PUSHDOWN_DISABLED), so the flag
+    and the capability must travel together — this is the one place
+    both happen."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(SdgTicksDataSource)
     except Exception:  # already registered in this session

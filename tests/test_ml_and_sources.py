@@ -605,3 +605,30 @@ class TestPythonDataSource:
             assert np.array_equal(
                 pdf[pdf.series_id == sid]["value"].to_numpy(), want
             ), sid
+
+    def test_sdg_ticks_filter_pushdown_prunes_partitions(self, spark):
+        """series_id equality/IN filters are consumed by pushFilters
+        and planning skips the pruned partitions entirely; residual
+        predicates still evaluate post-scan."""
+        import pyspark.sql.functions as F
+
+        from synthetic_datagen_spark.sources.pyds import register_sdg_ticks
+
+        register_sdg_ticks(spark)
+
+        def load():
+            return (
+                spark.read.format("sdg_ticks")
+                .option("seed", 5)
+                .option("n_series", 8)
+                .option("n_ticks", 100)
+                .load()
+            )
+
+        eq = load().filter(F.col("series_id") == 3)
+        assert eq.rdd.getNumPartitions() == 1 and eq.count() == 100
+        isin = load().filter(F.col("series_id").isin(1, 4, 6))
+        assert isin.rdd.getNumPartitions() == 3 and isin.count() == 300
+        # residual (non-pushable) predicate still correct
+        resid = load().filter((F.col("series_id") == 2) & (F.col("step") < 10))
+        assert resid.count() == 10
