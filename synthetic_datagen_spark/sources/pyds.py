@@ -22,6 +22,8 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _STEP_SALT = 0x51ED2700  # second-uniform offset for Box-Muller
@@ -148,3 +150,79 @@ class _SdgTicksStreamReader(SimpleDataSourceStreamReader):
             for st, v in zip(steps[lo:hi], values[lo:hi]):
                 out.append((sid, int(st), float(v)))
         return iter(out)
+
+
+class _MetricsCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _SdgMetricsWriter(DataSourceWriter):
+    """Executor-side write of one JSON-lines part per partition into a
+    staging area; commit() promotes the parts with a _SUCCESS manifest
+    (listing every part + row count), abort() removes the staging dir —
+    the same two-phase contract file committers use, so a failed job
+    never leaves half-written parts visible."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sdg_metrics writer requires a path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        part = f"part-{uuid.uuid4().hex}.jsonl"
+        staged = os.path.join(self.path, "_staging", part)
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _MetricsCommitMessage(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        for m in messages:
+            os.replace(
+                os.path.join(self.path, "_staging", m.path),
+                os.path.join(self.path, m.path),
+            )
+        manifest = {
+            "parts": sorted(m.path for m in messages),
+            "total_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class SdgMetricsDataSource(DataSource):
+    """`df.write.format('sdg_metrics').option('path', ...).save()` —
+    the reference's JSON metrics sink (S4) as a custom Python
+    DataSource writer with a real two-phase commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sdg_metrics"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _SdgMetricsWriter(self.options)
+
+
+def register_sdg_metrics(spark) -> None:
+    try:
+        spark.dataSource.register(SdgMetricsDataSource)
+    except Exception:
+        pass

@@ -632,3 +632,33 @@ class TestPythonDataSource:
         # residual (non-pushable) predicate still correct
         resid = load().filter((F.col("series_id") == 2) & (F.col("step") < 10))
         assert resid.count() == 10
+
+    def test_sdg_metrics_writer_two_phase_commit(self, spark, tmp_path):
+        """The custom writer stages per-partition JSONL parts and
+        promotes them atomically with a _SUCCESS manifest; content
+        round-trips exactly."""
+        import json
+
+        from synthetic_datagen_spark.sources.pyds import register_sdg_metrics
+
+        register_sdg_metrics(spark)
+        path = str(tmp_path / "metrics")
+        (tmp_path / "metrics").mkdir()
+        df = spark.range(64).selectExpr("id", "id * id as sq")
+        df.repartition(4).write.format("sdg_metrics").option("path", path).mode(
+            "append"
+        ).save()
+        man = json.load(open(f"{path}/_SUCCESS"))
+        assert man["total_rows"] == 64 and len(man["parts"]) == 4
+        rows = [
+            json.loads(line)
+            for p in man["parts"]
+            for line in open(f"{path}/{p}")
+        ]
+        assert sorted(r["id"] for r in rows) == list(range(64))
+        assert all(r["sq"] == r["id"] ** 2 for r in rows)
+        import os
+
+        assert not os.path.exists(f"{path}/_staging") or not os.listdir(
+            f"{path}/_staging"
+        )
