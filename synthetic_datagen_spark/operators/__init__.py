@@ -69,7 +69,7 @@ _ROUND7_WINDOW = [
     "corpus_snapshot_diff",
     "sequence_packing_bins",
     "label_balanced_resample",
-    "d2_wasserstein",
+    "sql_udtf_chunk_stats",
     "d3_ks_statistic",
     "d4_adf_stationarity",
     "d6_hurst_exponent",

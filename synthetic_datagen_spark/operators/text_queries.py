@@ -1984,3 +1984,64 @@ def zipf_rank_frequency_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sql_udtf_chunk_stats",
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> length(t) > 0) AS toks
+  FROM documents
+), ch AS (
+  SELECT lang, i AS chunk_id,
+         array_to_string(list_slice(toks, i * 32 + 1,
+                                    LEAST((i + 1) * 32, len(toks))), ' ') AS chunk_text,
+         LEAST((i + 1) * 32, len(toks)) - i * 32 AS n_tokens
+  FROM d, UNNEST(generate_series(0, CAST(CEIL(len(toks) / 32.0) AS BIGINT) - 1)) AS g(i)
+  WHERE len(toks) > 0
+)
+SELECT lang, COUNT(*) AS n_chunks,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT md5(chunk_text)) AS distinct_chunks
+FROM ch GROUP BY lang ORDER BY lang
+""",
+    doc="Python UDTF surface (Spark 4 @udtf table functions — the "
+    "SQL-visible face of §2.12's plugin registry): a 32-token "
+    "chunker registered as `sdg_chunk` and invoked with a LATERAL "
+    "correlated table-function join in plain SQL, aggregated per "
+    "language. The oracle re-derives identical chunk boundaries with "
+    "DuckDB list arithmetic, so the UDTF's row expansion is value-"
+    "checked, not just counted. Complements the DataFrame-side "
+    "doc_chunking_windows with the SQL-extension path a downstream "
+    "analyst would actually use.",
+)
+def sql_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id INT, n_tokens INT, chunk_fp STRING")
+    class Chunker:
+        def eval(self, text: str, n: int):
+            import hashlib
+
+            toks = [t for t in (text or "").lower().strip().split() if t]
+            for i in range(0, len(toks), n):
+                piece = toks[i : i + n]
+                yield (
+                    i // n,
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("sdg_chunk", Chunker)
+    _docs(spark, sf_dir).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.lang, COUNT(*) AS n_chunks,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+               COUNT(DISTINCT c.chunk_fp) AS distinct_chunks
+        FROM udtf_docs d, LATERAL sdg_chunk(d.text, 32) c
+        GROUP BY d.lang ORDER BY d.lang
+        """
+    )
