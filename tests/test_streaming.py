@@ -169,3 +169,75 @@ def test_stream_pq_encode_parity_query(spark, sf_smoke):
     row = REGISTRY["stream_pq_encode_parity"].build(spark, sf_smoke).first()
     assert row.exact_match, row
     assert row.n_vectors > 0 and row.n_code_matches == row.n_vectors
+
+
+def test_funnel_state_survives_micro_batches(spark, tmp_path):
+    """The funnel state machine must carry per-user stage state ACROSS
+    micro-batches: events staged as three chronological files, fed one
+    file per trigger, must produce the same funnel as one batch — and
+    the update-mode emission count proves multiple batches ran."""
+    import time
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from synthetic_datagen_spark.sources import Catalog
+    from synthetic_datagen_spark.streaming import (
+        read_events_stream,
+        stream_funnel_stages,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = str(tmp_path / "thirds")
+    pdf = Catalog(spark, sf).table("events").orderBy("ts").toPandas()
+    third = len(pdf) // 3
+    for i, lo in enumerate([0, third, 2 * third]):
+        hi = len(pdf) if i == 2 else lo + third
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "append"
+        ).parquet(base)
+        time.sleep(1.2)  # distinct mtimes => deterministic file order
+
+    import uuid
+
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    stream = read_events_stream(spark, base, max_files_per_trigger=1).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    q = (
+        stream_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name).count()
+    assert emitted > 150  # one emission per user PER BATCH => multi-batch ran
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max("first_view").alias("v"),
+        F.max("first_click").alias("c"),
+        F.max("first_purchase").alias("p"),
+    )
+    got = final.agg(
+        F.count(F.when(F.col("v") >= 0, 1)).alias("nv"),
+        F.count(F.when(F.col("c") >= 0, 1)).alias("nc"),
+        F.count(F.when(F.col("p") >= 0, 1)).alias("np"),
+    ).collect()[0]
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) ts_us
+                   FROM '{sf}/events.parquet'),
+        staged AS (SELECT user_id, MIN(CASE WHEN event_type='view' THEN ts_us END) fv
+                   FROM e GROUP BY user_id),
+        clicks AS (SELECT e.user_id, MIN(e.ts_us) fc FROM e
+                   JOIN staged s ON e.user_id = s.user_id
+                   WHERE e.event_type='click' AND e.ts_us > s.fv GROUP BY e.user_id),
+        purch AS (SELECT e.user_id, MIN(e.ts_us) fp FROM e
+                  JOIN clicks c ON e.user_id = c.user_id
+                  WHERE e.event_type='purchase' AND e.ts_us > c.fc GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM staged WHERE fv IS NOT NULL),
+               (SELECT COUNT(*) FROM clicks),
+               (SELECT COUNT(*) FROM purch)
+    """).fetchone()
+    assert (got.nv, got.nc, got.np) == want
