@@ -70,7 +70,7 @@ _ROUND7_WINDOW = [
     "sequence_packing_bins",
     "label_balanced_resample",
     "sql_udtf_chunk_stats",
-    "d3_ks_statistic",
+    "variant_json_props_panel",
     "d4_adf_stationarity",
     "d6_hurst_exponent",
     "embedding_int8_quantization_error",

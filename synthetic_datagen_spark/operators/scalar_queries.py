@@ -189,3 +189,41 @@ def p_filters_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("rn").between(11, 20)).select(
         "event_type", "event_id", "rn", F.round("v", 6).alias("clipped")
     )
+
+
+@register(
+    "variant_json_props_panel",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS distinct_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="VariantType semi-structured path (Spark 4): props parsed ONCE "
+    "into the binary Variant encoding (parse_json) and fields "
+    "extracted with variant_get typed paths — at 100 TB the Variant "
+    "column is stored parsed (shredded by the writer), so every "
+    "downstream query skips re-tokenizing JSON text, the concrete win "
+    "over the per-query get_json_object of json_props_extract (its "
+    "twin on the same data; both panels must agree with the oracle's "
+    "DuckDB json_extract).",
+)
+def variant_json_props_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
