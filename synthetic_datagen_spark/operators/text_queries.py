@@ -2020,7 +2020,7 @@ FROM ch GROUP BY lang ORDER BY lang
 def sql_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id INT, n_tokens INT, chunk_fp STRING")
+    @udtf(returnType="chunk_id INT, n_tokens INT, chunk_fp STRING", useArrow=True)
     class Chunker:
         def eval(self, text: str, n: int):
             import hashlib
