@@ -479,9 +479,30 @@ def multimodal_audio_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "multimodal_phash_neardup",
-    # rows-only: the DCT perceptual hash is not SQL-expressible; planted-
-    # pair recall and the zero-false-positive margin are pinned in
-    # tests/test_multimodal.py
+    # Pinned-value oracle (r9): the DCT pHash is not SQL-expressible,
+    # but the pair set is a pure function of the sf0.01 corpus (images
+    # render deterministically from doc bytes; the JPEG re-encode is
+    # our own deterministic codec) — every emitted pair is a planted
+    # (k, k+1e6) re-encode pair with a fixed hamming distance, so the
+    # gate checks literals captured via tools/pin_oracles.py (sf0.01
+    # only). Planted-pair recall and the zero-false-positive margin
+    # are additionally pinned in tests/test_multimodal.py.
+    oracle="""SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_a + 1000000 AS BIGINT) AS id_b,
+       CAST(h AS BIGINT) AS hamming, TRUE AS is_planted_pair
+FROM (VALUES
+  (0,6),(5,2),(10,6),(15,2),(20,2),(25,4),(30,0),(35,4),(40,2),(45,4),
+  (55,4),(60,4),(65,6),(70,0),(75,2),(80,2),(85,4),(90,2),(95,4),(100,
+  4),(105,2),(110,4),(120,4),(125,2),(130,6),(135,2),(140,6),(145,2),(
+  150,4),(155,2),(160,4),(165,6),(170,0),(175,4),(180,4),(185,4),(190,
+  2),(195,2),(200,2),(205,2),(210,0),(215,2),(220,2),(225,2),(230,2),(
+  235,4),(240,2),(245,2),(250,6),(255,2),(260,4),(265,2),(270,2),(275,
+  4),(280,4),(290,0),(295,4),(300,6),(305,6),(310,4),(315,2),(320,0),(
+  330,4),(335,4),(340,4),(345,6),(350,4),(355,0),(360,4),(365,6),(375,
+  2),(380,0),(385,2),(390,6),(395,2),(400,4),(405,2),(410,2),(415,4),(
+  420,2),(430,2),(435,2),(440,4),(445,4),(450,2),(455,2),(460,0),(465,
+  2),(470,6),(480,2),(490,4)
+) AS t(id_a, h)""",
     doc="Image near-duplicate detection via DCT perceptual hash "
     "(multimodal/phash.py): every doc renders a deterministic 32x32 "
     "RGB image; every 5th doc additionally plants a JPEG-reencoded "

@@ -419,9 +419,15 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "stream_pq_encode_parity",
-    oracle=None,  # codebooks are engine-internal seeded k-means output;
-    # the parity contract (stream codes == batch codes, exactly, per
-    # vector) is asserted inside the query's own output
+    # Pinned-value oracle (r9): the summary is fully determined —
+    # n_vectors is the sf0.01 embeddings rowcount and the parity
+    # contract (stream codes == batch codes, exactly, per vector) must
+    # hold bit-for-bit because both sides share the same broadcast
+    # codebooks from a seeded fit. Any codebook/encoder drift flips
+    # exact_match and fails the gate.
+    oracle="""SELECT * FROM (VALUES
+  (CAST(500 AS BIGINT), CAST(500 AS BIGINT), TRUE)
+) AS t(n_vectors, n_code_matches, exact_match)""",
     doc="Streaming embedding-ingest PQ encoding with batch parity: "
     "codebooks train OFFLINE (seeded sample, functions/vectors."
     "fit_pq_codebooks), then the same broadcast-codebook "
@@ -755,9 +761,30 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s14_python_datasource_ticks",
-    # rows-only: the generated values come from the engine-internal
-    # counter-based RNG; exact parity vs a local recomputation is
-    # pinned in tests/test_ml_and_sources.py
+    # Pinned-value oracle (r9): every tick is a pure function of
+    # (seed=42, series, step) via the counter-based splitmix64 kernel
+    # — one partition per series, so the float moment aggregation is
+    # order-stable too. Literals captured via tools/pin_oracles.py
+    # (values are seed-determined, data-independent; exact parity vs a
+    # local recomputation also pinned in tests/test_ml_and_sources.py).
+    oracle="""SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(5000 AS BIGINT), CAST(-0.183986 AS DOUBLE),
+   CAST(0.296891 AS DOUBLE), CAST(-0.878923 AS DOUBLE), CAST(0.428084 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(5000 AS BIGINT), CAST(-0.438066 AS DOUBLE),
+   CAST(0.409131 AS DOUBLE), CAST(-1.080439 AS DOUBLE), CAST(0.416433 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(5000 AS BIGINT), CAST(-0.119891 AS DOUBLE),
+   CAST(0.466429 AS DOUBLE), CAST(-1.21255 AS DOUBLE), CAST(0.733236 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(5000 AS BIGINT), CAST(-0.05585 AS DOUBLE),
+   CAST(0.151537 AS DOUBLE), CAST(-0.414739 AS DOUBLE), CAST(0.299225 AS DOUBLE)),
+  (CAST(4 AS BIGINT), CAST(5000 AS BIGINT), CAST(0.459458 AS DOUBLE),
+   CAST(0.21281 AS DOUBLE), CAST(0.010003 AS DOUBLE), CAST(1.030283 AS DOUBLE)),
+  (CAST(5 AS BIGINT), CAST(5000 AS BIGINT), CAST(0.203651 AS DOUBLE),
+   CAST(0.228821 AS DOUBLE), CAST(-0.302222 AS DOUBLE), CAST(0.730751 AS DOUBLE)),
+  (CAST(6 AS BIGINT), CAST(5000 AS BIGINT), CAST(0.262866 AS DOUBLE),
+   CAST(0.253602 AS DOUBLE), CAST(-0.253849 AS DOUBLE), CAST(0.822807 AS DOUBLE)),
+  (CAST(7 AS BIGINT), CAST(5000 AS BIGINT), CAST(0.150757 AS DOUBLE),
+   CAST(0.251173 AS DOUBLE), CAST(-0.358453 AS DOUBLE), CAST(0.611025 AS DOUBLE))
+) AS t(series_id, n, mean, std, vmin, vmax)""",
     doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource): "
     "the tick generator as a first-class `spark.read.format('sdg_"
     "ticks')` source — planning emits one InputPartition per series, "

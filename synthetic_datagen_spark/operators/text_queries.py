@@ -1798,11 +1798,74 @@ def _bpe_word_freq(spark: SparkSession, sf_dir: str, cap: int = 65536) -> dict[s
     return {r.w: r.c for r in tok.collect()}
 
 
+# Pinned-value oracles (r9): BPE training/tokenization are not
+# SQL-expressible, but their outputs ARE pure functions of the sf0.01
+# corpus (deterministic count-desc/pair-asc tie-breaking, no RNG), so
+# the gate can value-check them against literals captured once via
+# tools/pin_oracles.py. Valid at the driver's sf0.01 gate only — an
+# independent pure-python trainer cross-checks the same table in
+# tests/test_dedup.py, so a corpus change surfaces as a test diff too.
+_PIN_BPE_MERGES = """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'e', 'r', CAST(4568 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'e', '</w>', CAST(4473 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'n', '</w>', CAST(2834 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'er', '</w>', CAST(2779 AS BIGINT)),
+  (CAST(4 AS BIGINT), 'o', 'w', CAST(2747 AS BIGINT)),
+  (CAST(5 AS BIGINT), 'ow', '</w>', CAST(2747 AS BIGINT)),
+  (CAST(6 AS BIGINT), 'o', 'r', CAST(2696 AS BIGINT)),
+  (CAST(7 AS BIGINT), 's', 't', CAST(2676 AS BIGINT)),
+  (CAST(8 AS BIGINT), 'h', '</w>', CAST(1884 AS BIGINT)),
+  (CAST(9 AS BIGINT), 'a', 't', CAST(1845 AS BIGINT)),
+  (CAST(10 AS BIGINT), 'l', 'u', CAST(1831 AS BIGINT)),
+  (CAST(11 AS BIGINT), 'i', 'n', CAST(1796 AS BIGINT)),
+  (CAST(12 AS BIGINT), 'a', '</w>', CAST(1788 AS BIGINT)),
+  (CAST(13 AS BIGINT), 'g', '</w>', CAST(1777 AS BIGINT)),
+  (CAST(14 AS BIGINT), 'y', '</w>', CAST(1767 AS BIGINT)),
+  (CAST(15 AS BIGINT), 'a', 'r', CAST(1758 AS BIGINT)),
+  (CAST(16 AS BIGINT), 'p', 'ar', CAST(1758 AS BIGINT)),
+  (CAST(17 AS BIGINT), 't', '</w>', CAST(1750 AS BIGINT)),
+  (CAST(18 AS BIGINT), 'i', 'n</w>', CAST(964 AS BIGINT)),
+  (CAST(19 AS BIGINT), 'j', 'o', CAST(964 AS BIGINT)),
+  (CAST(20 AS BIGINT), 'jo', 'in</w>', CAST(964 AS BIGINT)),
+  (CAST(21 AS BIGINT), 'a', 's', CAST(947 AS BIGINT)),
+  (CAST(22 AS BIGINT), 'as', 'h</w>', CAST(947 AS BIGINT)),
+  (CAST(23 AS BIGINT), 'h', 'ash</w>', CAST(947 AS BIGINT)),
+  (CAST(24 AS BIGINT), 'r', 'ow</w>', CAST(943 AS BIGINT)),
+  (CAST(25 AS BIGINT), 'at', 'c', CAST(937 AS BIGINT)),
+  (CAST(26 AS BIGINT), 'atc', 'h</w>', CAST(937 AS BIGINT)),
+  (CAST(27 AS BIGINT), 'b', 'atch</w>', CAST(937 AS BIGINT)),
+  (CAST(28 AS BIGINT), 'a', 'n</w>', CAST(936 AS BIGINT)),
+  (CAST(29 AS BIGINT), 'c', 'an</w>', CAST(936 AS BIGINT)),
+  (CAST(30 AS BIGINT), 's', 'can</w>', CAST(936 AS BIGINT)),
+  (CAST(31 AS BIGINT), 'c', 'o', CAST(934 AS BIGINT)),
+  (CAST(32 AS BIGINT), 'c', 'u', CAST(934 AS BIGINT)),
+  (CAST(33 AS BIGINT), 'co', 'lu', CAST(934 AS BIGINT)),
+  (CAST(34 AS BIGINT), 'colu', 'm', CAST(934 AS BIGINT)),
+  (CAST(35 AS BIGINT), 'colum', 'n</w>', CAST(934 AS BIGINT)),
+  (CAST(36 AS BIGINT), 'cu', 'st', CAST(934 AS BIGINT)),
+  (CAST(37 AS BIGINT), 'cust', 'o', CAST(934 AS BIGINT)),
+  (CAST(38 AS BIGINT), 'custo', 'm', CAST(934 AS BIGINT)),
+  (CAST(39 AS BIGINT), 'custom', 'er</w>', CAST(934 AS BIGINT))
+) AS t(merge_step, "left", "right", pair_count)"""
+
+_PIN_BPE_TOKENIZE = """SELECT * FROM (VALUES
+  ('de', CAST(3549 AS BIGINT), CAST(16046 AS BIGINT), CAST(10978 AS BIGINT),
+   CAST(4.521274 AS DOUBLE), CAST(3.093266 AS DOUBLE), CAST(0.560245 AS DOUBLE)),
+  ('en', CAST(11757 AS BIGINT), CAST(52898 AS BIGINT), CAST(37106 AS BIGINT),
+   CAST(4.499277 AS DOUBLE), CAST(3.156077 AS DOUBLE), CAST(0.573908 AS DOUBLE)),
+  ('es', CAST(3958 AS BIGINT), CAST(17871 AS BIGINT), CAST(12534 AS BIGINT),
+   CAST(4.515159 AS DOUBLE), CAST(3.166751 AS DOUBLE), CAST(0.57419 AS DOUBLE)),
+  ('fr', CAST(3758 AS BIGINT), CAST(16929 AS BIGINT), CAST(11788 AS BIGINT),
+   CAST(4.50479 AS DOUBLE), CAST(3.136775 AS DOUBLE), CAST(0.569826 AS DOUBLE)),
+  ('zh', CAST(4143 AS BIGINT), CAST(18765 AS BIGINT), CAST(13093 AS BIGINT),
+   CAST(4.529327 AS DOUBLE), CAST(3.16027 AS DOUBLE), CAST(0.571547 AS DOUBLE))
+) AS t(lang, total_words, total_chars, total_bpe_tokens, chars_per_word,
+       tokens_per_word, compression_vs_chars)"""
+
+
 @register(
     "bpe_train_merges",
-    # rows-only: iterative merge learning is not SQL-expressible; the
-    # merge table is pinned against an independent pure-python
-    # reference in tests/test_dedup.py
+    oracle=_PIN_BPE_MERGES,  # pinned values, sf0.01 (see note above)
     doc="BPE tokenizer training (Sennrich 2016) — the step every LLM "
     "pipeline runs before anything counts 'tokens': word frequencies "
     "via ONE distributed hash aggregate (map-side combined, capped "
@@ -1820,14 +1883,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe(freq, n_merges=40)
     rows = [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
-        rows, "merge_step INT, left STRING, right STRING, pair_count BIGINT"
+        rows, "merge_step BIGINT, left STRING, right STRING, pair_count BIGINT"
     ).orderBy("merge_step")
 
 
 @register(
     "bpe_tokenize_stats",
-    # rows-only: tokenization applies the learned (non-SQL) merges;
-    # compression invariants pinned in tests
+    oracle=_PIN_BPE_TOKENIZE,  # pinned values, sf0.01: the merges are
+    # deterministic (see _PIN_BPE_MERGES) and the panel is ratios of
+    # exact BIGINT sums, so the whole output is corpus-determined
     doc="BPE tokenization at corpus scale: the 40 learned merges "
     "broadcast to an Arrow-batched mapInPandas segmenter; per-language "
     "panel of chars/word, BPE tokens/word, and the compression ratio "

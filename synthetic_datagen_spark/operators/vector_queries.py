@@ -683,9 +683,16 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "knn_recall_eval",
-    # rows-only: the ANN answers come from engine-internal indexes
-    # (hyperplanes / KMeans lists); the brute-force truth side IS
-    # SQL-oracled separately as knn_brute_force
+    # Pinned-value oracle (r9): the ANN indexes (seeded hyperplanes /
+    # seeded KMeans lists) and the brute-force truth are all pure
+    # functions of (seed=42, sf0.01 embeddings) — recall@5 is exactly
+    # reproducible, so the gate value-checks it against literals
+    # captured via tools/pin_oracles.py (sf0.01 only). The brute-force
+    # truth side is additionally SQL-oracled as knn_brute_force.
+    oracle="""SELECT * FROM (VALUES
+  ('ivf_16_4', CAST(31 AS BIGINT), CAST(0.62 AS DOUBLE)),
+  ('lsh_8x5', CAST(26 AS BIGINT), CAST(0.52 AS DOUBLE))
+) AS t(method, true_positives, recall_at_5)""",
     doc="ANN quality evaluator — recall@5 of each approximate index "
     "family against the exact brute-force answer, as a catalog query "
     "(the number a user checks before trading exactness for the "
