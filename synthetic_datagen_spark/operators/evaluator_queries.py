@@ -262,6 +262,94 @@ def d9_tolerance_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d9_tolerance_v3_panel",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, event_id % 10 AS seed, value,
+         LAG(value) OVER (PARTITION BY event_type, event_id % 10
+                          ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type IN ('click', 'purchase')
+), diffs AS (
+  SELECT event_type, seed,
+         CAST(ROUND(ABS(value - prev), 6) AS DECIMAL(18,6)) AS d
+  FROM ev WHERE prev IS NOT NULL
+), per_seed AS (
+  SELECT CASE event_type WHEN 'click' THEN 'val_mae' ELSE 'test_mae' END AS metric,
+         seed, CAST(SUM(d) AS DOUBLE) / COUNT(*) AS value
+  FROM diffs GROUP BY 1, 2
+), dec AS (
+  SELECT metric, CAST(ROUND(value, 9) AS DECIMAL(18,9)) AS v FROM per_seed
+), agg AS (
+  SELECT metric, CAST(COUNT(*) AS BIGINT) AS n_seeds, SUM(v) AS s,
+         SUM(v * v) AS s2, MIN(v) AS mn, MAX(v) AS mx
+  FROM dec GROUP BY metric
+), stats AS (
+  SELECT metric, n_seeds,
+         CAST(s AS DOUBLE) / n_seeds AS mean,
+         SQRT(GREATEST(CAST(s2 AS DOUBLE) / n_seeds
+              - (CAST(s AS DOUBLE) / n_seeds) * (CAST(s AS DOUBLE) / n_seeds), 0.0)) AS std,
+         CAST(mn AS DOUBLE) AS mn, CAST(mx AS DOUBLE) AS mx
+  FROM agg
+), devs AS (
+  SELECT metric, n_seeds, mean, std, mn, mx,
+         GREATEST(mx - mean, mean - mn) / mean AS max_dev,
+         3.0 * std / mean AS tol3
+  FROM stats
+)
+SELECT metric, n_seeds, ROUND(mean, 8) AS mean, ROUND(std, 8) AS std,
+       ROUND(mn, 8) AS min, ROUND(mx, 8) AS max,
+       ROUND(std / mean, 6) AS cv, ROUND(max_dev, 6) AS max_dev,
+       ROUND(tol3, 6) AS tolerance_3sigma,
+       ROUND(GREATEST(tol3, max_dev) * 1.2, 4) AS recommended_tolerance
+FROM devs ORDER BY metric
+""",
+    doc="D9 v3 tolerance analysis (reference: examples/scripts/"
+    "tolerance_v3_real_testset.py:74-81): N independent per-seed scores "
+    "of the SAME fixed evaluation -> across-seed CV, max relative "
+    "deviation, tolerance_3sigma = 3·std/mean, and recommended = "
+    "max(tolerance_3sigma, max_dev)·1.2. The per-seed scores here are "
+    "the persistence-baseline MAEs of 10 deterministic event folds "
+    "(event_id %% 10) on the real click (val) and purchase (test) "
+    "streams — the reference's repeated-training variance measured on "
+    "real test sets, with folds standing in for retrain seeds so the "
+    "whole pipeline is exactly reproducible. All sums are DECIMAL "
+    "(order-free) so the v3 aggregate is value-oracled, not rows-only "
+    "like the v1/v2 panel (d9_tolerance_panel).",
+)
+def d9_tolerance_v3_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..evaluators.tolerance import tolerance_panel_v3
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", (F.col("event_id") % 10).alias("seed"), "ts", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type", "seed").orderBy("ts", "event_id")
+    diffs = (
+        ev.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "d", F.round(F.abs(F.col("value") - F.col("prev")), 6).cast("decimal(18,6)")
+        )
+    )
+    per_seed = (
+        diffs.groupBy("event_type", "seed")
+        .agg((F.sum("d").cast("double") / F.count("*")).alias("value"))
+        .select(
+            F.when(F.col("event_type") == "click", F.lit("val_mae"))
+            .otherwise(F.lit("test_mae"))
+            .alias("metric"),
+            "seed",
+            "value",
+        )
+    )
+    return tolerance_panel_v3(per_seed).orderBy("metric")
+
+
+@register(
     "m10_lstm_predictive_utility",
     oracle=None,  # SGD-trained recurrent predictor: rows-only + tests
     doc="M10/M11 predictive-utility A/B with the reference's predictor "

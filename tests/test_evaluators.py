@@ -79,6 +79,42 @@ def test_tolerance_panel(spark):
     assert rows["m1"].max >= rows["m1"].mean >= rows["m1"].min
 
 
+def test_tolerance_panel_v3_matches_numpy_reference(spark):
+    """tolerance_panel_v3 must reproduce the reference v3 formulas
+    (tolerance_v3_real_testset.py:74-81): population std, cv = std/mean,
+    max_dev = max(|v-mean|/mean), tolerance_3sigma = 3*std/mean,
+    recommended = max(tol_3sigma, max_dev) * 1.2."""
+    import numpy as np
+
+    from synthetic_datagen_spark.evaluators.tolerance import tolerance_panel_v3
+
+    vals = [0.052, 0.0491, 0.0507, 0.0563, 0.0498]
+    per_seed = spark.createDataFrame(
+        [("val_mae", i, v) for i, v in enumerate(vals)]
+        + [("flat", i, 2.5) for i in range(4)],
+        "metric STRING, seed INT, value DOUBLE",
+    )
+    rows = {r.metric: r for r in tolerance_panel_v3(per_seed).collect()}
+
+    m, s = np.mean(vals), np.std(vals)  # ddof=0, as the reference uses
+    max_dev = max(abs(v - m) / m for v in vals)
+    tol3 = 3 * s / m
+    r = rows["val_mae"]
+    assert r.n_seeds == len(vals)
+    assert math.isclose(r.mean, round(m, 8), abs_tol=1e-10)
+    assert math.isclose(r.std, round(s, 8), abs_tol=1e-8)
+    assert math.isclose(r.cv, round(s / m, 6), abs_tol=1e-6)
+    assert math.isclose(r.max_dev, round(max_dev, 6), abs_tol=1e-6)
+    assert math.isclose(r.tolerance_3sigma, round(tol3, 6), abs_tol=1e-6)
+    assert math.isclose(
+        r.recommended_tolerance, round(max(tol3, max_dev) * 1.2, 4), abs_tol=1e-4
+    )
+    # zero-variance metric: every tolerance collapses to 0
+    f = rows["flat"]
+    assert f.std == 0.0 and f.cv == 0.0 and f.recommended_tolerance == 0.0
+    assert f.mean == 2.5 and f.min == 2.5 and f.max == 2.5
+
+
 def test_adf_autolag_matches_lstsq_replica(spark):
     """The distributed Gram + bordered-LDL autolag path must agree with
     an independent per-series lstsq replica of statsmodels adfuller
