@@ -713,16 +713,17 @@ SELECT (SELECT COUNT(*) FROM staged WHERE first_view IS NOT NULL) AS n_view,
 """,
     doc="Streaming funnel parity (SURVEY §2.13 custom stateful "
     "operator): the per-user view->click->purchase state machine runs "
-    "in applyInPandasWithState (O(1) state per user — three stage "
-    "timestamps), fed by an in-order staged stream (availableNow); "
-    "the last emission per user aggregates to the stage-count funnel, "
-    "which must equal the BATCH funnel SQL the oracle runs — the same "
-    "oracle as funnel_view_click_purchase, so the batch window-chain, "
-    "the staged-join SQL, and the streaming state machine are three "
-    "independent derivations pinned to one answer. Note the greedy "
-    "state machine is equivalent to the batch MIN-based definition "
-    "here because it consumes events in event-time order: the first "
-    "qualifying click it accepts IS the minimal one.",
+    "in applyInPandasWithState over the ORDER-INDEPENDENT funnel_merge "
+    "kernel (streaming/stateful.py) — events are deliberately staged "
+    "as 8 hash-shuffled files fed 2 per micro-batch, so every batch "
+    "carries out-of-order and late events; each user's final emission "
+    "(max_by emit_seq) must still equal the BATCH funnel SQL the "
+    "oracle runs — the same oracle as funnel_view_click_purchase, so "
+    "the batch window-chain, the staged-join SQL, and the streaming "
+    "state machine are three independent derivations pinned to one "
+    "answer. No coalesce(1), no ordering assumption: the merge is a "
+    "pure set operation whose buffers hold only events below the "
+    "current stage anchors (watermark-prunable in production).",
 )
 def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -730,12 +731,13 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, stream_funnel_stages
 
     base = f"/tmp/spark_graft_stream/funnel_{os.path.basename(sf_dir.rstrip('/'))}"
-    # single file => scan preserves event-time order for the state machine
-    Catalog(spark, sf_dir).table("events").coalesce(1).write.mode(
+    # 8 hash-shuffled files: each spans the full time range, so both
+    # intra-batch disorder and cross-batch late arrivals are exercised
+    Catalog(spark, sf_dir).table("events").repartition(8).write.mode(
         "overwrite"
     ).parquet(base)
     name = f"funnel_{uuid.uuid4().hex[:8]}"
-    stream = read_events_stream(spark, base).select(
+    stream = read_events_stream(spark, base, max_files_per_trigger=2).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     q = (
@@ -748,14 +750,16 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     final = spark.table(name).groupBy("user_id").agg(
-        F.max("first_view").alias("v"),
-        F.max("first_click").alias("c"),
-        F.max("first_purchase").alias("p"),
+        F.max_by(
+            F.struct("first_view", "first_click", "first_purchase"), "emit_seq"
+        ).alias("s")
     )
     return final.agg(
-        F.count(F.when(F.col("v") >= 0, 1)).alias("n_view"),
-        F.count(F.when(F.col("c") >= 0, 1)).alias("n_view_click"),
-        F.count(F.when(F.col("p") >= 0, 1)).alias("n_view_click_purchase"),
+        F.count(F.when(F.col("s.first_view") >= 0, 1)).alias("n_view"),
+        F.count(F.when(F.col("s.first_click") >= 0, 1)).alias("n_view_click"),
+        F.count(F.when(F.col("s.first_purchase") >= 0, 1)).alias(
+            "n_view_click_purchase"
+        ),
     )
 
 

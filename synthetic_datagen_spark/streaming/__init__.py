@@ -4,7 +4,7 @@ from .events_stream import (
     stream_dedup_keep_first,
     stream_session_stats,
 )
-from .stateful import stream_funnel_stages
+from .stateful import funnel_merge, funnel_prune, stream_funnel_stages
 
 __all__ = [
     "read_events_stream",
@@ -12,4 +12,6 @@ __all__ = [
     "stream_dedup_keep_first",
     "stream_session_stats",
     "stream_funnel_stages",
+    "funnel_merge",
+    "funnel_prune",
 ]

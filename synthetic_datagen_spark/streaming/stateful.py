@@ -267,47 +267,141 @@ def online_generate_batch(
 # Streaming funnel — per-user view -> click -> purchase stage machine
 # (SURVEY §2.13 custom stateful operator; batch twin:
 # operators/event_queries.funnel_view_click_purchase)
+#
+# ORDER-INDEPENDENT by construction (r9): the update is a pure set
+# merge, so any partitioning of the event stream into micro-batches —
+# shuffled files, late arrivals, replays — converges to the exact
+# batch answer. The math that keeps state small:
+#   * first_view = min(view ts) only ever DECREASES as data arrives.
+#   * a click c > first_view that is not the minimum such click is
+#     dominated FOREVER (the smaller eligible click stays eligible as
+#     first_view decreases), so only the minimum eligible click is
+#     kept; clicks c <= first_view may become eligible if a later,
+#     earlier view lowers first_view below them, so they buffer.
+#   * first_click is therefore non-increasing too, and purchases
+#     follow the identical rule relative to it.
+# Buffers hold only same-user events BELOW the current stage anchor —
+# empty for in-order delivery, tiny under bounded disorder — and a
+# watermark prunes them to nothing once the anchors are final.
 
-_FUNNEL_STATE = "first_view LONG, first_click LONG, first_purchase LONG"
-_FUNNEL_OUT = (
-    "user_id LONG, first_view LONG, first_click LONG, first_purchase LONG"
+_FUNNEL_STATE = (
+    "first_view LONG, first_click LONG, first_purchase LONG, "
+    "clicks_buf ARRAY<LONG>, purch_buf ARRAY<LONG>, n_events LONG"
 )
+_FUNNEL_OUT = (
+    "user_id LONG, first_view LONG, first_click LONG, first_purchase LONG, "
+    "emit_seq LONG"
+)
+
+FunnelState = tuple[int, int, int, list[int], list[int]]
+
+
+def funnel_merge(
+    state: FunnelState,
+    views: list[int],
+    clicks: list[int],
+    purchases: list[int],
+) -> FunnelState:
+    """Merge a micro-batch of one user's event timestamps into funnel
+    state, as a pure order-independent set operation (-1 = unreached).
+
+    Semantics match the batch SQL exactly: first_view = min view ts,
+    first_click = min click ts strictly greater than first_view,
+    first_purchase = min purchase ts strictly greater than first_click.
+    merge(merge(s, A), B) == merge(s, A ∪ B) — proven by the domination
+    argument in the module comment and pinned by the shuffled-replay
+    property test in tests/test_streaming.py."""
+    mv, fc, fp, cbuf, pbuf = state
+    if views:
+        nv = min(views)
+        mv = nv if mv < 0 else min(mv, nv)
+    cand = set(cbuf)
+    cand.update(clicks)
+    if fc >= 0:
+        cand.add(fc)
+    if mv >= 0:
+        elig = [c for c in cand if c > mv]
+        fc = min(elig) if elig else -1
+        cbuf = sorted(c for c in cand if c <= mv)
+    else:
+        fc = -1
+        cbuf = sorted(cand)
+    pcand = set(pbuf)
+    pcand.update(purchases)
+    if fp >= 0:
+        pcand.add(fp)
+    if fc >= 0:
+        pelig = [p for p in pcand if p > fc]
+        fp = min(pelig) if pelig else -1
+        pbuf = sorted(p for p in pcand if p <= fc)
+    else:
+        fp = -1
+        pbuf = sorted(pcand)
+    return mv, fc, fp, cbuf, pbuf
+
+
+def funnel_prune(state: FunnelState, watermark_us: int) -> FunnelState:
+    """Drop buffered candidates the watermark has made unreachable.
+
+    Once watermark >= first_view no earlier view can arrive, so
+    first_view is final and every buffered click (all <= first_view)
+    is dead; once additionally watermark >= first_click the same holds
+    for buffered purchases. State is then O(1) per user again — the
+    disorder window, not the stream length, bounds the buffers."""
+    mv, fc, fp, cbuf, pbuf = state
+    if watermark_us <= 0:
+        return state
+    if 0 <= mv <= watermark_us:
+        cbuf = []
+        if 0 <= fc <= watermark_us:
+            pbuf = []
+    return mv, fc, fp, cbuf, pbuf
 
 
 def stream_funnel_stages(events: DataFrame) -> DataFrame:
-    """groupBy(user_id).applyInPandasWithState funnel state machine:
-    O(1) state per user (three stage timestamps, -1 = unreached),
-    advancing only on strictly-later events. Exact when events arrive
-    in event-time order (the staged single-file feed preserves it); a
-    production deployment would add a watermark-bounded reorder buffer
-    ahead of the state update, which changes arrival timing but not
-    this transition logic."""
+    """groupBy(user_id).applyInPandasWithState funnel state machine
+    over the order-independent funnel_merge kernel. Exact under
+    arbitrary micro-batch order and late arrivals; emit_seq (events
+    processed so far for the user) strictly increases per emission, so
+    the consumer picks each user's final row with max_by(emit_seq) —
+    stage anchors may legitimately DECREASE across emissions as
+    earlier events arrive, so 'latest', not 'max', is the reduction."""
 
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        v, c, p = state.get if state.exists else (-1, -1, -1)
+        if state.exists:
+            mv, fc, fp, cbuf, pbuf, n = state.get
+            st: FunnelState = (mv, fc, fp, list(cbuf), list(pbuf))
+        else:
+            st, n = (-1, -1, -1, [], []), 0
+        views: list[int] = []
+        clicks: list[int] = []
+        purchases: list[int] = []
+        sink = {"view": views, "click": clicks, "purchase": purchases}
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts_us")
+            n += len(pdf)
             for et, ts in zip(pdf["event_type"], pdf["ts_us"].astype(int)):
-                if v < 0:
-                    if et == "view":
-                        v = ts
-                elif c < 0:
-                    if et == "click" and ts > v:
-                        c = ts
-                elif p < 0:
-                    if et == "purchase" and ts > c:
-                        p = ts
-        state.update((v, c, p))
+                lst = sink.get(et)
+                if lst is not None:
+                    lst.append(int(ts))
+        st = funnel_merge(st, views, clicks, purchases)
+        try:
+            wm = int(state.getCurrentWatermarkMs()) * 1000
+        except Exception:  # noqa: BLE001 — no watermark in this query
+            wm = 0
+        st = funnel_prune(st, wm)
+        mv, fc, fp, cbuf, pbuf = st
+        state.update((mv, fc, fp, list(cbuf), list(pbuf), n))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "first_view": [v],
-                "first_click": [c],
-                "first_purchase": [p],
+                "first_view": [mv],
+                "first_click": [fc],
+                "first_purchase": [fp],
+                "emit_seq": [n],
             }
         )
 

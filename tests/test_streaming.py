@@ -215,15 +215,17 @@ def test_funnel_state_survives_micro_batches(spark, tmp_path):
     q.awaitTermination(300)
     emitted = spark.table(name).count()
     assert emitted > 150  # one emission per user PER BATCH => multi-batch ran
+    # stage anchors may DECREASE across emissions (order-independent
+    # merge) — the reduction is 'latest emission', not column-max
     final = spark.table(name).groupBy("user_id").agg(
-        F.max("first_view").alias("v"),
-        F.max("first_click").alias("c"),
-        F.max("first_purchase").alias("p"),
+        F.max_by(
+            F.struct("first_view", "first_click", "first_purchase"), "emit_seq"
+        ).alias("s")
     )
     got = final.agg(
-        F.count(F.when(F.col("v") >= 0, 1)).alias("nv"),
-        F.count(F.when(F.col("c") >= 0, 1)).alias("nc"),
-        F.count(F.when(F.col("p") >= 0, 1)).alias("np"),
+        F.count(F.when(F.col("s.first_view") >= 0, 1)).alias("nv"),
+        F.count(F.when(F.col("s.first_click") >= 0, 1)).alias("nc"),
+        F.count(F.when(F.col("s.first_purchase") >= 0, 1)).alias("np"),
     ).collect()[0]
     want = duckdb.sql(f"""
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) ts_us
@@ -241,3 +243,88 @@ def test_funnel_state_survives_micro_batches(spark, tmp_path):
                (SELECT COUNT(*) FROM purch)
     """).fetchone()
     assert (got.nv, got.nc, got.np) == want
+
+
+# ---------------------------------------------------------------------
+# Order-independence of the funnel state kernel (r9): the merge must be
+# a pure set operation — any chunking + any arrival order of the same
+# events converges to the exact batch answer.
+
+
+def _funnel_batch_reference(events):
+    """Brute-force batch semantics over list[(event_type, ts)] — the
+    same definition as the funnel_view_click_purchase SQL oracle."""
+    views = [ts for t, ts in events if t == "view"]
+    mv = min(views) if views else -1
+    fc = -1
+    if mv >= 0:
+        cl = [ts for t, ts in events if t == "click" and ts > mv]
+        fc = min(cl) if cl else -1
+    fp = -1
+    if fc >= 0:
+        pu = [ts for t, ts in events if t == "purchase" and ts > fc]
+        fp = min(pu) if pu else -1
+    return mv, fc, fp
+
+
+def test_funnel_merge_is_order_independent():
+    """Property: fold(funnel_merge) over ANY shuffling and chunking of
+    an event multiset yields the batch-reference anchors. Small ts
+    domain on purpose — maximum tie/boundary pressure (clicks AT the
+    view timestamp, duplicates, stage inversions)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from synthetic_datagen_spark.streaming import funnel_merge
+
+    ev = st.tuples(
+        st.sampled_from(["view", "click", "purchase"]), st.integers(0, 12)
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(ev, max_size=24), st.randoms(use_true_random=False))
+    def check(events, rng):
+        want = _funnel_batch_reference(events)
+        shuffled = list(events)
+        rng.shuffle(shuffled)
+        state = (-1, -1, -1, [], [])
+        i = 0
+        while i < len(shuffled):
+            k = rng.randint(1, 6)
+            chunk = shuffled[i : i + k]
+            i += k
+            state = funnel_merge(
+                state,
+                [ts for t, ts in chunk if t == "view"],
+                [ts for t, ts in chunk if t == "click"],
+                [ts for t, ts in chunk if t == "purchase"],
+            )
+        assert state[:3] == want, (events, shuffled, state)
+
+    check()
+
+
+def test_funnel_prune_watermark_finality():
+    """funnel_prune drops click buffers once the watermark passes
+    first_view (no earlier view can arrive => first_view final) and
+    purchase buffers once it also passes first_click — and pruned
+    state still merges future (>= watermark) events correctly."""
+    from synthetic_datagen_spark.streaming import funnel_merge, funnel_prune
+
+    # state: view@10; buffered clicks <= 10; best click 15; buffered
+    # purchases <= 15; best purchase 20
+    state = (10, 15, 20, [3, 7], [11, 14])
+    assert funnel_prune(state, 0) == state  # no watermark => no-op
+    assert funnel_prune(state, 9 * 1) == state  # wm < first_view
+    st1 = funnel_prune(state, 12)
+    assert st1 == (10, 15, 20, [], [11, 14])  # view final, click not
+    st2 = funnel_prune(state, 16)
+    assert st2 == (10, 15, 20, [], [])  # both anchors final
+    # post-prune merges of on-time (ts >= wm) events stay exact: a new
+    # click 13 (>= wm 12? no — must be >= wm, use 13 >= 12) beats 15
+    st3 = funnel_merge(st1, [], [13], [])
+    # fc improved to 13; fp recomputes against the new fc: purchase 14
+    # from the buffer is now eligible (14 > 13), beating 20
+    assert st3[:3] == (10, 13, 14)
