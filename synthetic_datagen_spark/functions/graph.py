@@ -52,12 +52,24 @@ def cached_min_label_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 30,
+    algorithm: str | None = None,
 ) -> DataFrame:
-    """min_label_components memoized per (session, cache_key).
+    """Connected components memoized per (session, cache_key).
 
     ``pairs_factory`` is only invoked on a miss, so callers can defer
     building the (possibly expensive) candidate-pair plan entirely.
+
+    ``algorithm`` selects the kernel — "minlabel" (pointer-doubling +
+    contraction min-label propagation, the default) or "largestar"
+    (alternating large-star/small-star, Kiveris et al. SoCC'14, whose
+    per-round cost never depends on component diameter — the safer
+    choice when the pair graph may contain skewed hubs). Defaults to
+    $SPARK_GRAFT_CC_ALGO so a deployment can flip every dedup call
+    site at once; results are identical (parity-pinned in tests), so
+    the cache key deliberately ignores the kernel choice.
     """
+    import os
+
     app_id = spark.sparkContext.applicationId
     key = (app_id, cache_key)
     hit = _CC_CACHE.get(key)
@@ -67,7 +79,13 @@ def cached_min_label_components(
     # process cycling sessions can't pin dead DataFrames forever
     for k in [k for k in _CC_CACHE if k[0] != app_id]:
         del _CC_CACHE[k]
-    labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
+    algo = algorithm or os.environ.get("SPARK_GRAFT_CC_ALGO", "minlabel")
+    if algo == "largestar":
+        labels = large_small_star_components(pairs_factory(), id_a, id_b, max_rounds)
+    elif algo == "minlabel":
+        labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
+    else:
+        raise ValueError(f"unknown CC algorithm {algo!r}")
     _CC_CACHE[key] = labels
     return labels
 
@@ -212,4 +230,114 @@ def min_label_components(
             f"{max_rounds} contraction rounds — component diameter "
             f"exceeds ~4^{max_rounds}; raise max_rounds"
         )
+    return final
+
+
+def large_small_star_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as min_label_components: returns
+    (node_id, cluster_id) for every node appearing in >=1 pair, with
+    cluster_id = the component's minimum node id.
+
+    Per round, over edges oriented big->small (u > v):
+      large-star: every node connects its strictly-LARGER neighbors to
+                  the minimum of its closed neighborhood;
+      small-star: every node connects its smaller-or-equal neighbors
+                  (and itself) to the minimum of that set.
+    Both operations preserve connectivity and strictly shrink the
+    potential function of the paper; the fixed point is a forest of
+    stars centered at component minima, reached in O(log^2 n) rounds —
+    each is one groupBy-min plus one join, so the shuffle volume per
+    round is linear in |E| and no round depends on graph DIAMETER,
+    the failure mode of plain label propagation on skewed hub graphs.
+
+    The result is identical to min_label_components (parity-pinned on
+    all three dedup families in tests/test_dedup.py); which kernel the
+    dedup call sites use is selected by cached_min_label_components'
+    ``algorithm`` argument / SPARK_GRAFT_CC_ALGO. Rounds used are
+    exposed as ``.lss_rounds`` on the returned frame so tests can pin
+    the bound. Raises instead of returning a non-converged forest.
+    """
+    retained: list[DataFrame] = []
+    p = pairs.localCheckpoint()
+    retained.append(p)
+    nodes = (
+        p.select(F.col(id_a).alias("node_id"))
+        .unionAll(p.select(F.col(id_b).alias("node_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    retained.append(nodes)
+    eu, ev = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    edges = (
+        p.filter(eu != ev)
+        .select(F.greatest(eu, ev).alias("u"), F.least(eu, ev).alias("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    retained.append(edges)
+    converged = False
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star over the symmetric view: for node x with closed-
+        # neighborhood min m, emit (w, m) for every neighbor w > x
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        retained.append(large)
+        # small-star on the big->small orientation: node u with
+        # smaller-neighbor min m relinks those neighbors (and itself)
+        minsS = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(minsS, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(joined.select("u", F.col("m").alias("v")))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        retained.append(small)
+        # fixed point of (large ∘ small) == star forest
+        if (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        ):
+            edges = small
+            converged = True
+            break
+        edges = small
+    if converged:
+        stars = edges.select(F.col("u").alias("node_id"), F.col("v").alias("label"))
+        final = (
+            nodes.join(stars, "node_id", "left")
+            .select(
+                "node_id",
+                F.coalesce("label", "node_id").alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+    for df in retained:
+        df.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"large_small_star_components: not converged after "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
+    final.lss_rounds = rounds
     return final

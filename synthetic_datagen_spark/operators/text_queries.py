@@ -516,6 +516,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "dedup_cc_large_star",
+    oracle=_CC_SQL,  # same transitive-closure oracle as the min-label twin
+    doc="Duplicate-cluster assignment via alternating large-star/"
+    "small-star CC (Kiveris et al. SoCC'14, functions/graph.py) over "
+    "the same MinHash-LSH pair graph as dedup_connected_components — "
+    "the kernel whose per-round shuffle never depends on component "
+    "diameter or hub skew (each round is one groupBy-min + one join "
+    "over the current edge set). Twin queries, one oracle: both "
+    "kernels must reproduce the recursive-CTE transitive closure "
+    "exactly; parity across all three dedup families is additionally "
+    "pinned in tests/test_dedup.py. Production selects the kernel via "
+    "SPARK_GRAFT_CC_ALGO on cached_min_label_components.",
+)
+def dedup_cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import large_small_star_components
+
+    labels = large_small_star_components(_lsh_candidates(spark, sf_dir))
+    return labels.select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
+    ).orderBy("doc_id")
+
+
 _WG_SQL = (
     "CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3 "
     "THEN CAST([] AS VARCHAR[]) ELSE list_distinct(list_transform("

@@ -335,3 +335,100 @@ class TestBPE:
         for w in ("window", "widow", "win", "order", "wisdom"):
             toks = apply_bpe(w, merges)
             assert "".join(toks).replace("</w>", "") == w
+
+
+def _cc_labels(df) -> dict:
+    return {r.node_id: r.cluster_id for r in df.collect()}
+
+
+def test_large_small_star_matches_min_label_on_all_dedup_families(spark):
+    """The large-star/small-star kernel must produce EXACTLY the same
+    (node -> component-min) labeling as the min-label kernel on the
+    real candidate graphs of all three dedup families (text MinHash-LSH,
+    embedding sign-LSH, image pHash) — they are interchangeable behind
+    cached_min_label_components."""
+    import synthetic_datagen_spark.functions.graph as G
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators.text_queries import _lsh_candidates
+    from synthetic_datagen_spark.operators.vector_queries import _cached_pairs, _emb
+
+    sf = "/root/testdata/sf0.001"
+    families = {
+        "text": _lsh_candidates(spark, sf).select("id_a", "id_b"),
+        "embedding": _cached_pairs(spark, sf, 0.35, 8, 4, _emb).select(
+            "id_a", "id_b"
+        ),
+        "image": REGISTRY["multimodal_phash_neardup"]
+        .build(spark, sf)
+        .select("id_a", "id_b"),
+    }
+    for name, pairs in families.items():
+        want = _cc_labels(G.min_label_components(pairs))
+        got = _cc_labels(G.large_small_star_components(pairs))
+        assert want, f"{name}: empty pair graph defeats the test"
+        assert got == want, f"{name}: kernels disagree"
+
+
+def test_large_small_star_bounded_rounds_on_chain_and_hub(spark):
+    """The large-star/small-star round count must not depend on graph
+    DIAMETER (a 511-edge chain) or on hub skew (one node with 400
+    neighbors) — the two adversaries of plain label propagation."""
+    import math
+
+    import synthetic_datagen_spark.functions.graph as G
+
+    n = 512
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a LONG, id_b LONG"
+    )
+    lbl = G.large_small_star_components(chain)
+    d = _cc_labels(lbl)
+    assert len(d) == n and set(d.values()) == {0}
+    assert lbl.lss_rounds <= 2 * int(math.log2(n)) + 2, lbl.lss_rounds
+
+    # hub 999999 <-> {0..399}, with a short tail 399-400-401 hanging off
+    hub = spark.createDataFrame(
+        [(999_999, i) for i in range(400)] + [(399, 400), (400, 401)],
+        "id_a LONG, id_b LONG",
+    )
+    lbl2 = G.large_small_star_components(hub)
+    d2 = _cc_labels(lbl2)
+    assert len(d2) == 403 and set(d2.values()) == {0}
+    assert lbl2.lss_rounds <= 6, lbl2.lss_rounds
+
+
+def test_large_small_star_random_graph_matches_union_find(spark):
+    """Randomized cross-check: on seeded sparse random graphs the
+    large-star/small-star labeling equals a driver union-find."""
+    import random
+
+    import synthetic_datagen_spark.functions.graph as G
+
+    rng = random.Random(73)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(90 + 40 * trial)
+        ]
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in edges:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in nodes}
+        got = _cc_labels(
+            G.large_small_star_components(
+                spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+            )
+        )
+        assert got == want, f"trial {trial}"
