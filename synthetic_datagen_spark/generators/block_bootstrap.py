@@ -56,30 +56,64 @@ class BlockBootstrapGenerator:
 
         With a series column, blocks from all series pool together
         (block ids are global), matching the reference's single pool.
+
+        NO unpartitioned window in either path (plan-pinned,
+        tests/test_plans.py): row indexing uses the range-partitioned
+        distributed index (functions/indexing.py) when there is no
+        series column, and dense global block ids come from per-series
+        full-block counts prefix-summed over the (one-row-per-series)
+        counts frame — never from a row_number over the block list.
         """
-        part = [series_col] if series_col else []
-        w = Window.partitionBy(*part).orderBy(*order_cols) if part else Window.orderBy(*order_cols)
-        d = df.select(
-            *( [series_col] if series_col else [] ),
-            F.col(value_col).alias("price"),
-            (F.row_number().over(w) - 1).alias("_i"),
+        bs = self.block_size
+        if series_col:
+            w = Window.partitionBy(series_col).orderBy(*order_cols)
+            d = df.select(
+                series_col,
+                F.col(value_col).alias("price"),
+                (F.row_number().over(w) - 1).alias("_i"),
+            )
+        else:
+            from ..functions.indexing import with_global_index
+
+            d = with_global_index(
+                df.select(F.col(value_col).alias("price"), *order_cols),
+                list(order_cols),
+            ).select("price", "_i")
+        d = d.withColumn("local_block", F.floor(F.col("_i") / bs)).withColumn(
+            "pos", F.col("_i") % bs
         )
-        d = d.withColumn("local_block", F.floor(F.col("_i") / self.block_size)).withColumn(
-            "pos", F.col("_i") % self.block_size
-        )
-        # keep only full blocks; assign dense global block ids
-        sizes = d.groupBy(*(part + ["local_block"])).agg(F.count("*").alias("m"))
-        full = sizes.filter(F.col("m") == self.block_size).drop("m")
-        ids = full.withColumn(
-            "block_id",
-            F.row_number().over(Window.orderBy(*(part + ["local_block"]))) - 1,
-        )
-        self.blocks = (
-            d.join(F.broadcast(ids), part + ["local_block"])
-            .select("block_id", "pos", "price")
-            .persist()
-        )
-        self.n_blocks = self.blocks.select(F.countDistinct("block_id")).first()[0]
+        if series_col:
+            # _i is dense per series, so blocks 0..k-1 are full and only
+            # the tail block can be partial: k = floor(count / bs);
+            # global id = prefix-sum of preceding series' k + local id
+            from ..functions.indexing import with_prefix_sum
+
+            counts = d.groupBy(series_col).agg(
+                F.floor(F.count("*") / bs).alias("_k")
+            )
+            offs = with_prefix_sum(counts, [series_col], "_k", "_off")
+            self.blocks = (
+                d.join(F.broadcast(offs), series_col)
+                .filter(F.col("local_block") < F.col("_k"))
+                .select(
+                    (F.col("_off") + F.col("local_block")).alias("block_id"),
+                    "pos",
+                    "price",
+                )
+                .persist()
+            )
+            self.n_blocks = int(
+                counts.agg(F.sum("_k")).first()[0] or 0
+            )
+        else:
+            n_rows = d.count()
+            k = n_rows // bs
+            self.blocks = (
+                d.filter(F.col("local_block") < k)
+                .select(F.col("local_block").alias("block_id"), "pos", "price")
+                .persist()
+            )
+            self.n_blocks = int(k)
         return self
 
     # ----------------------------------------------------- generate --

@@ -49,20 +49,39 @@ class GrasyndaGenerator:
         order_cols: list[str],
         series_col: str | None = None,
     ) -> "GrasyndaGenerator":
+        # Adjacency (lag / lead) over the training order WITHOUT an
+        # unpartitioned window (plan-pinned, tests/test_plans.py): a
+        # dense global index (functions/indexing.py — one range
+        # shuffle, no SinglePartition exchange) turns both into
+        # shuffle joins on idx == idx-1 / idx+1. The series path keeps
+        # its partitioned window (already scale-safe).
         part = [series_col] if series_col else []
-        w = (
-            Window.partitionBy(*part).orderBy(*order_cols)
-            if part
-            else Window.orderBy(*order_cols)
-        )
         lp = F.log(F.greatest(F.col(value_col), F.lit(1e-10)))
-        rets = (
-            df.withColumn("_r", lp - F.lag(lp).over(w))
-            .withColumn("_idx", F.row_number().over(w))
-            .filter(F.col("_r").isNotNull())
-            .select(*part, F.col("_idx").alias("idx"), F.col("_r").alias("r"))
-        )
+        if part:
+            w = Window.partitionBy(*part).orderBy(*order_cols)
+            rets = (
+                df.withColumn("_r", lp - F.lag(lp).over(w))
+                .withColumn("_idx", F.row_number().over(w))
+                .filter(F.col("_r").isNotNull())
+                .select(*part, F.col("_idx").alias("idx"), F.col("_r").alias("r"))
+            )
+        else:
+            from ..functions.indexing import with_global_index
+
+            d = with_global_index(
+                df.select(lp.alias("_lp"), *order_cols), list(order_cols), "_idx"
+            ).select("_idx", "_lp")
+            prev = d.select(
+                (F.col("_idx") + 1).alias("_idx"), F.col("_lp").alias("_lp_prev")
+            )
+            rets = d.join(prev, "_idx").select(
+                F.col("_idx").alias("idx"),
+                (F.col("_lp") - F.col("_lp_prev")).alias("r"),
+            )
         rets = rets.persist()
+        # retained for the plan pin in tests/test_plans.py: the fit
+        # path must never contain an Exchange SinglePartition
+        self.fit_plan = rets._jdf.queryExecution().executedPlan().toString()
         # A4: exact quantile edges, uniquified (reference :77-82)
         probs = [i / self.n_states for i in range(self.n_states + 1)]
         edges = np.unique(
@@ -78,18 +97,20 @@ class GrasyndaGenerator:
             state = F.when(F.col("r") < float(self.edges[i]), i).otherwise(state)
         labeled = rets.withColumn("state", state)
 
-        # A7: transition counts via lead over the original time order
-        lw = (
-            Window.partitionBy(*part).orderBy("idx")
-            if part
-            else Window.orderBy("idx")
-        )
-        pairs = (
-            labeled.withColumn("nxt", F.lead("state").over(lw))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy("state", "nxt")
-            .count()
-        )
+        # A7: transition counts via lead over the original time order —
+        # a partitioned window per series, or an idx+1 self-join when
+        # there is no series (idx is dense, so the join IS the lead)
+        if part:
+            lw = Window.partitionBy(*part).orderBy("idx")
+            led = labeled.withColumn("nxt", F.lead("state").over(lw)).filter(
+                F.col("nxt").isNotNull()
+            )
+        else:
+            nxt = labeled.select(
+                (F.col("idx") - 1).alias("idx"), F.col("state").alias("nxt")
+            )
+            led = labeled.join(nxt, "idx")
+        pairs = led.groupBy("state", "nxt").count()
         tm = np.full((k, k), 0.0)
         for row in pairs.collect():
             tm[row["state"], row["nxt"]] = row["count"]
