@@ -24,6 +24,26 @@ from synthetic_datagen_spark.session import get_spark  # noqa: E402
 # over round; keep names stable).
 EXCLUDE: set[str] = set()
 
+# Queries whose first run pays a ONE-TIME session build (LSH pair
+# memos, pHash signatures, converged CC labels, fitted regime models)
+# that sibling queries then memo-hit. bench re-runs each immediately
+# after its cold run and records the steady-state time, so the bench
+# file separates "cost of building the artifact once" from "cost of
+# the query's own plan" (VERDICT r7/r8 task 4). Memos live Python-side
+# on localCheckpoint blocks, which clearCache does not evict.
+MEMO_BUILDERS = (
+    "corpus_curation_pipeline",
+    "dedup_connected_components",
+    "dedup_cc_large_star",
+    "embedding_dedup_clusters",
+    "embedding_dedup_clusters_strict",
+    "embedding_dedup_clusters_scaled",
+    "embedding_near_dup_pairs",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "multimodal_cross_dedup_clusters",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,10 +60,16 @@ def main() -> None:
     run("flagship_series_panel")  # warmup, not recorded
 
     times: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in sorted(REGISTRY):
         if name in EXCLUDE:
             continue
         times[name] = round(run(name), 3)
+        if name in MEMO_BUILDERS:
+            # immediate warm re-run: the session memo now holds the
+            # pair/label artifact, so this measures the query's own
+            # steady-state plan; cold - steady = the one-time build
+            steady[name] = round(run(name), 3)
         # measure each query from a clean cache state: a handful of
         # operators persist scaffolding frames (ECDF counts, token
         # tables, fitted-model streams) that would otherwise accumulate
@@ -56,6 +82,10 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        # steady-state re-runs of the memo-building queries: the delta
+        # times[q] - steady_state[q] is the one-time artifact build
+        # shared by the query's whole family, not per-query plan cost
+        "steady_state": steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures a bounded slice of stdout, so the 119-query

@@ -313,10 +313,13 @@ def large_small_star_components(
             .localCheckpoint()
         )
         retained.append(small)
-        # fixed point of (large ∘ small) == star forest
+        # fixed point of (large ∘ small) == star forest. Both frames
+        # are deduped and localCheckpoint-materialized, so set equality
+        # is (equal counts) + (no row of small outside edges) — one
+        # cheap count and one anti-join probe, not two exceptAll scans
         if (
-            small.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(small).limit(1).count() == 0
+            small.count() == edges.count()
+            and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         ):
             edges = small
             converged = True

@@ -531,9 +531,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SPARK_GRAFT_CC_ALGO on cached_min_label_components.",
 )
 def dedup_cc_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import large_small_star_components
+    from ..functions.graph import cached_min_label_components
+    from ..functions.vectors import cached_lsh_pairs
 
-    labels = large_small_star_components(_lsh_candidates(spark, sf_dir))
+    # shares the text pair-frame memo with the cross-modal query and
+    # memoizes its own converged labels under a kernel-distinct key
+    # (the shared-memo rule is "identical results may share"; here we
+    # WANT an independent large-star run, pinned identical by the
+    # shared oracle, so the key differs from the min-label twin's)
+    labels = cached_min_label_components(
+        spark,
+        ("text_lsh_cc_lss", sf_dir),
+        lambda: cached_lsh_pairs(
+            spark, ("text_lsh_pairs", sf_dir), lambda: _lsh_candidates(spark, sf_dir)
+        ),
+        algorithm="largestar",
+    )
     return labels.select(
         F.col("node_id").alias("doc_id"), "cluster_id"
     ).orderBy("doc_id")

@@ -62,9 +62,12 @@ def trial(repo: str, names: list[str]) -> dict[str, float]:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     trials = 3
+    out_path = None
     for a in sys.argv[1:]:
         if a.startswith("--trials"):
             trials = int(a.split("=", 1)[1]) if "=" in a else trials
+        if a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
     repo_a, repo_b, names = args[0], args[1], args[2:]
     runs: dict[str, list[dict]] = {repo_a: [], repo_b: []}
     for i in range(trials):
@@ -76,13 +79,25 @@ def main() -> None:
     for n in names:
         ma = statistics.median(r[n] for r in runs[repo_a])
         mb = statistics.median(r[n] for r in runs[repo_b])
+        # per-trial ratio of the interleaved pair i — each pair shares
+        # its host window, so the ratio list IS the noise distribution
+        ratio_all = [
+            round(ra[n] / rb[n], 3)
+            for ra, rb in zip(runs[repo_a], runs[repo_b])
+        ]
         out[n] = {
             "a_median": round(ma, 3), "b_median": round(mb, 3),
             "a_all": [r[n] for r in runs[repo_a]],
             "b_all": [r[n] for r in runs[repo_b]],
+            "ratio_all": ratio_all,
+            "ratio_median": round(statistics.median(ratio_all), 3),
             "a_over_b": round(ma / mb, 3),
         }
-    print(json.dumps({"a": repo_a, "b": repo_b, "queries": out}))
+    rec = {"a": repo_a, "b": repo_b, "trials": trials, "queries": out}
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

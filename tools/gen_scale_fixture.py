@@ -167,18 +167,31 @@ def main() -> None:
         choices=("clustered", "diffuse"),
         help="embedding geometry (see gen_embeddings docstring)",
     )
+    ap.add_argument(
+        "--tables",
+        default="events,documents,embeddings",
+        help="comma list of generated tables; omitted generated tables "
+        "are copied from --copy-star unscaled (e.g. --tables embeddings "
+        "for a 100x embedding-family-only fixture)",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     m = args.mult
-    gen_events(args.out, int(100_000 * m), int(1500 * m), args.seed)
-    gen_documents(args.out, int(5_000 * m), args.seed)
-    gen_embeddings(args.out, int(2_000 * m), args.seed, style=args.emb_style)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+    gen = set(args.tables.split(","))
+    if "events" in gen:
+        gen_events(args.out, int(100_000 * m), int(1500 * m), args.seed)
+    if "documents" in gen:
+        gen_documents(args.out, int(5_000 * m), args.seed)
+    if "embeddings" in gen:
+        gen_embeddings(args.out, int(2_000 * m), args.seed, style=args.emb_style)
+    star = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    passthrough = [t for t in ("events", "documents", "embeddings") if t not in gen]
+    for t in star + tuple(passthrough):
         shutil.copyfile(
             os.path.join(args.copy_star, f"{t}.parquet"),
             os.path.join(args.out, f"{t}.parquet"),
         )
-    print(f"wrote {args.out} at mult={m}")
+    print(f"wrote {args.out} at mult={m} (generated: {sorted(gen)})")
 
 
 if __name__ == "__main__":
