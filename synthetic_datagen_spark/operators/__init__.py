@@ -20,70 +20,71 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import event_queries  # noqa: F401,E402
 
-# Round 7 window (first 50): the 11 SQL-oracled queries never driver-
-# sampled in rounds 1-6, the re-check of cyclical_time_features (the
-# -0.0 fix), then every query REGISTERED this round (the late-r7
-# wave displaced the stale r1-r5 re-check slots it had originally —
-# new oracled queries outrank green re-checks): TPC-H q4/q7/q14/q15/
-# q17/q18/q19/q22, the training-pipeline ops (gopher rules, shards,
-# snapshot diff, label balance, int8 quant, doc-vec join, truncation
-# fidelity, zipf), event analytics (sessionization/funnel/cohort),
-# RANGE + NTILE windows, source formats (ORC/compaction/JSONL), and
-# the rows-only pHash near-dup + ANN recall panel. Round-8 rotation:
-# re-check any red rows first, then cycle queries last sampled r1-r5
-# (q1/q3/q5/q6/q10, a-family, d1/d7, flagship, union/top-k, asof,
-# multimodal metadata/resize, skew/rollup).
-_ROUND7_WINDOW = [
-    "intersect_except_users",
-    "interval_join_lineitem_orderdate",
-    "json_props_extract",
-    "minmax_scaling",
-    "multimodal_audio_codec_roundtrip",
-    "p_filters_panel",
-    "stream_corpus_curation_parity",
-    "stream_dedup_parity",
-    "stream_session_parity",
-    "string_functions_panel",
-    "zscore_normalization",
-    "cyclical_time_features",
-    "q7_nation_volume_shipping",
+# Round 9 window (first 50): the 11 queries never driver-sampled in
+# rounds 1-8 lead (r7/r8 verdict task #1 — six of them carry NEW
+# pinned-value oracles this round: bpe pair, s14, stream_pq, plus the
+# re-checks knn_recall_eval / multimodal_phash_neardup which sampled
+# no_oracle in r8 and are now value-oracled), then the queries whose
+# CODE changed this round (order-independent stream funnel, large-star
+# CC twin, D9 v3 tolerance, generator fit paths), then the stalest
+# r1-r4-sampled slots (q1/q3/q5/q6/q10, joins, union/top-k, asof) and
+# a slice of the r5 a/d-family backlog.
+_ROUND9_WINDOW = [
+    # -- never driver-sampled (cumulative coverage -> 100%)
+    "approx_quantiles_scale_path",
+    "bpe_tokenize_stats",
+    "bpe_train_merges",
+    "g9_stitch_variants",
+    "multimodal_audio_fingerprint_neardup",
+    "multimodal_cross_dedup_clusters",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_video_frames",
+    "s14_python_datasource_ticks",
+    "stream_pq_encode_parity",
+    "stream_regime_generate_parity",
+    # -- newly value-oracled re-checks (no_oracle rows in r8)
     "knn_recall_eval",
-    "embedding_truncation_fidelity",
-    "s11_orc_roundtrip_summary",
-    "s12_small_file_compaction",
-    "zipf_rank_frequency_panel",
-    "range_window_trailing_1h",
-    "ntile_rank_panel",
-    "q15_top_supplier_revenue",
-    "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
-    "incremental_ingest_dedup",
-    "q4_priority_late_ship",
-    "training_mix_resample",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_brand_filter",
-    "doc_chunking_windows",
-    "gopher_quality_rules",
-    "global_shuffle_shards",
-    "corpus_snapshot_diff",
-    "sequence_packing_bins",
-    "label_balanced_resample",
-    "sql_udtf_chunk_stats",
-    "variant_json_props_panel",
-    "d4_adf_stationarity",
-    "d6_hurst_exponent",
-    "embedding_int8_quantization_error",
-    "doc_embedding_join_panel",
-    "stream_funnel_parity",
-    "s13_jsonl_roundtrip_summary",
     "multimodal_phash_neardup",
-    "stream_decontamination_parity",
-    "event_sessionization",
+    # -- new or code-changed this round
+    "d9_tolerance_v3_panel",
+    "dedup_cc_large_star",
+    "dedup_connected_components",
+    "stream_funnel_parity",
     "funnel_view_click_purchase",
-    "cohort_retention_weekly",
-    "decontamination_ngram_overlap",
-    "decontamination_retention_by_lang",
+    "g4_block_bootstrap",
+    "g5_grasynda",
+    "corpus_curation_pipeline",
+    "embedding_dedup_clusters",
+    # -- stalest (last sampled r1-r4)
+    "anti_join_customers_without_orders",
+    "asof_join_purchase_click",
+    "dedup_first_event_per_user",
+    "orders_customer_nation_enrich",
+    "q10_returned_items",
+    "q6_forecast_revenue",
+    "top_orders_by_totalprice",
+    "union_dedup_events",
+    "q3_top_revenue_orders",
+    "q5_region_nation_revenue",
+    "semi_join_customers_with_orders",
+    # -- r5 backlog slice (a/d families + flagship)
+    "a1_moment_panel",
+    "a3_histogram_100",
+    "a4_quantile_edges",
+    "a5_state_frequency",
+    "a7_transition_matrix",
+    "a8_per_regime_stats",
+    "a9_price_quantity_correlation",
+    "a12_generator_summary",
+    "a13_metric_map_mean",
+    "a14_distinct_states",
+    "d1_js_divergence",
+    "d2_wasserstein",
+    "d3_ks_statistic",
+    "d7_moment_ratio_panel",
+    "flagship_series_panel",
+    "q1_pricing_summary",
+    "hourly_rollup",
 ]
 
 
@@ -99,6 +100,6 @@ def _rotate(window: list[str]) -> None:
         REGISTRY[n] = snapshot[n]
 
 
-_rotate(_ROUND7_WINDOW)
+_rotate(_ROUND9_WINDOW)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
