@@ -86,6 +86,12 @@ def cached_min_label_components(
         labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
     else:
         raise ValueError(f"unknown CC algorithm {algo!r}")
+    # durability (same policy as functions/vectors.cached_lsh_pairs):
+    # with a configured checkpoint dir the memoized frame re-anchors on
+    # RELIABLE storage so executor loss can't orphan the session memo;
+    # local[*] keeps the cheap localCheckpoint blocks
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        labels = labels.checkpoint(eager=True)
     _CC_CACHE[key] = labels
     return labels
 

@@ -418,17 +418,18 @@ def cached_lsh_pairs(
     """Materialized LSH near-dup pairs memoized per (session, cache_key).
 
     ``builder`` is only invoked on a miss; the result is eagerly
-    localCheckpoint'ed (deterministic in (input, config), so cached vs
-    fresh frames are interchangeable).
+    checkpointed (deterministic in (input, config), so cached vs fresh
+    frames are interchangeable).
 
-    Durability note: localCheckpoint stores blocks NON-reliably — if an
-    executor holding them dies, the truncated lineage cannot recompute
-    and reads fail. That is fine in local[*] (executor == driver JVM,
-    the single-process bench/test mode this memo targets). On a real
-    cluster, callers that need fault tolerance should either rebuild
-    via ``builder`` on block-fetch failure (the memo key makes the
-    retry trivial) or use ``spark.sparkContext.setCheckpointDir`` +
-    reliable ``checkpoint()`` on cold storage instead."""
+    Durability: when the session has a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` — the normal posture on a
+    real cluster) the memo uses RELIABLE ``checkpoint()``: blocks live
+    on cold storage and survive executor loss. Without one (local[*]
+    bench/test mode, executor == driver JVM) it falls back to
+    ``localCheckpoint``, whose non-reliable blocks are fine in a
+    single process; a cluster caller that skips setCheckpointDir can
+    still rebuild via ``builder`` on block-fetch failure (the memo key
+    makes the retry trivial)."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, cache_key)
     hit = _PAIRS_CACHE.get(key)
@@ -436,7 +437,11 @@ def cached_lsh_pairs(
         return hit
     for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
         del _PAIRS_CACHE[k]
-    pairs = builder().localCheckpoint(eager=True)
+    built = builder()
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        pairs = built.checkpoint(eager=True)
+    else:
+        pairs = built.localCheckpoint(eager=True)
     _PAIRS_CACHE[key] = pairs
     return pairs
 

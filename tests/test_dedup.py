@@ -432,3 +432,44 @@ def test_large_small_star_random_graph_matches_union_find(spark):
             )
         )
         assert got == want, f"trial {trial}"
+
+
+def test_pair_and_cc_memos_use_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With spark.sparkContext.setCheckpointDir configured (the normal
+    cluster posture), the pair and CC label memos must anchor on
+    RELIABLE checkpoint storage — files under the dir — so executor
+    loss cannot orphan the session memo; without one they fall back to
+    localCheckpoint (covered implicitly by every other memo test)."""
+    import os
+
+    import synthetic_datagen_spark.functions.graph as G
+    from synthetic_datagen_spark.functions.vectors import cached_lsh_pairs
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        pairs_df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+        )
+        out = cached_lsh_pairs(
+            spark, ("reliable_ck_test", "x"), lambda: pairs_df
+        )
+        assert out.count() == 3
+        lbl = G.cached_min_label_components(
+            spark, ("reliable_ck_cc_test", "x"), lambda: pairs_df
+        )
+        assert {r.node_id: r.cluster_id for r in lbl.collect()} == {
+            1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+        }
+        found = []
+        for root, _dirs, files in os.walk(ckdir):
+            found += [os.path.join(root, f) for f in files]
+        assert found, "no reliable checkpoint files written under the dir"
+    finally:
+        # don't leak a checkpoint dir into the rest of the session: the
+        # other memo tests assert localCheckpoint behavior ($eq needs
+        # getattr — '$' is not valid Python attribute syntax)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
