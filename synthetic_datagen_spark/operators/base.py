@@ -33,18 +33,35 @@ class QuerySpec:
     build: Builder
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    # For deterministic rows-only queries whose output was captured
+    # once as a literal-VALUES oracle (tools/pin_oracles.py), the sf
+    # tag the literals are valid at (e.g. "0.01" — the driver's gate
+    # scale). The parity harness skips pinned oracles at other sf
+    # dirs; None = a real SQL oracle, valid at any scale.
+    pinned_sf: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    pinned_sf: str | None = None,
+):
     """Decorator: register a builder under ``name`` with its oracle SQL."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            doc=doc or fn.__doc__ or "",
+            pinned_sf=pinned_sf,
+        )
         return fn
 
     return deco

@@ -503,6 +503,7 @@ FROM (VALUES
   420,2),(430,2),(435,2),(440,4),(445,4),(450,2),(455,2),(460,0),(465,
   2),(470,6),(480,2),(490,4)
 ) AS t(id_a, h)""",
+    pinned_sf="0.01",
     doc="Image near-duplicate detection via DCT perceptual hash "
     "(multimodal/phash.py): every doc renders a deterministic 32x32 "
     "RGB image; every 5th doc additionally plants a JPEG-reencoded "

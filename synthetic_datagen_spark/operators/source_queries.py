@@ -428,6 +428,7 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""SELECT * FROM (VALUES
   (CAST(500 AS BIGINT), CAST(500 AS BIGINT), TRUE)
 ) AS t(n_vectors, n_code_matches, exact_match)""",
+    pinned_sf="0.01",
     doc="Streaming embedding-ingest PQ encoding with batch parity: "
     "codebooks train OFFLINE (seeded sample, functions/vectors."
     "fit_pq_codebooks), then the same broadcast-codebook "

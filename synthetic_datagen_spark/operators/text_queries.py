@@ -1902,6 +1902,7 @@ _PIN_BPE_TOKENIZE = """SELECT * FROM (VALUES
 @register(
     "bpe_train_merges",
     oracle=_PIN_BPE_MERGES,  # pinned values, sf0.01 (see note above)
+    pinned_sf="0.01",
     doc="BPE tokenizer training (Sennrich 2016) — the step every LLM "
     "pipeline runs before anything counts 'tokens': word frequencies "
     "via ONE distributed hash aggregate (map-side combined, capped "
@@ -1928,6 +1929,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_PIN_BPE_TOKENIZE,  # pinned values, sf0.01: the merges are
     # deterministic (see _PIN_BPE_MERGES) and the panel is ratios of
     # exact BIGINT sums, so the whole output is corpus-determined
+    pinned_sf="0.01",
     doc="BPE tokenization at corpus scale: the 40 learned merges "
     "broadcast to an Arrow-batched mapInPandas segmenter; per-language "
     "panel of chars/word, BPE tokens/word, and the compression ratio "

@@ -693,6 +693,7 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
   ('ivf_16_4', CAST(31 AS BIGINT), CAST(0.62 AS DOUBLE)),
   ('lsh_8x5', CAST(26 AS BIGINT), CAST(0.52 AS DOUBLE))
 ) AS t(method, true_positives, recall_at_5)""",
+    pinned_sf="0.01",
     doc="ANN quality evaluator — recall@5 of each approximate index "
     "family against the exact brute-force answer, as a catalog query "
     "(the number a user checks before trading exactness for the "

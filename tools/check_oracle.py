@@ -122,7 +122,11 @@ def main() -> int:
         for name, spec in sorted(REGISTRY.items()):
             if only and name not in only:
                 continue
-            if spec.oracle is None:
+            no_oracle = spec.oracle is None or (
+                spec.pinned_sf is not None
+                and not sf_dir.rstrip("/").endswith("sf" + spec.pinned_sf)
+            )  # pinned-value literals only hold at their capture sf
+            if no_oracle:
                 try:
                     n = wrapped[name](spark, sf_dir).count()
                     print(f"[rows-only] {name}: {n} rows")
@@ -149,7 +153,11 @@ def main() -> int:
     for name, spec in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
-        if spec.oracle is None:
+        no_oracle = spec.oracle is None or (
+            spec.pinned_sf is not None
+            and not sf_dir.rstrip("/").endswith("sf" + spec.pinned_sf)
+        )  # pinned-value literals only hold at their capture sf
+        if no_oracle:
             try:
                 n = spec.build(spark, sf_dir).count()
                 print(f"[rows-only] {name}: {n} rows")
