@@ -328,3 +328,104 @@ def test_funnel_prune_watermark_finality():
     # fc improved to 13; fp recomputes against the new fc: purchase 14
     # from the buffer is now eligible (14 > 13), beating 20
     assert st3[:3] == (10, 13, 14)
+
+
+def test_funnel_watermark_pruning_in_engine(spark, tmp_path):
+    """Drive the funnel through the REAL watermark path: (a) a probe
+    stateful op asserts GroupState.getCurrentWatermarkMs() delivers a
+    nonzero watermark by the second micro-batch (the API funnel_prune
+    relies on — if it ever vanished, pruning would silently disable);
+    (b) the funnel itself, fed chronological thirds with WITHIN-batch
+    shuffling and a watermark covering that disorder, must still match
+    the batch oracle — wrong pruning would corrupt the counts."""
+    import time
+    import uuid
+
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from synthetic_datagen_spark.sources import Catalog
+    from synthetic_datagen_spark.streaming import (
+        read_events_stream,
+        stream_funnel_stages,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = str(tmp_path / "wm_thirds")
+    pdf = Catalog(spark, sf).table("events").orderBy("ts").toPandas()
+    third = len(pdf) // 3
+    for i, lo in enumerate([0, third, 2 * third]):
+        hi = len(pdf) if i == 2 else lo + third
+        chunk = pdf.iloc[lo:hi].sample(frac=1.0, random_state=i)  # intra-batch disorder
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(base)
+        time.sleep(1.2)  # distinct mtimes => deterministic file order
+
+    # (a) watermark probe: emits the state-visible watermark per batch
+    def probe(key, pdfs, state: GroupState):
+        for _ in pdfs:
+            pass
+        state.update((0,))
+        yield pd.DataFrame({"k": [key[0]], "wm": [int(state.getCurrentWatermarkMs())]})
+
+    src = read_events_stream(spark, base, max_files_per_trigger=1).withWatermark(
+        "ts", "11 days"  # > one third of the 30-day span: no late drops
+    )
+    name_p = f"wmprobe_{uuid.uuid4().hex[:8]}"
+    qp = (
+        src.select(F.lit(1).alias("k"), "ts")
+        .groupBy("k")
+        .applyInPandasWithState(
+            probe, "k INT, wm LONG", "dummy INT", "update", GroupStateTimeout.NoTimeout
+        )
+        .writeStream.format("memory")
+        .queryName(name_p)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qp.awaitTermination(180)
+    wms = [r.wm for r in spark.table(name_p).collect()]
+    assert len(wms) >= 3 and max(wms) > 0, wms  # advanced across batches
+
+    # (b) funnel parity under the same watermark + bounded disorder
+    stream = read_events_stream(spark, base, max_files_per_trigger=1).withWatermark(
+        "ts", "11 days"
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    name = f"wmfunnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max_by(
+            F.struct("first_view", "first_click", "first_purchase"), "emit_seq"
+        ).alias("s")
+    )
+    got = final.agg(
+        F.count(F.when(F.col("s.first_view") >= 0, 1)).alias("nv"),
+        F.count(F.when(F.col("s.first_click") >= 0, 1)).alias("nc"),
+        F.count(F.when(F.col("s.first_purchase") >= 0, 1)).alias("np"),
+    ).collect()[0]
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) ts_us
+                   FROM '{sf}/events.parquet'),
+        staged AS (SELECT user_id, MIN(CASE WHEN event_type='view' THEN ts_us END) fv
+                   FROM e GROUP BY user_id),
+        clicks AS (SELECT e.user_id, MIN(e.ts_us) fc FROM e
+                   JOIN staged s ON e.user_id = s.user_id
+                   WHERE e.event_type='click' AND e.ts_us > s.fv GROUP BY e.user_id),
+        purch AS (SELECT e.user_id, MIN(e.ts_us) fp FROM e
+                  JOIN clicks c ON e.user_id = c.user_id
+                  WHERE e.event_type='purchase' AND e.ts_us > c.fc GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM staged WHERE fv IS NOT NULL),
+               (SELECT COUNT(*) FROM clicks),
+               (SELECT COUNT(*) FROM purch)
+    """).fetchone()
+    assert (got.nv, got.nc, got.np) == want
