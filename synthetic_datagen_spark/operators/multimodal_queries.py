@@ -568,8 +568,67 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_fingerprint_neardup",
-    # rows-only: the FFT band-energy hash is not SQL-expressible;
-    # planted recall and margins pinned in tests/test_multimodal.py
+    # Pinned-value oracle (r9): the FFT band-energy fingerprint is not
+    # SQL-expressible, but the pair set is a pure function of the
+    # sf0.01 corpus (signals render deterministically from doc bytes;
+    # the G.711 companding roundtrip is bit-pinned against audioop) —
+    # integer/boolean output only, zero fp-parity risk. Captured via
+    # tools/pin_oracles.py; planted recall and margins additionally
+    # pinned in tests/test_multimodal.py.
+    oracle="""SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(h AS BIGINT) AS hamming, p AS is_planted_pair
+FROM (VALUES
+  (0,1000000,2,TRUE), (4,1000004,0,TRUE), (8,1000008,0,TRUE),
+  (12,1000012,0,TRUE), (16,1000016,0,TRUE), (20,1000020,0,TRUE),
+  (24,1000024,0,TRUE), (28,1000028,0,TRUE), (31,383,2,FALSE),
+  (32,1000032,0,TRUE), (36,1000036,0,TRUE), (40,1000040,0,TRUE),
+  (44,1000044,0,TRUE), (45,267,2,FALSE), (45,413,2,FALSE),
+  (48,1000048,0,TRUE), (52,1000052,0,TRUE), (56,1000056,0,TRUE),
+  (58,293,4,FALSE), (60,1000060,0,TRUE), (61,185,4,FALSE),
+  (64,1000064,0,TRUE), (68,1000068,0,TRUE), (70,447,4,FALSE),
+  (72,377,2,FALSE), (72,1000072,0,TRUE), (76,1000076,0,TRUE),
+  (80,1000080,0,TRUE), (84,1000084,0,TRUE), (88,1000088,0,TRUE),
+  (92,1000092,0,TRUE), (96,1000096,0,TRUE), (98,290,2,FALSE),
+  (100,1000100,0,TRUE), (104,1000104,0,TRUE), (108,1000108,0,TRUE),
+  (112,1000112,0,TRUE), (116,1000116,0,TRUE), (120,1000120,2,TRUE),
+  (124,1000124,0,TRUE), (128,1000128,0,TRUE), (132,1000132,2,TRUE),
+  (136,1000136,0,TRUE), (140,1000140,0,TRUE), (144,1000144,0,TRUE),
+  (148,1000148,0,TRUE), (152,1000152,0,TRUE), (156,1000156,2,TRUE),
+  (160,1000160,0,TRUE), (164,1000164,0,TRUE), (166,323,4,FALSE),
+  (168,1000168,0,TRUE), (172,1000172,0,TRUE), (176,1000176,0,TRUE),
+  (180,1000180,0,TRUE), (184,1000184,0,TRUE), (188,1000188,0,TRUE),
+  (192,1000192,0,TRUE), (196,1000196,0,TRUE), (200,1000200,0,TRUE),
+  (204,1000204,0,TRUE), (208,1000208,0,TRUE), (212,1000212,0,TRUE),
+  (216,1000216,0,TRUE), (220,1000220,0,TRUE), (224,1000224,0,TRUE),
+  (228,1000228,0,TRUE), (232,1000232,0,TRUE), (236,1000236,0,TRUE),
+  (240,1000240,0,TRUE), (244,1000244,0,TRUE), (248,1000248,0,TRUE),
+  (252,1000252,2,TRUE), (256,1000256,0,TRUE), (260,1000260,0,TRUE),
+  (264,1000264,0,TRUE), (267,413,0,FALSE), (268,1000268,0,TRUE),
+  (272,1000272,0,TRUE), (276,1000276,0,TRUE), (280,1000280,0,TRUE),
+  (284,1000284,0,TRUE), (285,301,0,FALSE), (288,1000288,0,TRUE),
+  (292,1000292,0,TRUE), (295,374,2,FALSE), (296,1000296,0,TRUE),
+  (300,1000300,0,TRUE), (304,1000304,2,TRUE), (308,1000308,0,TRUE),
+  (312,1000312,2,TRUE), (316,1000316,0,TRUE), (320,1000320,0,TRUE),
+  (324,1000324,0,TRUE), (326,457,4,FALSE), (328,1000328,2,TRUE),
+  (332,1000120,4,FALSE), (332,1000332,0,TRUE), (336,1000336,0,TRUE),
+  (340,1000340,0,TRUE), (344,1000344,0,TRUE), (348,1000348,0,TRUE),
+  (352,1000352,0,TRUE), (356,1000356,0,TRUE), (360,1000360,0,TRUE),
+  (364,1000364,0,TRUE), (368,1000368,0,TRUE), (372,1000372,0,TRUE),
+  (376,1000376,0,TRUE), (377,1000072,2,FALSE), (380,1000380,0,TRUE),
+  (384,1000384,0,TRUE), (388,1000388,0,TRUE), (392,1000392,0,TRUE),
+  (393,420,2,FALSE), (393,1000420,2,FALSE), (396,1000396,0,TRUE),
+  (400,1000400,0,TRUE), (404,1000404,0,TRUE), (408,1000408,2,TRUE),
+  (412,1000412,0,TRUE), (416,1000416,2,TRUE), (420,1000420,0,TRUE),
+  (424,1000424,2,TRUE), (428,1000428,0,TRUE), (432,1000432,2,TRUE),
+  (435,486,2,FALSE), (436,1000436,0,TRUE), (440,1000440,0,TRUE),
+  (444,1000444,0,TRUE), (448,1000448,0,TRUE), (452,1000452,0,TRUE),
+  (456,1000456,0,TRUE), (458,462,0,FALSE), (460,1000460,0,TRUE),
+  (464,1000464,0,TRUE), (468,1000468,2,TRUE), (472,1000472,0,TRUE),
+  (476,1000476,0,TRUE), (480,1000480,0,TRUE), (484,1000484,0,TRUE),
+  (488,1000488,0,TRUE), (492,1000492,0,TRUE), (496,1000496,0,TRUE),
+  (1000120,1000332,4,FALSE)
+) AS t(id_a, id_b, h, p)""",
+    pinned_sf="0.01",
     doc="Audio near-duplicate detection via spectral band-energy "
     "fingerprinting — the audio sibling of the pHash image pipeline "
     "and text SimHash: every doc renders a deterministic PCM-16 "
@@ -645,8 +704,75 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
 
 @register(
     "multimodal_cross_dedup_clusters",
-    # rows-only: composes the (non-SQL) image/audio signature pipelines
-    # with the text MinHash candidates; cluster invariants in tests
+    # Pinned-value oracle (r9): composes the (non-SQL) image/audio
+    # signature pipelines with the text MinHash candidates — every
+    # stage deterministic, and the per-cluster panel is integer/string
+    # only (cluster_id = component min, counts per modality), so the
+    # sf0.01 output pins exactly (tools/pin_oracles.py). Cluster
+    # invariants additionally in tests.
+    oracle="""SELECT * FROM (VALUES
+  (CAST(8 AS BIGINT), CAST(4 AS BIGINT), 'text', CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(11 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(15 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(22 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(23 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(26 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(27 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(31 AS BIGINT), CAST(3 AS BIGINT), 'audio,text', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(32 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(33 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(35 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(40 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(44 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(45 AS BIGINT), CAST(3 AS BIGINT), 'audio,text', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(51 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(58 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(61 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(64 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(67 AS BIGINT), CAST(3 AS BIGINT), 'text', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(69 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(70 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(71 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(72 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(80 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(81 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(84 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(86 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(87 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(92 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(98 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(102 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(105 AS BIGINT), CAST(3 AS BIGINT), 'text', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(107 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(109 AS BIGINT), CAST(3 AS BIGINT), 'text', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(117 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(118 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(120 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(121 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(147 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(150 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(151 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(152 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(164 AS BIGINT), CAST(3 AS BIGINT), 'text', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(166 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(184 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(205 AS BIGINT), CAST(5 AS BIGINT), 'text', CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(213 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(219 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(225 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(250 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(264 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(280 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(285 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(295 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(310 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(326 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(393 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(395 AS BIGINT), CAST(2 AS BIGINT), 'text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(435 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+  (CAST(458 AS BIGINT), CAST(2 AS BIGINT), 'audio,text', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT))
+) AS t("cluster_id", "n_docs", "modalities", "n_text_pairs", "n_image_pairs", "n_audio_pairs", "n_modalities")""",
+    pinned_sf="0.01",
     doc="Cross-modality duplicate clustering — the capstone dedup op: "
     "text MinHash-LSH candidate pairs, image pHash pairs, and audio "
     "spectral-fingerprint pairs (planted-variant ids folded back to "
