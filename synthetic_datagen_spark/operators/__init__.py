@@ -83,8 +83,9 @@ _ROUND9_WINDOW = [
     "d3_ks_statistic",
     "d7_moment_ratio_panel",
     "flagship_series_panel",
-    "q1_pricing_summary",
-    "hourly_rollup",
+    # -- new r9 pinned summary twins (codec paths, value-oracled)
+    "multimodal_jpeg_roundtrip_summary",
+    "multimodal_video_frames_summary",
 ]
 
 

@@ -392,6 +392,65 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_roundtrip_summary",
+    # Pinned-value oracle (r9), captured by tools/pin_oracles.py:
+    # 100 images, 72096 bytes at q50 vs 94093 at q90 (more quality =>
+    # more bytes, corpus-wide), all 100 roundtrip-ok and PSNR-monotone.
+    oracle="""SELECT * FROM (VALUES
+  (CAST(100 AS BIGINT), CAST(72096 AS BIGINT), CAST(94093 AS BIGINT),
+   CAST(100 AS BIGINT), CAST(100 AS BIGINT))
+) AS t(n_images, total_bytes_q50, total_bytes_q90, n_ok_roundtrip,
+       n_psnr_monotone)""",
+    pinned_sf="0.01",
+    doc="Integer-only summary twin of multimodal_jpeg_roundtrip: total "
+    "encoded bytes at q50/q90, roundtrip-ok and PSNR-monotonicity "
+    "counts over the full per-image frame. Every column is an exact "
+    "integer (byte sums, boolean counts — per-row float PSNRs only "
+    "feed a comparison), so the whole REAL-JPEG codec path pins to a "
+    "literal value oracle where the 500-row detail panel cannot.",
+)
+def multimodal_jpeg_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = multimodal_jpeg_roundtrip(spark, sf_dir)
+    return base.agg(
+        F.count("*").alias("n_images"),
+        F.sum("bytes_q50").cast("long").alias("total_bytes_q50"),
+        F.sum("bytes_q90").cast("long").alias("total_bytes_q90"),
+        F.sum(F.col("ok_roundtrip").cast("long")).alias("n_ok_roundtrip"),
+        F.sum((F.col("psnr_q90") >= F.col("psnr_q50")).cast("long")).alias(
+            "n_psnr_monotone"
+        ),
+    )
+
+
+@register(
+    "multimodal_video_frames_summary",
+    # Pinned-value oracle (r9), captured by tools/pin_oracles.py:
+    # 24 clips, 108 frames of which every 2nd (60) decodes, container
+    # bytes exactly reproducible (RIFF arithmetic + deterministic
+    # entropy coding), all 24 decode-ok.
+    oracle="""SELECT * FROM (VALUES
+  (CAST(24 AS BIGINT), CAST(102798 AS BIGINT), CAST(108 AS BIGINT),
+   CAST(60 AS BIGINT), CAST(24 AS BIGINT))
+) AS t(n_clips, total_container_bytes, total_frames, total_sampled,
+       n_ok_decode)""",
+    pinned_sf="0.01",
+    doc="Integer-only summary twin of multimodal_video_frames: clip "
+    "count, total MJPEG-AVI container bytes, frame and sampled-frame "
+    "totals, decode-ok count — the deterministic structural output of "
+    "the container+codec path, pinnable as a literal value oracle.",
+)
+def multimodal_video_frames_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = multimodal_video_frames(spark, sf_dir)
+    return base.agg(
+        F.count("*").alias("n_clips"),
+        F.sum("container_bytes").cast("long").alias("total_container_bytes"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("n_sampled").cast("long").alias("total_sampled"),
+        F.sum(F.col("ok_decode").cast("long")).alias("n_ok_decode"),
+    )
+
+
+@register(
     "multimodal_audio_codec_roundtrip",
     oracle="""
 WITH m AS (
