@@ -78,6 +78,15 @@ def tolerance_panel_v3(per_seed: DataFrame) -> DataFrame:
     (max(|v-mean|) == max(max-mean, mean-min)); only the final
     divisions and sqrt run in binary floating point, on identical
     inputs both sides.
+
+    Precondition: metrics are POSITIVE scores (the reference only ever
+    feeds MAEs, tolerance_v3_real_testset.py:74-81), so dividing by the
+    mean is well-defined. Defensively, a zero mean yields NULL for the
+    ratio columns (explicit guard, same on both engines) rather than a
+    misleading 0/inf; a negative mean passes through and produces a
+    negative cv exactly as the reference's numpy arithmetic would —
+    callers feeding signed metrics get the reference's behavior, not a
+    silent sign flip.
     """
     d = per_seed.withColumn("v", F.round("value", 9).cast("decimal(18,9)"))
     agg = d.groupBy("metric").agg(
@@ -91,11 +100,14 @@ def tolerance_panel_v3(per_seed: DataFrame) -> DataFrame:
     mean = F.col("s").cast("double") / n
     msq = F.col("s2").cast("double") / n
     std = F.sqrt(F.greatest(msq - mean * mean, F.lit(0.0)))
+    # NULL (not 0/inf) when the per-seed mean is exactly 0 — see the
+    # positive-metric precondition in the docstring
+    mean_nz = F.when(mean != 0.0, mean)
     max_dev = (
         F.greatest(F.col("mx").cast("double") - mean, mean - F.col("mn").cast("double"))
-        / mean
+        / mean_nz
     )
-    tol3 = 3.0 * std / mean
+    tol3 = 3.0 * std / mean_nz
     return agg.select(
         "metric",
         "n_seeds",
@@ -103,7 +115,7 @@ def tolerance_panel_v3(per_seed: DataFrame) -> DataFrame:
         F.round(std, 8).alias("std"),
         F.round(F.col("mn").cast("double"), 8).alias("min"),
         F.round(F.col("mx").cast("double"), 8).alias("max"),
-        F.round(std / mean, 6).alias("cv"),
+        F.round(std / mean_nz, 6).alias("cv"),
         F.round(max_dev, 6).alias("max_dev"),
         F.round(tol3, 6).alias("tolerance_3sigma"),
         F.round(F.greatest(tol3, max_dev) * 1.2, 4).alias("recommended_tolerance"),

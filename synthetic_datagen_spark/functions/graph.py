@@ -89,8 +89,11 @@ def cached_min_label_components(
     # durability (same policy as functions/vectors.cached_lsh_pairs):
     # with a configured checkpoint dir the memoized frame re-anchors on
     # RELIABLE storage so executor loss can't orphan the session memo;
-    # local[*] keeps the cheap localCheckpoint blocks
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+    # local[*] keeps the cheap localCheckpoint blocks. Checkpoint files
+    # are reclaimed by ContextCleaner on memo eviction (the dict drop
+    # releases the last reference; spark.cleaner.referenceTracking.
+    # cleanCheckpoints=true is set by session.get_spark).
+    if spark.sparkContext.getCheckpointDir() is not None:
         labels = labels.checkpoint(eager=True)
     _CC_CACHE[key] = labels
     return labels
@@ -280,7 +283,11 @@ def large_small_star_components(
         .localCheckpoint()
     )
     retained.append(nodes)
-    eu, ev = F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    # natural column types throughout — same contract as
+    # min_label_components: greatest/least/min order ANY orderable id
+    # type (string doc fingerprints included). A cast to long here
+    # would NULL out non-numeric ids and silently return singletons.
+    eu, ev = F.col(id_a), F.col(id_b)
     edges = (
         p.filter(eu != ev)
         .select(F.greatest(eu, ev).alias("u"), F.least(eu, ev).alias("v"))

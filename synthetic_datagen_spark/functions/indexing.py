@@ -34,6 +34,24 @@ from pyspark.sql import DataFrame, Window, functions as F
 _LOW33 = (1 << 33) - 1
 
 
+def _pin(d: DataFrame) -> DataFrame:
+    """Eagerly pin ONE physical execution of the range-partitioned
+    frame before the metadata collect. Both helpers here run TWO jobs
+    over the same intermediate — a tiny per-partition metadata collect
+    and the consuming job — and a lazy re-execution of
+    ``repartitionByRange`` re-draws its reservoir-sample boundaries
+    with an RDD-id-dependent seed, so at scale (input partitions larger
+    than the sample) the two executions can disagree on partition
+    assignment, silently corrupting offset[pid]+rank arithmetic.
+
+    ``localCheckpoint(eager=True)`` truncates lineage, so both jobs
+    read the SAME stored blocks; on executor loss the job fails loudly
+    (blocks are unrecoverable by design) instead of recomputing into a
+    different partitioning — for a transient fit-path frame, fail-loud
+    beats paying a reliable-checkpoint write of the full history."""
+    return d.localCheckpoint(eager=True)
+
+
 def _n_parts(df: DataFrame, n_parts: int | None) -> int:
     if n_parts:
         return n_parts
@@ -66,8 +84,12 @@ def with_global_index(
     """Dense 0-based global row index by ``order_cols`` — no global
     window, one range shuffle. Partitions are capped at 2^33 rows by
     the monotonically_increasing_id encoding (~8.6e9 — far above any
-    sane partition)."""
-    d = (
+    sane partition).
+
+    The partitioned frame is eagerly PINNED (_pin) before the
+    offset-collect job: the count job and the consuming job must read
+    the SAME physical partitioning — see _pin."""
+    d = _pin(
         df.repartitionByRange(_n_parts(df, n_parts), *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
@@ -93,8 +115,13 @@ def with_prefix_sum(
     Same shape as with_global_index, but the running sum needs a
     partition-LOCAL ordered window (partitioned by the range-partition
     id, never unpartitioned), plus driver-side cumulation of the
-    #partitions per-partition totals."""
-    d = (
+    #partitions per-partition totals.
+
+    Pinned before the totals collect for the same reason as
+    with_global_index: spark_partition_id() is assignment-dependent,
+    so the totals job and the window job must not re-execute the range
+    shuffle independently (see _pin)."""
+    d = _pin(
         df.repartitionByRange(_n_parts(df, n_parts), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )

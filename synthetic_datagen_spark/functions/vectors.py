@@ -429,7 +429,14 @@ def cached_lsh_pairs(
     ``localCheckpoint``, whose non-reliable blocks are fine in a
     single process; a cluster caller that skips setCheckpointDir can
     still rebuild via ``builder`` on block-fetch failure (the memo key
-    makes the retry trivial)."""
+    makes the retry trivial).
+
+    Retention: on cross-app memo eviction the dict drop releases the
+    last reference to the checkpointed frame; Spark's ContextCleaner
+    then deletes the reliable checkpoint files because
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set
+    by ``session.get_spark`` (without it, files live until the app's
+    checkpoint dir is removed — the documented Spark default)."""
     app_id = spark.sparkContext.applicationId
     key = (app_id, cache_key)
     hit = _PAIRS_CACHE.get(key)
@@ -438,7 +445,7 @@ def cached_lsh_pairs(
     for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
         del _PAIRS_CACHE[k]
     built = builder()
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+    if spark.sparkContext.getCheckpointDir() is not None:
         pairs = built.checkpoint(eager=True)
     else:
         pairs = built.localCheckpoint(eager=True)

@@ -52,7 +52,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # reliable-checkpoint hygiene: the pair/CC memos re-anchor on
+        # checkpoint() when a dir is configured; let ContextCleaner
+        # reclaim those files once the memoized frame is dropped
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # VERDICT r9 task 7: exercise the reliable-checkpoint memo path in
+    # every local bench/test run, not just its dedicated test — point
+    # the checkpoint dir at scratch space when none is configured yet.
+    # On a real cluster setCheckpointDir targets durable storage via
+    # spark-submit / SPARK_GRAFT_CHECKPOINT_DIR instead.
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if ckpt is None and master.startswith("local"):
+            import tempfile
+
+            ckpt = os.path.join(
+                tempfile.gettempdir(), f"sdg-ckpt-{spark.sparkContext.applicationId}"
+            )
+        if ckpt:
+            spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -473,3 +473,21 @@ def test_pair_and_cc_memos_use_reliable_checkpoint_when_dir_set(spark, tmp_path)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.empty()
         )
+
+
+def test_large_small_star_handles_string_ids(spark):
+    """ADVICE r9: the kernel must be type-generic like
+    min_label_components — string ids (doc fingerprints) order by the
+    natural string ordering; a numeric cast would NULL them out and
+    silently emit singletons."""
+    import synthetic_datagen_spark.functions.graph as G
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("zz", "zz")],
+        "id_a STRING, id_b STRING",
+    )
+    got = _cc_labels(G.large_small_star_components(pairs))
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "zz": "zz"}
+    assert got == want
+    mm = _cc_labels(G.min_label_components(pairs))
+    assert mm == want

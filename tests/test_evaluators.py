@@ -533,3 +533,22 @@ def test_distribution_evaluate_arrays_call_form(spark):
         - (m["kl_divergence"] + 0.1 * m["wasserstein_distance"]
            + abs(m["real_return_std"] - m["synthetic_return_std"]))
     ) < 1e-12
+
+
+def test_tolerance_panel_v3_zero_mean_yields_null_ratios(spark):
+    """ADVICE r9: a metric whose per-seed mean is exactly 0 must yield
+    NULL for the mean-relative columns (cv, max_dev, tolerance_3sigma,
+    recommended) — an explicit guard, not a 0-division artifact — while
+    mean/std/min/max stay well-defined."""
+    from synthetic_datagen_spark.evaluators.tolerance import tolerance_panel_v3
+
+    per_seed = spark.createDataFrame(
+        [("signed", 0, -1.0), ("signed", 1, 1.0), ("ok", 0, 2.0), ("ok", 1, 2.0)],
+        "metric STRING, seed INT, value DOUBLE",
+    )
+    rows = {r.metric: r for r in tolerance_panel_v3(per_seed).collect()}
+    z = rows["signed"]
+    assert z.mean == 0.0 and z.std == 1.0 and z.min == -1.0 and z.max == 1.0
+    for c in ("cv", "max_dev", "tolerance_3sigma", "recommended_tolerance"):
+        assert z[c] is None, c
+    assert rows["ok"].cv == 0.0 and rows["ok"].recommended_tolerance == 0.0

@@ -494,7 +494,13 @@ def test_generator_fit_paths_have_no_unpartitioned_window(spark):
     plan = buf.getvalue()
     assert "SinglePartition" not in plan
     assert "Window" not in plan  # index comes from range shuffle + mono-id
-    assert "rangepartitioning" in plan
+    # ADVICE r9: the range-shuffled index frame is eagerly pinned
+    # (localCheckpoint) before the offset collect, so the plan reads the
+    # materialized blocks — the range shuffle itself ran once, upstream
+    # of the checkpoint, and can no longer leak a second nondeterministic
+    # execution into this plan (which is the point of the pin).
+    assert "rangepartitioning" not in plan
+    assert "ExistingRDD" in plan or "InMemoryTableScan" in plan
 
     gr = GrasyndaGenerator(n_states=8).fit(ev, "value", ["ts", "event_id"])
     assert "SinglePartition" not in gr.fit_plan
