@@ -133,18 +133,53 @@ def minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_quantiles_oracle_sql() -> str:
+    """Exact-regime oracle: with per-group n (~2k at sf0.01) below the
+    sketch accuracy (10000), Spark's Greenwald-Khanna summaries never
+    compress, so percentile_approx degenerates to the exact discrete
+    quantile and bit-matches DuckDB quantile_disc (verified across
+    1/7/32-partition layouts). Valid ONLY while n <= accuracy — hence
+    pinned_sf='0.01' (the driver's gate scale); at larger SFs the
+    sketch is approximate by design and the gate falls back to
+    rows-only."""
+    qcols = ", ".join(
+        f"quantile_disc(value, {i / 10}) AS q{i}" for i in range(11)
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT event_type, CAST({i} AS INTEGER) AS decile, q{i} AS edge FROM q"
+        for i in range(11)
+    )
+    return f"""
+WITH q AS (
+  SELECT event_type, {qcols}
+  FROM events GROUP BY event_type
+)
+{arms}
+ORDER BY event_type, decile
+"""
+
+
 @register(
     "approx_quantiles_scale_path",
-    oracle=None,  # approx sketch: engine-specific by design; exact twin is a4
+    oracle=_approx_quantiles_oracle_sql(),
+    pinned_sf="0.01",
     doc="percentile_approx deciles per series — the 100 TB quantile path "
     "(single-pass sketch, mergeable across partitions); exactness twin "
-    "is a4_quantile_edges.",
+    "is a4_quantile_edges. Output is one SCALAR row per "
+    "(event_type, decile) — the ArrayType column of the r9 shape broke "
+    "the driver harness's canonicalizer (the one red r9 row), and the "
+    "exploded shape is strictly more useful downstream. Value-oracled "
+    "vs DuckDB quantile_disc in the exact regime (see "
+    "_approx_quantiles_oracle_sql).",
 )
 def approx_quantiles_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events")
     probs = F.array(*[F.lit(i / 10) for i in range(11)])
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.percentile_approx("value", probs, 10000).alias("edges")
+    )
+    return agg.select(
+        "event_type", F.posexplode("edges").alias("decile", "edge")
     )
 
 
