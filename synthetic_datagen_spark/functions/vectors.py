@@ -486,6 +486,75 @@ def scaled_lsh_params(
     return 40, 1
 
 
+def lsh_config_feasible(
+    n: int,
+    cos_threshold: float,
+    target_recall: float = 0.99,
+    cands_per_vec: float = 50.0,
+    max_tables: int = 512,
+) -> bool:
+    """Whether sign-LSH can mine near-dup pairs at this (corpus size,
+    threshold) with bounded candidates AND a sane index cost.
+
+    scaled_lsh_params always returns *a* config, but two failure modes
+    make the answer useless at scale: (a) no plane count in range hits
+    the candidate bound (the (40, 1) fallthrough — recall collapses to
+    ~p^40), and (b) the bound is only reachable with an absurd table
+    count (L ≈ ln(1/(1-recall))/p^b grows as p falls, so LOW thresholds
+    need thousands of tables — each a full hash pass over the corpus).
+    Both mean the threshold sits too deep in the random-cosine bulk for
+    LSH at this n; the caller should compare against threshold_floor
+    and raise the threshold, not brute-force the config. max_tables=512
+    keeps the per-vector index cost (L hash evaluations) within ~1
+    order of magnitude of the production configs the 100× probe
+    validated (0.9 @ 200k → 62 tables, SCALE_SWEEP_r9)."""
+    import math
+
+    b, L = scaled_lsh_params(n, cos_threshold, target_recall, cands_per_vec)
+    if L > max_tables:
+        return False
+    p = 1.0 - math.acos(min(max(cos_threshold, -1.0), 1.0)) / math.pi
+    recall = 1.0 - (1.0 - p**b) ** L
+    return recall >= target_recall - 1e-9
+
+
+def threshold_floor(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    sample_n: int = 2000,
+    q: float = 0.999,
+) -> float:
+    """Bulk-cosine quantile guard (r9 VERDICT task 3): the ``q``
+    quantile of pairwise cosine similarity over a bounded sample of the
+    corpus — the empirical floor below which a near-dup threshold sits
+    INSIDE the random-cosine bulk. There the candidate set and the
+    answer itself grow quadratically with corpus size (SCALE_SWEEP_r9
+    clustered-geometry finding: at 100×, threshold 0.35 on a diffuse
+    64-dim corpus pulls the N(0, 1/√d) tail; on a clustered corpus the
+    bulk moves UP and even 0.9 can be inside it) — no index
+    configuration can make that answer small, so dedup entry points
+    warn when threshold < floor.
+
+    Driver-side on a bounded ``limit(sample_n)`` pool (the same idiom
+    as the anchor-price/PQ training pools): O(sample_n²) numpy dot
+    products, ~4M for the default — milliseconds. The sample is
+    whatever partitions serve first; the bulk quantile is a corpus
+    STATISTIC, not an exact answer, and any contiguous slice of the
+    corpus estimates it."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_n).collect()
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    if M.shape[0] < 2:
+        return -1.0  # degenerate corpus: nothing to collide with
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Mn = M / norms
+    S = Mn @ Mn.T
+    iu = np.triu_indices(M.shape[0], k=1)
+    return float(np.quantile(S[iu], q))
+
+
 def lsh_near_dup_pairs_scaled(
     df: DataFrame,
     threshold: float,

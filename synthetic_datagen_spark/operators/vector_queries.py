@@ -9,6 +9,8 @@ asserted in tests/test_vectors.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import vectors as V
@@ -17,6 +19,104 @@ from .base import register
 
 _K = 5
 _NQ = 10  # vec_id < 10 are the query vectors
+
+
+def _fixed_config_max_rows() -> int:
+    """Corpus size above which the near-dup entry points REFUSE their
+    fixed LSH configs and derive (n_planes, n_tables) from the corpus
+    count instead (scaled_lsh_params). A constant config's random-
+    collision candidate term is L·2⁻ᵇ·n²/2 — quadratic in n — and the
+    r9 100× probe showed it concretely: the fixed 12×6 config OOMs at
+    ~9e9 candidate pairs on a 200k corpus while the size-derived
+    config completes at unit cost 0.31 (SCALE_SWEEP_r9.json). Below
+    the cutoff the requested fixed config is kept verbatim, so the
+    literal-hyperplane SQL oracles (valid only for the fixed planes)
+    are unaffected at the gate scales (≤2.5k vectors). Env-overridable
+    so tests can force the scaled path on small fixtures."""
+    return int(os.environ.get("SPARK_GRAFT_LSH_FIXED_MAX", "50000"))
+
+
+# corpus row counts / bulk-cosine floors memoized per (applicationId,
+# sf_dir, corpus kind) — the scale guard needs ONE count job and ONE
+# bounded sample per corpus per session, not one per query (same
+# eviction discipline as the pair/CC memos)
+_COUNT_CACHE: dict = {}
+_FLOOR_CACHE: dict = {}
+
+
+def _memoized(cache: dict, spark: SparkSession, key: tuple, compute):
+    app_id = spark.sparkContext.applicationId
+    full = (app_id,) + key
+    hit = cache.get(full)
+    if hit is not None:
+        return hit
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+    val = compute()
+    cache[full] = val
+    return val
+
+
+def _corpus_count(
+    spark: SparkSession, sf_dir: str, corpus_kind: str, df: DataFrame
+) -> int:
+    return _memoized(
+        _COUNT_CACHE, spark, (sf_dir, corpus_kind), lambda: df.count()
+    )
+
+
+def _scale_guarded_config(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_tables: int,
+    n_planes: int,
+    corpus_kind: str,
+    df: DataFrame,
+) -> tuple[int, int]:
+    """Resolve the (n_tables, n_planes) a near-dup entry point actually
+    runs with: the requested fixed config below _fixed_config_max_rows,
+    the corpus-size-derived scaled_lsh_params config above it.
+    Idempotent — feeding a resolved config back in re-derives the same
+    values (the derivation depends only on corpus count + threshold).
+
+    Above the cutoff two data-quality guards also fire (r9 VERDICT
+    task 3): if the threshold sits below the corpus's bulk-cosine
+    floor (threshold_floor) the query's ANSWER is quadratic in corpus
+    size and a warning says so; if no sane LSH config reaches the
+    recall target at this threshold (lsh_config_feasible) the call
+    raises instead of OOMing at ~n²/2 candidates — the r9 100× probe's
+    concrete failure mode."""
+    import warnings
+
+    n = _corpus_count(spark, sf_dir, corpus_kind, df)
+    if n <= _fixed_config_max_rows():
+        return n_tables, n_planes
+    floor = _memoized(
+        _FLOOR_CACHE, spark, (sf_dir, corpus_kind),
+        lambda: V.threshold_floor(df, vec_col="embedding"),
+    )
+    if threshold < floor:
+        warnings.warn(
+            f"near-dup threshold {threshold} is below the corpus's "
+            f"bulk-cosine floor {floor:.3f} (0.999-quantile of sampled "
+            f"random-pair cosines, n={n}): the matching pair set itself "
+            f"grows quadratically with corpus size — raise the "
+            f"threshold above the floor (SCALE_SWEEP_r9 "
+            f"clustered-geometry finding)",
+            stacklevel=3,
+        )
+    if not V.lsh_config_feasible(n, threshold):
+        raise ValueError(
+            f"sign-LSH cannot mine cos >= {threshold} at corpus size "
+            f"{n} within a sane index budget (bulk-cosine floor "
+            f"{floor:.3f}): every config either misses the recall "
+            f"target or needs thousands of hash tables. Raise the "
+            f"threshold above functions.vectors.threshold_floor(df), "
+            f"or use the exact brute-force path on a filtered subset."
+        )
+    b, L = V.scaled_lsh_params(n, threshold)
+    return L, b
 
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), "
@@ -126,7 +226,13 @@ WHERE {_DOT.format(a='ea', b='eb')}
     "— the scale path: a shuffle self-join on (tbl, bucket) instead of "
     "the O(n²/2) all-pairs crossJoin. Fully SQL-oracled (hyperplanes "
     "inline as literals → identical candidate set in both engines); "
-    "recall vs the exact brute-force baseline asserted in tests.",
+    "recall vs the exact brute-force baseline asserted in tests. The "
+    "8×4 config is the BELOW-CUTOFF request only: past "
+    "_fixed_config_max_rows the scale guard derives planes/tables from "
+    "the corpus count (scaled_lsh_params) — the fixed config's "
+    "random-collision term is quadratic in n and OOMed the r9 100× "
+    "probe. The literal-hyperplane oracle is valid exactly where the "
+    "fixed config runs (the gate scales).",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cached_pairs(spark, sf_dir, 0.35, 8, 4, _emb)
@@ -147,13 +253,32 @@ def _cached_pairs(
     the identical (0.35, 8×4) pair set; the strict/scaled siblings memo
     their own configs. One (session, input, config) → one bucket-join.
     ``arrow=True`` selects the numpy bucket kernel (rows-only queries
-    only; oracled configs keep the SQL-bit-identical JVM fold)."""
+    only; oracled configs keep the SQL-bit-identical JVM fold).
+
+    The requested (n_tables, n_planes) are a REQUEST, not a contract:
+    above _fixed_config_max_rows the scale guard swaps in the
+    corpus-size-derived scaled_lsh_params config (r9 VERDICT task —
+    the fixed configs are a proven 100× scale-killer). The memo key
+    uses the RESOLVED config, so siblings that resolve identically
+    share one bucket-join."""
     corpus_kind = getattr(corpus, "__name__", str(corpus))
+    df = corpus(spark, sf_dir)
+    resolved = _scale_guarded_config(
+        spark, sf_dir, threshold, n_tables, n_planes, corpus_kind, df
+    )
+    if resolved != (n_tables, n_planes):
+        # guard engaged => outside oracle territory (the literal-
+        # hyperplane SQL only ever runs at gate scales below the
+        # cutoff), so take the numpy bucket kernel too: scaled configs
+        # carry the big plane×table products where the vectorized
+        # matmul beats the interpreted per-element JVM fold ~10×
+        arrow = True
+    n_tables, n_planes = resolved
     return V.cached_lsh_pairs(
         spark,
         ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind, arrow),
         lambda: V.lsh_near_dup_pairs(
-            corpus(spark, sf_dir), threshold, dim=64,
+            df, threshold, dim=64,
             n_tables=n_tables, n_planes=n_planes, seed=42,
             arrow_buckets=arrow,
         ),
@@ -224,6 +349,13 @@ def _dedup_clusters(
     from ..functions.graph import cached_min_label_components
 
     src = corpus if corpus is not None else _emb
+    # resolve the scale guard BEFORE building the CC memo key, so two
+    # entry points whose configs resolve to the same scaled params
+    # share both the pair memo and the CC labels
+    n_tables, n_planes = _scale_guarded_config(
+        spark, sf_dir, threshold, n_tables, n_planes,
+        getattr(src, "__name__", str(src)), src(spark, sf_dir),
+    )
     labels = cached_min_label_components(
         spark,
         (f"emb_lsh_cc_{threshold}_{n_tables}x{n_planes}", sf_dir),
@@ -271,7 +403,10 @@ _STRICT_PRE_CTE = """corpus AS (
     "(p = 1-θ/π ≈ 0.857, 1-(1-p^6)^12; verified vs brute force in "
     "tests/test_vectors.py). Same shared min-label CC kernel; "
     "SQL-oracled end-to-end via literal hyperplanes + recursive-CTE "
-    "closure.",
+    "closure. Above _fixed_config_max_rows the scale guard replaces "
+    "12×6 with the corpus-size-derived scaled_lsh_params config — at "
+    "that point this query IS embedding_dedup_clusters_scaled (they "
+    "resolve to the same memo keys and share one bucket-join).",
 )
 def embedding_dedup_clusters_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_clusters(

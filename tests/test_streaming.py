@@ -429,3 +429,52 @@ def test_funnel_watermark_pruning_in_engine(spark, tmp_path):
                (SELECT COUNT(*) FROM purch)
     """).fetchone()
     assert (got.nv, got.nc, got.np) == want
+
+
+def test_funnel_prune_interleaved_with_boundary_late_events():
+    """r9 VERDICT stretch task: adversarial interleaving of watermark
+    advancement with maximally-late arrivals — every delivery chunk
+    contains only events with ts >= the CURRENT watermark (the Spark
+    watermark contract: ts < wm is dropped, ts == wm is delivered),
+    and the schedule advances the watermark exactly to the minimum
+    remaining timestamp, so events keep arriving EXACTLY AT the
+    boundary after prunes. The pruned-then-merged fold must still
+    land on the batch-reference anchors for every shuffle, chunking,
+    and advancement pattern."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from synthetic_datagen_spark.streaming import funnel_merge, funnel_prune
+
+    ev = st.tuples(
+        st.sampled_from(["view", "click", "purchase"]), st.integers(0, 12)
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(ev, max_size=24), st.randoms(use_true_random=False))
+    def check(events, rng):
+        want = _funnel_batch_reference(events)
+        remaining = list(events)
+        rng.shuffle(remaining)
+        state = (-1, -1, -1, [], [])
+        wm = 0
+        while remaining:
+            # legal watermark advancement: never beyond the minimum
+            # remaining timestamp (those events still have to arrive);
+            # half the time jump EXACTLY to it — the boundary case.
+            lo = min(ts for _, ts in remaining)
+            wm = max(wm, lo if rng.random() < 0.5 else rng.randint(0, lo))
+            # deliver a chunk; under this wm every remaining event is
+            # deliverable (ts >= lo >= ... >= wm)
+            k = rng.randint(1, 6)
+            chunk, remaining = remaining[:k], remaining[k:]
+            state = funnel_merge(
+                state,
+                [ts for t, ts in chunk if t == "view"],
+                [ts for t, ts in chunk if t == "click"],
+                [ts for t, ts in chunk if t == "purchase"],
+            )
+            state = funnel_prune(state, wm)
+        assert state[:3] == want, (events, wm, state)
+
+    check()

@@ -335,3 +335,117 @@ def test_knn_recall_eval_panel(spark):
     assert set(pdf["method"]) == {"lsh_8x5", "ivf_16_4"}
     assert (pdf["recall_at_5"] >= 0.4).all()
     assert (pdf["true_positives"] == (pdf["recall_at_5"] * 50).round()).all()
+
+
+def test_lsh_scale_guard_swaps_fixed_config_above_cutoff(spark, sf_smoke, monkeypatch):
+    """r9 VERDICT task 2: past _fixed_config_max_rows the near-dup
+    entry points must derive (n_planes, n_tables) from the corpus count
+    (fixed configs are a proven 100× scale-killer, SCALE_SWEEP_r9 OOM);
+    below it the requested config passes through verbatim (the
+    literal-hyperplane oracles depend on it). Resolution is
+    idempotent."""
+    from synthetic_datagen_spark.functions.vectors import scaled_lsh_params
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    df = VQ._emb(spark, sf_smoke)
+    n = df.count()
+    kind = "_emb"
+    # below cutoff (default 50k >> sf0.001): request kept verbatim
+    assert VQ._scale_guarded_config(
+        spark, sf_smoke, 0.9, 12, 6, kind, df
+    ) == (12, 6)
+    # force the guard on the small fixture (0.9 is feasible at any n)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_FIXED_MAX", str(n - 1))
+    b, L = scaled_lsh_params(n, 0.9)
+    resolved = VQ._scale_guarded_config(spark, sf_smoke, 0.9, 12, 6, kind, df)
+    assert resolved == (L, b) and resolved != (12, 6)
+    # idempotent: a resolved config re-resolves to itself
+    assert VQ._scale_guarded_config(
+        spark, sf_smoke, 0.9, L, b, kind, df
+    ) == (L, b)
+
+
+def test_lsh_scale_guard_end_to_end_strict_dedup(spark, sf_smoke, monkeypatch):
+    """With the guard forced on, the DEFAULT strict entry point runs
+    the scaled config and keeps its semantics: planted near-dup pairs
+    (cos ≥ 0.9) still land in shared clusters with no false merges —
+    precision comes from the exact rescore, recall from the
+    target_recall-sized table count."""
+    import numpy as np
+
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_FIXED_MAX", "100")
+    rows = VQ._planted_corpus(spark, sf_smoke).collect()
+    ids = [r.vec_id for r in rows]
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.9
+    }
+    assert truth, "planted corpus lost its near-dup pairs"
+    labels = {
+        r.vec_id: r.cluster_id
+        for r in VQ.embedding_dedup_clusters_strict(spark, sf_smoke).collect()
+    }
+    got = {
+        (a, b)
+        for a in labels
+        for b in labels
+        if a < b and labels[a] == labels[b]
+    }
+    # exact rescore => no pair outside the transitive closure of truth;
+    # on this fixture the planted pairs are isolated 2-cliques so the
+    # cluster pair set IS the pair set
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+    assert got <= truth, f"false merges: {sorted(got - truth)[:5]}"
+
+
+def test_lsh_scale_guard_rejects_bulk_threshold(spark, sf_smoke, monkeypatch):
+    """A threshold inside the random-cosine bulk (0.35 on the diffuse
+    64-dim corpus) must fail FAST above the cutoff — warn that the
+    answer is quadratic, then raise (no config reaches the recall
+    target without thousands of tables) — instead of OOMing at ~n²/2
+    candidates like the r9 100× probe did."""
+    import pytest
+
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_FIXED_MAX", "100")
+    df = VQ._emb(spark, sf_smoke)
+    with pytest.warns(UserWarning, match="bulk-cosine floor"):
+        with pytest.raises(ValueError, match="threshold_floor"):
+            VQ._scale_guarded_config(spark, sf_smoke, 0.35, 8, 4, "_emb", df)
+
+
+def test_threshold_floor_separates_clustered_from_diffuse(spark):
+    """threshold_floor (r9 VERDICT task 3): on a CLUSTERED corpus the
+    bulk-cosine quantile rises toward 1 (even 0.9 sits inside the
+    bulk → the guard warns); on a diffuse corpus the floor stays near
+    the N(0, 1/√d) tail (~0.4 at d=64) and 0.9 is safely above it."""
+    import numpy as np
+
+    from synthetic_datagen_spark.functions.vectors import threshold_floor
+
+    rng = np.random.default_rng(7)
+    d = 64
+    base = rng.normal(size=d)
+    clustered = base + 0.05 * rng.normal(size=(400, d))
+    diffuse = rng.normal(size=(400, d))
+
+    def frame(M):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(M)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+
+    fc = threshold_floor(frame(clustered), sample_n=400)
+    fd = threshold_floor(frame(diffuse), sample_n=400)
+    assert fc > 0.9, fc       # clustered: 0.9 is INSIDE the bulk
+    assert 0.2 < fd < 0.7, fd  # diffuse: tail of N(0, 1/sqrt(64))
+    assert fd < 0.9            # 0.9 is safe on diffuse geometry

@@ -42,13 +42,30 @@ def _emb_pair_counter(threshold, n_tables, n_planes, corpus_name, arrow=False):
         from synthetic_datagen_spark.operators import vector_queries as VQ
 
         corpus = getattr(VQ, corpus_name)
+        df = corpus(spark, d)
         if n_tables is None:  # scale-aware config: derive like the query
             from synthetic_datagen_spark.functions.vectors import scaled_lsh_params
 
-            n = corpus(spark, d).count()
+            n = df.count()
             b, L = scaled_lsh_params(n, threshold)
         else:
-            b, L = n_planes, n_tables
+            # resolve exactly like the entry point (r10: the scale guard
+            # swaps fixed configs above the cutoff; counting with the raw
+            # fixed config would rebuild the OOM-ing pair set the guard
+            # just avoided). Mirror the arrow choice too — the guard-
+            # engaged path flips to the numpy bucket kernel, and a
+            # mismatched flag would memo-MISS and rebuild the pair set
+            # with the slow fold instead of hitting the query's memo.
+            L, b = VQ._scale_guarded_config(
+                spark, d, threshold, n_tables, n_planes, corpus_name, df
+            )
+            if (L, b) != (n_tables, n_planes):
+                nonlocal_arrow = True
+            else:
+                nonlocal_arrow = arrow
+            return VQ._cached_pairs(
+                spark, d, threshold, L, b, corpus, arrow=nonlocal_arrow
+            ).count()
         return VQ._cached_pairs(spark, d, threshold, L, b, corpus, arrow=arrow).count()
 
     return count
