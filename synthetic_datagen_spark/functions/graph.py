@@ -94,7 +94,13 @@ def cached_min_label_components(
     # releases the last reference; spark.cleaner.referenceTracking.
     # cleanCheckpoints=true is set by session.get_spark).
     if spark.sparkContext.getCheckpointDir() is not None:
-        labels = labels.checkpoint(eager=True)
+        # persist around checkpoint(): the write job re-runs lineage
+        # after the materializing action; the cache makes that re-run
+        # a block read instead of a second CC convergence
+        labels = labels.persist()
+        ck = labels.checkpoint(eager=True)
+        labels.unpersist()
+        labels = ck
     _CC_CACHE[key] = labels
     return labels
 

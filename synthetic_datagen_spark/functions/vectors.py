@@ -131,6 +131,22 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster before the bucket
+    pass — the embeddings/documents fixtures are SINGLE-ROW-GROUP
+    parquet, so a naive scan hands every row to ONE task (the row
+    group is the split unit; the other byte-range splits come up
+    EMPTY) and the whole map side (hash matmul + Arrow exchange +
+    three shuffle writes) serializes onto one core: the r10 100×
+    probe measured a ~20-minute single-task straggler before this.
+    Unconditional on purpose: a partition COUNT check cannot see the
+    empty-split skew (the scan reports 26 partitions, 25 of them
+    zero-row), and one extra shuffle of the raw vectors (bytes ≈
+    corpus size) is noise next to the L·n bucket explosion it
+    parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _with_sign_buckets(
     df: DataFrame,
     id_alias: str,
@@ -141,10 +157,18 @@ def _with_sign_buckets(
     n_tables: int,
     n_planes: int,
     seed: int,
+    with_vectors: bool = True,
 ) -> DataFrame:
     """Explode each vector into its ``n_tables`` (tbl, bucket) rows.
     The L2 norm is computed ONCE per vector before the explode (column
-    ``{vec_alias}_n``) so rescoring never re-aggregates it per pair."""
+    ``{vec_alias}_n``) so rescoring never re-aggregates it per pair.
+
+    ``with_vectors=False`` drops the vector/norm payload from the
+    exploded frame — (id, tbl, bucket) only. The explode multiplies
+    every row ``n_tables`` times, so carrying the raw vectors through
+    it costs L× the corpus in shuffle/persist bytes (the r10 100×
+    probe OOMed exactly there at 62 tables); callers that rescore
+    should join vectors back from the UN-exploded base frame instead."""
     d = df.select(
         F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
     ).withColumn(f"{vec_alias}_n", l2_norm(F.col(vec_alias)))
@@ -184,8 +208,9 @@ def _with_sign_buckets(
             ).alias("bucket"),
         ),
     )
-    return d.select(id_alias, vec_alias, f"{vec_alias}_n", F.explode(tables).alias("tb")).select(
-        id_alias, vec_alias, f"{vec_alias}_n",
+    payload = [vec_alias, f"{vec_alias}_n"] if with_vectors else []
+    return d.select(id_alias, *payload, F.explode(tables).alias("tb")).select(
+        id_alias, *payload,
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
 
@@ -212,7 +237,9 @@ def lsh_bucketed_knn(
     """
 
     q = _with_sign_buckets(queries, "query_id", "qv", q_id, q_vec, dim, n_tables, n_planes, seed)
-    c = _with_sign_buckets(corpus, "neighbor_id", "cv", c_id, c_vec, dim, n_tables, n_planes, seed)
+    c = _with_sign_buckets(
+        _spread(corpus), "neighbor_id", "cv", c_id, c_vec, dim, n_tables, n_planes, seed
+    )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -276,6 +303,7 @@ def _with_sign_buckets_arrow(
     n_tables: int,
     n_planes: int,
     seed: int,
+    with_vectors: bool = True,
 ) -> DataFrame:
     """Arrow/numpy twin of ``_with_sign_buckets``: identical output
     schema and SEMANTICS (same splitmix hyperplanes, same big-endian bit
@@ -302,15 +330,17 @@ def _with_sign_buckets_arrow(
     src = df.select(
         F.col(src_id).alias(id_alias), _as_double(F.col(src_vec)).alias(vec_alias)
     )
-    schema = T.StructType(
-        [
-            T.StructField(id_alias, T.LongType()),
+    fields = [T.StructField(id_alias, T.LongType())]
+    if with_vectors:
+        fields += [
             T.StructField(vec_alias, T.ArrayType(T.DoubleType())),
             T.StructField(f"{vec_alias}_n", T.DoubleType()),
-            T.StructField("tbl", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
         ]
-    )
+    fields += [
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    schema = T.StructType(fields)
 
     def buckets(batches):
         P = bc.value
@@ -323,18 +353,16 @@ def _with_sign_buckets_arrow(
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_alias]])
             signs = (V @ flat.T) >= 0            # (B, T*P)
             bucks = signs.reshape(len(pdf), tt, pp).astype(np.int64) @ weights
-            norms = np.sqrt((V * V).sum(1))
             ids = pdf[id_alias].to_numpy()
-            vec_list = list(pdf[vec_alias])
-            yield pd.DataFrame(
-                {
-                    id_alias: np.repeat(ids, tt),
-                    vec_alias: [v for v in vec_list for _ in range(tt)],
-                    f"{vec_alias}_n": np.repeat(norms, tt),
-                    "tbl": np.tile(np.arange(tt, dtype=np.int32), len(pdf)),
-                    "bucket": bucks.reshape(-1),
-                }
-            )
+            cols = {id_alias: np.repeat(ids, tt)}
+            if with_vectors:
+                norms = np.sqrt((V * V).sum(1))
+                vec_list = list(pdf[vec_alias])
+                cols[vec_alias] = [v for v in vec_list for _ in range(tt)]
+                cols[f"{vec_alias}_n"] = np.repeat(norms, tt)
+            cols["tbl"] = np.tile(np.arange(tt, dtype=np.int32), len(pdf))
+            cols["bucket"] = bucks.reshape(-1)
+            yield pd.DataFrame(cols)
 
     return src.mapInPandas(buckets, schema)
 
@@ -369,8 +397,17 @@ def lsh_near_dup_pairs(
     rows-only queries (the JVM fold stays bit-identical to SQL oracles).
     """
     mk = _with_sign_buckets_arrow if arrow_buckets else _with_sign_buckets
-    b = mk(df, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed)
-    b = b.persist()  # signatures + norms computed once, read three times
+    base = _spread(df).persist()  # one round-robin pass serves the
+    # bucket explode AND the rescore vector lookup
+    b = mk(
+        base, "vid", "v", id_col, vec_col, dim, n_tables, n_planes, seed,
+        with_vectors=False,
+    )
+    b = b.persist()  # (vid, tbl, bucket) signatures computed once,
+    # read twice — the exploded frame carries NO vector payload: at L
+    # tables that payload is L× the corpus in shuffle/persist bytes,
+    # and exactly what blew the heap in the r10 100× probe (62 tables
+    # × 220k vectors = 12.4M vector copies)
     # candidate generation and dedup run on BARE ID PAIRS — the bucket
     # self-join and the dropDuplicates shuffle move 16-byte rows, not
     # 64-dim vector payloads; vectors join back once per distinct pair
@@ -381,7 +418,13 @@ def lsh_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    vecs = b.select("vid", "v", "v_n").dropDuplicates(["vid"])
+    vecs = (
+        base.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("v_n", l2_norm(F.col("v")))
+        .dropDuplicates(["vid"])
+    )
     va = vecs.select(
         F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("v_n").alias("na")
     )
@@ -446,7 +489,12 @@ def cached_lsh_pairs(
         del _PAIRS_CACHE[k]
     built = builder()
     if spark.sparkContext.getCheckpointDir() is not None:
+        # persist around checkpoint(): the reliable-checkpoint write
+        # job re-runs the RDD lineage after the materializing action —
+        # without the cache the whole pair build would compute TWICE
+        built = built.persist()
         pairs = built.checkpoint(eager=True)
+        built.unpersist()
     else:
         pairs = built.localCheckpoint(eager=True)
     _PAIRS_CACHE[key] = pairs

@@ -20,72 +20,68 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import event_queries  # noqa: F401,E402
 
-# Round 9 window (first 50): the 11 queries never driver-sampled in
-# rounds 1-8 lead (r7/r8 verdict task #1 — six of them carry NEW
-# pinned-value oracles this round: bpe pair, s14, stream_pq, plus the
-# re-checks knn_recall_eval / multimodal_phash_neardup which sampled
-# no_oracle in r8 and are now value-oracled), then the queries whose
-# CODE changed this round (order-independent stream funnel, large-star
-# CC twin, D9 v3 tolerance, generator fit paths), then the stalest
-# r1-r4-sampled slots (q1/q3/q5/q6/q10, joins, union/top-k, asof) and
-# a slice of the r5 a/d-family backlog.
-_ROUND9_WINDOW = [
-    # -- never driver-sampled (cumulative coverage -> 100%)
+# Round 10 window (first 50): new/changed-code queries first (the
+# reshaped-and-newly-oracled approx quantiles, the three new pinned
+# summary twins, the scale-guarded embedding family, the CC kernels
+# after the type-generic fix, the d9 panels after the zero-mean guard,
+# the generator fits after the two-job indexing pin), then the ENTIRE
+# r5-stale backlog (31 queries — after this round no sample is older
+# than r6), topped up with the stalest r6 text-family slots.
+_ROUND10_WINDOW = [
+    # -- code changed / newly value-oracled this round
     "approx_quantiles_scale_path",
-    "bpe_tokenize_stats",
-    "bpe_train_merges",
+    "g4_bootstrap_summary",
+    "g5_grasynda_summary",
+    "g9_stitch_summary",
     "g9_stitch_variants",
-    "multimodal_audio_fingerprint_neardup",
-    "multimodal_cross_dedup_clusters",
-    "multimodal_jpeg_roundtrip",
-    "multimodal_video_frames",
-    "s14_python_datasource_ticks",
-    "stream_pq_encode_parity",
-    "stream_regime_generate_parity",
-    # -- newly value-oracled re-checks (no_oracle rows in r8)
-    "knn_recall_eval",
-    "multimodal_phash_neardup",
-    # -- new or code-changed this round
-    "d9_tolerance_v3_panel",
-    "dedup_cc_large_star",
-    "dedup_connected_components",
-    "stream_funnel_parity",
-    "funnel_view_click_purchase",
     "g4_block_bootstrap",
     "g5_grasynda",
-    "corpus_curation_pipeline",
+    "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
-    # -- stalest (last sampled r1-r4)
-    "anti_join_customers_without_orders",
-    "asof_join_purchase_click",
-    "dedup_first_event_per_user",
-    "orders_customer_nation_enrich",
-    "q10_returned_items",
-    "q6_forecast_revenue",
-    "top_orders_by_totalprice",
-    "union_dedup_events",
-    "q3_top_revenue_orders",
-    "q5_region_nation_revenue",
-    "semi_join_customers_with_orders",
-    # -- r5 backlog slice (a/d families + flagship)
-    "a1_moment_panel",
-    "a3_histogram_100",
-    "a4_quantile_edges",
-    "a5_state_frequency",
-    "a7_transition_matrix",
-    "a8_per_regime_stats",
-    "a9_price_quantity_correlation",
-    "a12_generator_summary",
-    "a13_metric_map_mean",
-    "a14_distinct_states",
-    "d1_js_divergence",
-    "d2_wasserstein",
-    "d3_ks_statistic",
-    "d7_moment_ratio_panel",
-    "flagship_series_panel",
-    # -- new r9 pinned summary twins (codec paths, value-oracled)
-    "multimodal_jpeg_roundtrip_summary",
-    "multimodal_video_frames_summary",
+    "embedding_dedup_clusters_strict",
+    "dedup_connected_components",
+    "dedup_cc_large_star",
+    "d9_tolerance_v3_panel",
+    # -- full r5-stale backlog (multimodal metadata/resize,
+    #    skew/rollup, optimizer/ML families)
+    "q1_pricing_summary",
+    "rollup_region_status_revenue",
+    "skew_salted_agg",
+    "cube_type_dow_stats",
+    "approx_distinct_scale_path",
+    "pivot_type_dow_avg",
+    "d8_composite_score",
+    "m11_predictive_utility",
+    "ratio_sweep_panel",
+    "d5_spectral_distance",
+    "d9_tolerance_panel",
+    "m10_lstm_predictive_utility",
+    "m13_external_predictor_eval",
+    "g1_g3_latent_decode_generate",
+    "g2_conditional_train_generate",
+    "m1_vae_train_generate",
+    "g11_timegan_train_generate",
+    "multimodal_metadata_panel",
+    "multimodal_decode_features",
+    "multimodal_frame_stats",
+    "multimodal_resize_roundtrip",
+    "multimodal_audio_spectrogram",
+    "multimodal_codec_roundtrip",
+    "g7_regime_garch_generate",
+    "g8_regime_hybrid_generate",
+    "m14_ga_block_search",
+    "m7_m8_segment_clusters",
+    "m7_pelt_ward_regimes",
+    "m16_random_sweep",
+    "m9_regime_gan_generate",
+    "m15_staged_optimizer",
+    # -- stalest r6 slots (text family head)
+    "text_quality_stats",
+    "lang_id_accuracy",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "dedup_simhash",
 ]
 
 
@@ -101,6 +97,6 @@ def _rotate(window: list[str]) -> None:
         REGISTRY[n] = snapshot[n]
 
 
-_rotate(_ROUND9_WINDOW)
+_rotate(_ROUND10_WINDOW)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

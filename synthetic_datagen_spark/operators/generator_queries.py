@@ -46,6 +46,56 @@ def g5_grasynda(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.generate(spark, seed=42, n_samples=200, n_series=4)
 
 
+def _series_summary(walk: DataFrame) -> DataFrame:
+    """Order-free per-series summary of a generated (series_id, t,
+    price) walk, built only from merge-order-safe aggregates so the
+    output is bit-deterministic and PINNABLE as a literal-VALUES
+    oracle (the r9 JPEG/AVI summary-twin trick): counts and min/max
+    are order-free by algebra; the price mass sums as ROUND(ln(p), 9)
+    cast to DECIMAL(18,9) — exact, associative — and converts to
+    DOUBLE only once at the end. Plain SUM(DOUBLE) would flake under
+    shuffle-merge order and is exactly why g9 stayed unpinned in r9."""
+    logp = F.round(F.log("price"), 9).cast("decimal(18,9)")
+    return (
+        walk.groupBy("series_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("t").alias("t_min"),
+            F.max("t").alias("t_max"),
+            F.sum(logp).cast("double").alias("sum_log_price"),
+            F.round(F.min("price"), 9).alias("price_min"),
+            F.round(F.max("price"), 9).alias("price_max"),
+        )
+        .orderBy("series_id")
+    )
+
+
+@register(
+    "g4_bootstrap_summary",
+    oracle=None,  # pinned post-hoc by tools/pin_oracles.py (see below)
+    pinned_sf="0.01",
+    doc="Value-oracled twin of g4_block_bootstrap (r9 VERDICT task 5): "
+    "the same seeded generation reduced to an order-free per-series "
+    "panel (row counts, t range, DECIMAL-summed log prices, price "
+    "extremes) whose literal values are pinned at the sf0.01 gate "
+    "scale — the generator itself is partition-invariant by contract, "
+    "so the summary is a pure function of (seed, fit data).",
+)
+def g4_bootstrap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _series_summary(g4_block_bootstrap(spark, sf_dir))
+
+
+@register(
+    "g5_grasynda_summary",
+    oracle=None,  # pinned post-hoc by tools/pin_oracles.py (see below)
+    pinned_sf="0.01",
+    doc="Value-oracled twin of g5_grasynda — same order-free summary "
+    "panel as g4_bootstrap_summary over the Grasynda walk.",
+)
+def g5_grasynda_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _series_summary(g5_grasynda(spark, sf_dir))
+
+
 @register(
     "g1_g3_latent_decode_generate",
     oracle=None,  # seeded-rng generation: rows-only + determinism tests

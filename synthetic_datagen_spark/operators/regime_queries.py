@@ -414,7 +414,10 @@ def m15_staged_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moments — the boundary-smoothness panel the reference's v3 "
     "optimizer scores stitches with.",
 )
-def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stitch_variant_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold of the g9 family: one fitted regime-hybrid
+    generator, the same seeded series under all four stitch variants,
+    with per-row log returns and consecutive-return differences."""
     from ..regime.hybrid import RegimeBootstrapHybrid
 
     model = _fitted_model(spark, sf_dir)
@@ -430,11 +433,15 @@ def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         allv = allv.unionByName(o)
     w = Window.partitionBy("variant", "series_id").orderBy("t")
-    rets = (
+    return (
         allv.withColumn("log_ret", F.log("price") - F.log(F.lag("price").over(w)))
         .withColumn("ddiff", F.abs(F.col("log_ret") - F.lag("log_ret").over(w)))
         .filter(F.col("log_ret").isNotNull())
     )
+
+
+def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rets = _stitch_variant_rets(spark, sf_dir)
     return (
         rets.groupBy("variant")
         .agg(
@@ -444,6 +451,36 @@ def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop("log_ret"), 6).alias("std_ret"),
             F.round(F.mean("ddiff"), 6).alias("mean_abs_ddiff"),
             F.round(F.max("ddiff"), 6).alias("max_abs_ddiff"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "g9_stitch_summary",
+    oracle=None,  # pinned post-hoc by tools/pin_oracles.py
+    pinned_sf="0.01",
+    doc="Value-oracled twin of g9_stitch_variants (r9 VERDICT task 5): "
+    "the same four seeded stitch-variant walks reduced to ORDER-FREE "
+    "aggregates only — counts, max (order-free by algebra), and "
+    "return mass summed as ROUND(·, 9) DECIMAL(18,9) (exact, "
+    "associative) — so the panel is bit-deterministic under any "
+    "shuffle-merge order and its literal values pin at the sf0.01 "
+    "gate scale. The float mean/std panel stays in the rows-only "
+    "sibling (their double-sum merge order is the exact flake risk "
+    "r9 documented).",
+)
+def g9_stitch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rets = _stitch_variant_rets(spark, sf_dir)
+    dec = lambda c: F.round(F.col(c), 9).cast("decimal(18,9)")  # noqa: E731
+    return (
+        rets.groupBy("variant")
+        .agg(
+            F.countDistinct("series_id").alias("n_series"),
+            F.count("*").alias("n_rets"),
+            F.sum(dec("log_ret")).cast("double").alias("sum_ret"),
+            F.sum(dec("ddiff")).cast("double").alias("sum_abs_ddiff"),
+            F.round(F.max("ddiff"), 9).alias("max_abs_ddiff"),
         )
         .orderBy("variant")
     )

@@ -474,3 +474,30 @@ def test_counter_rng_matches_scalar_derive_seed():
                          counter_normals(42, 7, steps[100:])])
     assert np.array_equal(z, z2)
     assert abs(float(z.mean())) < 0.15 and abs(float(z.std()) - 1.0) < 0.15
+
+
+def test_summary_twins_bit_deterministic_across_partitioning(spark, sf_smoke):
+    """The pinned-oracle summary twins (r9 VERDICT task 5) must be
+    BIT-deterministic under any shuffle layout: every aggregate they
+    use is order-free (count / min / max / DECIMAL-summed rounded
+    values), so two runs under different shuffle.partitions must
+    collect identical rows — the precondition for pinning their
+    literal values at the gate scale."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    names = ["g4_bootstrap_summary", "g5_grasynda_summary", "g9_stitch_summary"]
+
+    def runs(parts: str):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            return {
+                n: sorted(map(tuple, REGISTRY[n].build(spark, sf_smoke).collect()))
+                for n in names
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    a, b = runs("5"), runs("13")
+    for n in names:
+        assert a[n] == b[n], n
+        assert a[n], f"{n}: empty summary"
