@@ -59,12 +59,13 @@ def cached_min_label_components(
     ``pairs_factory`` is only invoked on a miss, so callers can defer
     building the (possibly expensive) candidate-pair plan entirely.
 
-    ``algorithm`` selects the kernel — "minlabel" (pointer-doubling +
-    contraction min-label propagation, the default) or "largestar"
-    (alternating large-star/small-star, Kiveris et al. SoCC'14, whose
-    per-round cost never depends on component diameter — the safer
-    choice when the pair graph may contain skewed hubs). Defaults to
-    $SPARK_GRAFT_CC_ALGO so a deployment can flip every dedup call
+    ``algorithm`` selects the kernel — "largestar" (alternating
+    large-star/small-star, Kiveris et al. SoCC'14, whose per-round
+    cost never depends on component diameter — the default since the
+    r10 100×-documents probe measured it 0.71× of min-label's wall at
+    487k labeled nodes, SCALE_SWEEP_r10.json) or "minlabel"
+    (pointer-doubling + contraction min-label propagation). Defaults
+    to $SPARK_GRAFT_CC_ALGO so a deployment can flip every dedup call
     site at once; results are identical (parity-pinned in tests), so
     the cache key deliberately ignores the kernel choice.
     """
@@ -79,7 +80,7 @@ def cached_min_label_components(
     # process cycling sessions can't pin dead DataFrames forever
     for k in [k for k in _CC_CACHE if k[0] != app_id]:
         del _CC_CACHE[k]
-    algo = algorithm or os.environ.get("SPARK_GRAFT_CC_ALGO", "minlabel")
+    algo = algorithm or os.environ.get("SPARK_GRAFT_CC_ALGO", "largestar")
     if algo == "largestar":
         labels = large_small_star_components(pairs_factory(), id_a, id_b, max_rounds)
     elif algo == "minlabel":

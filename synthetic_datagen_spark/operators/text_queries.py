@@ -509,7 +509,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import cached_min_label_components
 
     labels = cached_min_label_components(
-        spark, ("text_lsh_cc", sf_dir), lambda: _lsh_candidates(spark, sf_dir)
+        spark,
+        ("text_lsh_cc", sf_dir),
+        lambda: _lsh_candidates(spark, sf_dir),
+        # kernel PINNED so the kernel head-to-head stays a real contrast
+        # (dedup_cc_large_star pins the other side); unpinned call sites
+        # follow the session default, which the r10 100×-docs probe
+        # flipped to large-star (221s vs 311s at 487k nodes)
+        algorithm="minlabel",
     )
     return labels.select(
         F.col("node_id").alias("doc_id"), "cluster_id"

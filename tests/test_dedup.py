@@ -115,19 +115,27 @@ def test_cc_labels_cached_per_session(spark):
 
     sf = "/root/testdata/sf0.001"
     calls = {"n": 0}
-    real = G.min_label_components
+    real_min, real_lss = G.min_label_components, G.large_small_star_components
 
-    def counting(*a, **kw):
+    def counting_min(*a, **kw):
         calls["n"] += 1
-        return real(*a, **kw)
+        return real_min(*a, **kw)
+
+    def counting_lss(*a, **kw):
+        calls["n"] += 1
+        return real_lss(*a, **kw)
 
     G._CC_CACHE.clear()
-    G.min_label_components, orig = counting, G.min_label_components
+    # count invocations of EITHER kernel — which one unpinned call
+    # sites use is the session default (largestar since r10)
+    G.min_label_components = counting_min
+    G.large_small_star_components = counting_lss
     try:
         first = REGISTRY["dedup_connected_components"].build(spark, sf).collect()
         assert calls["n"] == 1
         again = REGISTRY["dedup_connected_components"].build(spark, sf).collect()
         # funnel composes the same CC stage — must hit the cache too
+        # (the memo key deliberately ignores the kernel choice)
         REGISTRY["corpus_curation_pipeline"].build(spark, sf).collect()
         assert calls["n"] == 1
         assert again == first
@@ -135,7 +143,8 @@ def test_cc_labels_cached_per_session(spark):
         REGISTRY["embedding_dedup_clusters"].build(spark, sf).collect()
         assert calls["n"] == 2
     finally:
-        G.min_label_components = orig
+        G.min_label_components = real_min
+        G.large_small_star_components = real_lss
 
 
 def test_simhash_pairs_pigeonhole_complete(spark, sf_smoke):
