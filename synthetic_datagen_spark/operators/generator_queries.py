@@ -46,6 +46,30 @@ def g5_grasynda(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.generate(spark, seed=42, n_samples=200, n_series=4)
 
 
+# Pinned literal-VALUES oracles captured at sf0.01 by tools/pin_oracles.py
+# (r9 VERDICT task 5). The summaries are bit-deterministic: every aggregate
+# is order-free and the generators are partition-invariant by contract
+# (tests/test_generators.py). Regenerate with the tool if the fixture or
+# generator seeds ever change.
+_PIN_G4_SUMMARY = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(971.635878804 AS DOUBLE), CAST(0.181166002 AS DOUBLE), CAST(12193.00961271 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(771.43340736 AS DOUBLE), CAST(0.016265576 AS DOUBLE), CAST(1478.111658028 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(406.00687974 AS DOUBLE), CAST(0.011569358 AS DOUBLE), CAST(191.59 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(1049.364301271 AS DOUBLE), CAST(0.02641286 AS DOUBLE), CAST(187684.893537591 AS DOUBLE))
+) AS t("series_id", "n_rows", "t_min", "t_max", "sum_log_price", "price_min", "price_max")
+"""
+
+_PIN_G5_SUMMARY = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(3589.138020734 AS DOUBLE), CAST(3.078282496 AS DOUBLE), CAST(414016185922.3731 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(-3157.729167512 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(12.31 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(3314.895291563 AS DOUBLE), CAST(2.619820513 AS DOUBLE), CAST(26239569030426.57 AS DOUBLE)),
+  (CAST(3 AS BIGINT), CAST(200 AS BIGINT), CAST(0 AS BIGINT), CAST(199 AS BIGINT), CAST(1884.336402241 AS DOUBLE), CAST(0.002713904 AS DOUBLE), CAST(19209447485407.133 AS DOUBLE))
+) AS t("series_id", "n_rows", "t_min", "t_max", "sum_log_price", "price_min", "price_max")
+"""
+
+
 def _series_summary(walk: DataFrame) -> DataFrame:
     """Order-free per-series summary of a generated (series_id, t,
     price) walk, built only from merge-order-safe aggregates so the
@@ -72,7 +96,7 @@ def _series_summary(walk: DataFrame) -> DataFrame:
 
 @register(
     "g4_bootstrap_summary",
-    oracle=None,  # pinned post-hoc by tools/pin_oracles.py (see below)
+    oracle=_PIN_G4_SUMMARY,  # pinned values, sf0.01 (see note above)
     pinned_sf="0.01",
     doc="Value-oracled twin of g4_block_bootstrap (r9 VERDICT task 5): "
     "the same seeded generation reduced to an order-free per-series "
@@ -87,7 +111,7 @@ def g4_bootstrap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g5_grasynda_summary",
-    oracle=None,  # pinned post-hoc by tools/pin_oracles.py (see below)
+    oracle=_PIN_G5_SUMMARY,  # pinned values, sf0.01 (see note above)
     pinned_sf="0.01",
     doc="Value-oracled twin of g5_grasynda — same order-free summary "
     "panel as g4_bootstrap_summary over the Grasynda walk.",

@@ -456,9 +456,21 @@ def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned literal-VALUES oracle captured at sf0.01 by tools/pin_oracles.py
+# (r9 VERDICT task 5); order-free aggregates only — see g9_stitch_summary doc.
+_PIN_G9_SUMMARY = """
+SELECT * FROM (VALUES
+  ('ar_bridge', CAST(3 AS BIGINT), CAST(447 AS BIGINT), CAST(-5.561541714 AS DOUBLE), CAST(815.671189159 AS DOUBLE), CAST(10.348444863 AS DOUBLE)),
+  ('blend', CAST(3 AS BIGINT), CAST(447 AS BIGINT), CAST(18.345530819 AS DOUBLE), CAST(966.265855885 AS DOUBLE), CAST(12.013081959 AS DOUBLE)),
+  ('crossfade', CAST(3 AS BIGINT), CAST(447 AS BIGINT), CAST(15.907631042 AS DOUBLE), CAST(705.761627668 AS DOUBLE), CAST(10.348444863 AS DOUBLE)),
+  ('none', CAST(3 AS BIGINT), CAST(447 AS BIGINT), CAST(4.378890108 AS DOUBLE), CAST(1066.328762003 AS DOUBLE), CAST(14.185903775 AS DOUBLE))
+) AS t("variant", "n_series", "n_rets", "sum_ret", "sum_abs_ddiff", "max_abs_ddiff")
+"""
+
+
 @register(
     "g9_stitch_summary",
-    oracle=None,  # pinned post-hoc by tools/pin_oracles.py
+    oracle=_PIN_G9_SUMMARY,  # pinned values, sf0.01
     pinned_sf="0.01",
     doc="Value-oracled twin of g9_stitch_variants (r9 VERDICT task 5): "
     "the same four seeded stitch-variant walks reduced to ORDER-FREE "
