@@ -236,20 +236,45 @@ def lsh_bucketed_knn(
     planes ship as plan literals (engine-independent splitmix PRNG).
     """
 
-    q = _with_sign_buckets(queries, "query_id", "qv", q_id, q_vec, dim, n_tables, n_planes, seed)
+    # query side keeps its (small, broadcast) vector payload; the
+    # CORPUS side buckets carry ids only — the explode multiplies every
+    # corpus row n_tables times, so shipping vectors through it costs
+    # L× the corpus in shuffle bytes and the dedup shuffle moved 64-dim
+    # payloads per candidate (the near-dup path's r10 100× OOM shape).
+    # Corpus vectors join back once per DISTINCT candidate instead.
+    q = _with_sign_buckets(
+        queries, "query_id", "qv", q_id, q_vec, dim, n_tables, n_planes, seed,
+        with_vectors=False,
+    )
+    base = _spread(corpus)
     c = _with_sign_buckets(
-        _spread(corpus), "neighbor_id", "cv", c_id, c_vec, dim, n_tables, n_planes, seed
+        base, "neighbor_id", "cv", c_id, c_vec, dim, n_tables, n_planes, seed,
+        with_vectors=False,
     )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qv", "qv_n", "cv", "cv_n")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))).alias("cos_sim"),
+    qvecs = queries.select(
+        F.col(q_id).alias("query_id"), _as_double(F.col(q_vec)).alias("qv")
+    ).withColumn("qv_n", l2_norm(F.col("qv")))
+    cvecs = (
+        base.select(
+            F.col(c_id).alias("neighbor_id"), _as_double(F.col(c_vec)).alias("cv")
+        )
+        .withColumn("cv_n", l2_norm(F.col("cv")))
+        .dropDuplicates(["neighbor_id"])
+    )
+    scored = (
+        cand.join(cvecs.hint("shuffle_hash"), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qv_n") * F.col("cv_n"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
