@@ -107,3 +107,52 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def minhash_implied_threshold(bands: int, rows: int) -> float:
+    """The Jaccard level where a b-band × r-row MinHash-LSH banding's
+    collision curve crosses ~50% candidate probability: (1/b)^(1/r)
+    (from P(candidate) = 1-(1-J^r)^b). Pairs far below it rarely
+    collide; a CORPUS whose random-pair bulk sits at or above it makes
+    the candidate set — and the answer — quadratic in corpus size."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def jaccard_bulk_floor(
+    shingled: DataFrame,
+    shingle_col: str = "shs",
+    sample_n: int = 1000,
+    q: float = 0.999,
+) -> float:
+    """Bulk-Jaccard quantile guard — the text-family analogue of
+    ``vectors.threshold_floor`` (r10 VERDICT task 4): the ``q``
+    quantile of pairwise shingle-set Jaccard over a bounded sample of
+    the corpus. When a MinHash-LSH banding's implied threshold
+    (``minhash_implied_threshold``) sits at or below this floor, the
+    band-collision probability for RANDOM pairs is non-negligible and
+    the candidate set grows quadratically with corpus size — the same
+    geometry as the r10 100× probe's 54.6 M-pair output, which no
+    banding change can shrink (the matching pairs are real).
+
+    Driver-side on a bounded ``limit(sample_n)`` pool (same idiom as
+    threshold_floor): O(sample_n²) frozenset intersections — the
+    default is ~0.5 M set ops on short shingle sets, milliseconds.
+    The bulk quantile is a corpus STATISTIC; any contiguous slice
+    estimates it."""
+    rows = shingled.select(shingle_col).limit(sample_n).collect()
+    sets = [frozenset(r[0]) for r in rows if r[0]]
+    if len(sets) < 2:
+        return 0.0  # degenerate corpus: nothing to collide with
+    sims = []
+    for i in range(len(sets)):
+        a = sets[i]
+        for j in range(i + 1, len(sets)):
+            b = sets[j]
+            inter = len(a & b)
+            if inter:
+                sims.append(inter / (len(a) + len(b) - inter))
+            else:
+                sims.append(0.0)
+    sims.sort()
+    k = min(len(sims) - 1, int(q * len(sims)))
+    return float(sims[k])

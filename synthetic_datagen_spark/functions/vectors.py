@@ -234,14 +234,21 @@ def lsh_bucketed_knn(
     ``n_planes`` hyperplanes (2^n_planes buckets), and more tables raise
     recall. The bucket join is a plain equi-join on (table, bucket);
     planes ship as plan literals (engine-independent splitmix PRNG).
+
+    Precondition: corpus ids are UNIQUE per ``c_id``. The rescore joins
+    each candidate id back to ONE corpus vector
+    (``dropDuplicates([c_id])`` below) — if the corpus carries the same
+    id with different vectors, an arbitrary one of them scores all that
+    id's candidates. Callers with duplicate-id corpora must dedup first
+    (same explicit contract as ``lsh_near_dup_pairs``).
     """
 
-    # query side keeps its (small, broadcast) vector payload; the
-    # CORPUS side buckets carry ids only — the explode multiplies every
-    # corpus row n_tables times, so shipping vectors through it costs
-    # L× the corpus in shuffle bytes and the dedup shuffle moved 64-dim
-    # payloads per candidate (the near-dup path's r10 100× OOM shape).
-    # Corpus vectors join back once per DISTINCT candidate instead.
+    # BOTH sides bucket payload-free (ids only) — the explode
+    # multiplies every row n_tables times, so shipping vectors through
+    # it costs L× the input in shuffle bytes, and the dedup shuffle
+    # moved 64-dim payloads per candidate (the near-dup path's r10
+    # 100× OOM shape). Query vectors join back via the broadcast qvecs
+    # lookup; corpus vectors join back once per DISTINCT candidate.
     q = _with_sign_buckets(
         queries, "query_id", "qv", q_id, q_vec, dim, n_tables, n_planes, seed,
         with_vectors=False,

@@ -10,6 +10,8 @@ hash() builtins differ and are never used for parity paths).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as TX
@@ -218,12 +220,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(spark, sf_dir)
 
 
+def _bulk_guard_min_docs() -> int:
+    """Corpus size above which the MinHash entry points sample the
+    corpus's bulk-Jaccard statistic before mining (r10 VERDICT task 4
+    — the text analogue of the embedding family's threshold_floor
+    cutoff). Below it the check would only measure fixture noise and
+    the gate corpora stay untouched; env-overridable so tests can
+    force the guard on small fixtures."""
+    return int(os.environ.get("SPARK_GRAFT_TEXT_BULK_MIN", "50000"))
+
+
+# (applicationId, sf_dir, cutoff) → sampled bulk floor (None below the
+# cutoff) — one count job + one bounded sample per corpus per session,
+# same eviction discipline as the embedding family's floor cache
+_BULK_CACHE: dict = {}
+
+
+def _minhash_bulk_guard(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame
+) -> None:
+    """Warn when the corpus's bulk-Jaccard floor reaches the 6×5
+    banding's implied threshold (≈0.70): at that point RANDOM pairs
+    collide in bands with non-negligible probability and the candidate
+    set — and the true answer — grow quadratically with corpus size.
+    No banding change can fix that (the matching pairs are real); the
+    remediation is deduping the template/boilerplate mass first. The
+    embedding family got this guard in r9 (threshold_floor); the r10
+    100× probe's 54.6 M-pair output is the text-side geometry a
+    production user must be warned about."""
+    import warnings
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, _bulk_guard_min_docs())
+    if key not in _BULK_CACHE:
+        for k in [k for k in _BULK_CACHE if k[0] != app_id]:
+            del _BULK_CACHE[k]
+        n = shingled.count()
+        _BULK_CACHE[key] = (
+            TX.jaccard_bulk_floor(shingled) if n > key[2] else None
+        )
+    floor = _BULK_CACHE[key]
+    implied = TX.minhash_implied_threshold(_BANDS, _ROWS)
+    if floor is not None and floor >= implied:
+        warnings.warn(
+            f"corpus bulk-Jaccard floor {floor:.3f} (0.999-quantile of "
+            f"sampled random-pair shingle Jaccard) reaches the "
+            f"{_BANDS}x{_ROWS} banding's implied threshold "
+            f"{implied:.3f}: the candidate set grows quadratically "
+            f"with corpus size — near-dup mining on this corpus needs "
+            f"template/boilerplate removal first (the output itself "
+            f"is quadratic; no banding config can shrink it)",
+            stacklevel=3,
+        )
+
+
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b) MinHash-LSH candidate pairs, distinct."""
     docs = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
     shingled = docs.select(
         "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
     )
+    _minhash_bulk_guard(spark, sf_dir, shingled)
     return _lsh_candidates_from(shingled)
 
 

@@ -73,12 +73,20 @@ def _scale_guarded_config(
     n_planes: int,
     corpus_kind: str,
     df: DataFrame,
-) -> tuple[int, int]:
+) -> tuple[int, int, bool]:
     """Resolve the (n_tables, n_planes) a near-dup entry point actually
-    runs with: the requested fixed config below _fixed_config_max_rows,
-    the corpus-size-derived scaled_lsh_params config above it.
+    runs with — plus a guard-engaged flag: the requested fixed config
+    below _fixed_config_max_rows (engaged=False), the corpus-size-
+    derived scaled_lsh_params config above it (engaged=True).
     Idempotent — feeding a resolved config back in re-derives the same
     values (the derivation depends only on corpus count + threshold).
+    Callers need the FLAG, not a resolved-vs-requested comparison:
+    above the cutoff a pre-resolved request re-resolves to itself, so
+    comparing tuples can never detect engagement on the second hop —
+    the r10 defect where _dedup_clusters resolved first and
+    _cached_pairs then saw resolved==requested, silently rebuilding the
+    pair set with the ~10× slower JVM fold under a different memo key
+    instead of sharing the scaled sibling's arrow build.
 
     Above the cutoff two data-quality guards also fire (r9 VERDICT
     task 3): if the threshold sits below the corpus's bulk-cosine
@@ -91,7 +99,7 @@ def _scale_guarded_config(
 
     n = _corpus_count(spark, sf_dir, corpus_kind, df)
     if n <= _fixed_config_max_rows():
-        return n_tables, n_planes
+        return n_tables, n_planes, False
     floor = _memoized(
         _FLOOR_CACHE, spark, (sf_dir, corpus_kind),
         lambda: V.threshold_floor(df, vec_col="embedding"),
@@ -116,7 +124,7 @@ def _scale_guarded_config(
             f"or use the exact brute-force path on a filtered subset."
         )
     b, L = V.scaled_lsh_params(n, threshold)
-    return L, b
+    return L, b, True
 
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), "
@@ -263,17 +271,16 @@ def _cached_pairs(
     share one bucket-join."""
     corpus_kind = getattr(corpus, "__name__", str(corpus))
     df = corpus(spark, sf_dir)
-    resolved = _scale_guarded_config(
+    n_tables, n_planes, engaged = _scale_guarded_config(
         spark, sf_dir, threshold, n_tables, n_planes, corpus_kind, df
     )
-    if resolved != (n_tables, n_planes):
+    if engaged:
         # guard engaged => outside oracle territory (the literal-
         # hyperplane SQL only ever runs at gate scales below the
         # cutoff), so take the numpy bucket kernel too: scaled configs
         # carry the big plane×table products where the vectorized
         # matmul beats the interpreted per-element JVM fold ~10×
         arrow = True
-    n_tables, n_planes = resolved
     return V.cached_lsh_pairs(
         spark,
         ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind, arrow),
@@ -345,22 +352,30 @@ def _dedup_clusters(
     n_tables: int,
     n_planes: int,
     corpus=None,
+    arrow: bool = False,
 ) -> DataFrame:
     from ..functions.graph import cached_min_label_components
 
     src = corpus if corpus is not None else _emb
+    kind = getattr(src, "__name__", str(src))
     # resolve the scale guard BEFORE building the CC memo key, so two
     # entry points whose configs resolve to the same scaled params
-    # share both the pair memo and the CC labels
-    n_tables, n_planes = _scale_guarded_config(
+    # share both the pair memo and the CC labels. Thread the ENGAGED
+    # flag into the arrow choice — the resolved tuple alone can't carry
+    # it (re-resolution is idempotent), and a mismatched arrow flag is
+    # a pair-memo MISS: the dedup path would rebuild the pair set with
+    # the slow JVM fold instead of sharing the sibling's arrow build
+    # (r10 ADVICE, medium).
+    n_tables, n_planes, engaged = _scale_guarded_config(
         spark, sf_dir, threshold, n_tables, n_planes,
-        getattr(src, "__name__", str(src)), src(spark, sf_dir),
+        kind, src(spark, sf_dir),
     )
+    arrow = arrow or engaged
     labels = cached_min_label_components(
         spark,
-        (f"emb_lsh_cc_{threshold}_{n_tables}x{n_planes}", sf_dir),
+        (f"emb_lsh_cc_{threshold}_{n_tables}x{n_planes}_{kind}", sf_dir),
         lambda: _cached_pairs(
-            spark, sf_dir, threshold, n_tables, n_planes, src
+            spark, sf_dir, threshold, n_tables, n_planes, src, arrow=arrow
         ).select("id_a", "id_b"),
     )
     return (
@@ -474,9 +489,184 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned literal-VALUES oracles for the seeded ANN trio, captured at
+# sf0.01 by tools/pin_oracles.py (r10 VERDICT task 3). All three are
+# pure functions of (seed=42, sf0.01 embeddings): hyperplanes/KMeans
+# inits are seed-pinned and every per-pair cosine is a fixed-order
+# expression (no cross-row float accumulation), so the full 50-row
+# result is bit-deterministic — verified identical across independent
+# processes before pinning. Regenerate with the tool if the fixture,
+# seeds, or index configs ever change.
+_PIN_KNN_IVF = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.3699935965460897 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(0.2878605122093518 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.2817947192081154 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(464 AS BIGINT), CAST(0.2766279302075019 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(498 AS BIGINT), CAST(0.25072556674447577 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.37148454183744223 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.3482081864636984 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.3270099496117245 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.32274442635213746 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(402 AS BIGINT), CAST(0.2923219897446138 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318142564237661 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272104561668 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(320 AS BIGINT), CAST(0.25504277088103294 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.25402949645206835 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(0.24719275246584027 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.30847165466962984 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.30354804540607316 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.29170184705661967 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(0.28053528594179866 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(0.2767381136347725 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.39851269358433744 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(0.32275312529105415 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.27982608680315935 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.2796306459978647 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(470 AS BIGINT), CAST(0.2525366199686862 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.31125602484760423 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.3109867269549467 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(395 AS BIGINT), CAST(0.2755988285521192 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(487 AS BIGINT), CAST(0.2630433732893686 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(182 AS BIGINT), CAST(0.2073426508588085 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252026548071816 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.2976957384094014 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(395 AS BIGINT), CAST(0.2591195532405805 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(252 AS BIGINT), CAST(0.255629792758746 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(371 AS BIGINT), CAST(0.24136445905502324 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.4927657135003488 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.4075199341921925 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.3944625171493481 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.3569014029689115 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(381 AS BIGINT), CAST(0.3451787678585175 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696274117943 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.35667116396668896 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.3382375201415271 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(497 AS BIGINT), CAST(0.31779823647761163 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.3045263882069312 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(49 AS BIGINT), CAST(0.38517053208433855 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323000623250119 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(0.3221179074351903 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(107 AS BIGINT), CAST(0.2844935027707189 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(256 AS BIGINT), CAST(0.2844743732954765 AS DOUBLE), CAST(5 AS BIGINT))
+) AS t("query_id", "neighbor_id", "cos_sim", "rank")
+"""
+
+_PIN_KNN_PQ = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(0.331139 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(0.292842 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0.322744 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.316374 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(0.266344 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(0.247193 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0.399872 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(0.329934 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(0.308472 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(0.298788 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.279631 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(404 AS BIGINT), CAST(0.328403 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(33 AS BIGINT), CAST(0.310987 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(487 AS BIGINT), CAST(0.263043 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(266 AS BIGINT), CAST(0.260944 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(145 AS BIGINT), CAST(0.297696 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(437 AS BIGINT), CAST(0.283031 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(386 AS BIGINT), CAST(0.275196 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(395 AS BIGINT), CAST(0.25912 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.356901 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(381 AS BIGINT), CAST(0.345179 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(497 AS BIGINT), CAST(0.317798 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(173 AS BIGINT), CAST(0.30203 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(494 AS BIGINT), CAST(0.284058 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(414 AS BIGINT), CAST(0.3323 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(0.322118 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(256 AS BIGINT), CAST(0.284474 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(205 AS BIGINT), CAST(0.234705 AS DOUBLE), CAST(5 AS BIGINT))
+) AS t("query_id", "neighbor_id", "cos_sim", "rank")
+"""
+
+_PIN_KNN_IVFPQ = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(0.369994 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0.362722 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0.296934 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(0.295434 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(0.281795 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(0.371485 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(0.348208 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(0.32701 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0.316374 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(0.30275 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(0.318143 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(145 AS BIGINT), CAST(0.263494 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(0.263272 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(0.254029 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(0.247193 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(0.303548 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(0.291702 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(0.285192 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(363 AS BIGINT), CAST(0.268615 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(396 AS BIGINT), CAST(0.260965 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(0.398513 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(0.341212 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(0.313897 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(0.279826 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(0.279631 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(419 AS BIGINT), CAST(0.319237 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(157 AS BIGINT), CAST(0.311256 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(316 AS BIGINT), CAST(0.291112 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(395 AS BIGINT), CAST(0.275599 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(464 AS BIGINT), CAST(0.270882 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(350 AS BIGINT), CAST(0.324518 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(430 AS BIGINT), CAST(0.32252 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(252 AS BIGINT), CAST(0.25563 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(371 AS BIGINT), CAST(0.241364 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(11 AS BIGINT), CAST(0.235949 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(340 AS BIGINT), CAST(0.492766 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(425 AS BIGINT), CAST(0.40752 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(209 AS BIGINT), CAST(0.394463 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(334 AS BIGINT), CAST(0.356901 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(381 AS BIGINT), CAST(0.345179 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(0.384696 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(138 AS BIGINT), CAST(0.356671 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(403 AS BIGINT), CAST(0.338238 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(497 AS BIGINT), CAST(0.317798 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(380 AS BIGINT), CAST(0.304526 AS DOUBLE), CAST(5 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(489 AS BIGINT), CAST(0.343538 AS DOUBLE), CAST(1 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(386 AS BIGINT), CAST(0.322118 AS DOUBLE), CAST(2 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(107 AS BIGINT), CAST(0.284494 AS DOUBLE), CAST(3 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(256 AS BIGINT), CAST(0.284474 AS DOUBLE), CAST(4 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(198 AS BIGINT), CAST(0.258676 AS DOUBLE), CAST(5 AS BIGINT))
+) AS t("query_id", "neighbor_id", "cos_sim", "rank")
+"""
+
+
 @register(
     "knn_ivf",
-    oracle=None,  # KMeans index is engine-internal; recall tested vs brute force
+    oracle=_PIN_KNN_IVF,  # pinned values, sf0.01 (see note above)
+    pinned_sf="0.01",
     doc="IVF approximate kNN: seed-pinned KMeans coarse quantizer over "
     "the corpus (one MLlib fit), inverted lists per centroid, each "
     "query probes its 4 nearest of 16 centroids and rescores exactly "
@@ -509,37 +699,29 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sf1-equivalent 13×33.",
 )
 def embedding_dedup_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import cached_min_label_components
-
     corpus = _planted_corpus(spark, sf_dir)
-    n = corpus.count()
+    n = _corpus_count(spark, sf_dir, "_planted_corpus", corpus)
     b, L = V.scaled_lsh_params(n, 0.9)
-    labels = cached_min_label_components(
-        spark,
-        (f"emb_lsh_cc_scaled_0.9_{L}x{b}", sf_dir),
-        # Arrow bucket kernel: this query is rows-only (no SQL oracle to
-        # stay bit-identical to) and its scale-aware configs carry the
-        # largest plane counts in the catalog — exactly where the numpy
-        # matmul beats interpreted per-element HOF evaluation most
-        lambda: _cached_pairs(
-            spark, sf_dir, 0.9, L, b, _planted_corpus, arrow=True
-        ).select("id_a", "id_b"),
-    )
-    return (
-        labels.select(
-            F.col("node_id").alias("vec_id"),
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            (F.col("node_id") == F.col("cluster_id")).alias("keep"),
-        )
-        .orderBy("vec_id")
+    # Arrow bucket kernel at every scale: this query is rows-only (no
+    # SQL oracle to stay bit-identical to) and its scale-aware configs
+    # carry the largest plane counts in the catalog — exactly where the
+    # numpy matmul beats interpreted per-element HOF evaluation most.
+    # Routing through _dedup_clusters means above _fixed_config_max_rows
+    # this query and embedding_dedup_clusters_strict resolve to the SAME
+    # pair-memo and CC-memo keys — one bucket-join, one label pass,
+    # shared (r10 ADVICE: the old scaled-specific CC key prefix kept
+    # the labels separate even when the pair sets were identical).
+    return _dedup_clusters(
+        spark, sf_dir, 0.9, L, b, corpus=_planted_corpus, arrow=True
     )
 
 
 @register(
     "knn_pq",
-    oracle=None,  # codebooks come from seeded k-means (engine-internal
-    # float iteration, no closed SQL form); recall vs brute force and
-    # cross-partitioning determinism are pinned in tests/test_vectors.py
+    oracle=_PIN_KNN_PQ,  # pinned values, sf0.01 (see note above);
+    # recall vs brute force and cross-partitioning determinism are
+    # additionally pinned in tests/test_vectors.py
+    pinned_sf="0.01",
     doc="PQ/ADC approximate kNN — the memory-bound 100 TB ANN path "
     "(FAISS-style product quantization): corpus vectors L2-normalize "
     "and encode to 8 sub-codes of 4 bits (512 B float64 -> 4 B, 128x "
@@ -562,9 +744,10 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivfpq",
-    oracle=None,  # KMeans lists + k-means codebooks are engine-internal;
-    # recall vs brute force and the save/load/query lifecycle are pinned
-    # in tests/test_vectors.py
+    oracle=_PIN_KNN_IVFPQ,  # pinned values, sf0.01 (see note above);
+    # recall vs brute force and the save/load/query lifecycle are
+    # additionally pinned in tests/test_vectors.py
+    pinned_sf="0.01",
     doc="IVFPQ approximate kNN — the canonical 100 TB ANN composition "
     "(FAISS IndexIVFPQ): KMeans coarse quantizer -> inverted lists; "
     "each vector stores list_id + 4-bit PQ codes of its RESIDUAL "

@@ -73,6 +73,16 @@ def get_spark(
             ckpt = os.path.join(
                 tempfile.gettempdir(), f"sdg-ckpt-{spark.sparkContext.applicationId}"
             )
+            # ContextCleaner only reclaims checkpoint files for RDDs
+            # GC'd during the app's lifetime — the final memoized
+            # frames' files survive shutdown, so without this the
+            # auto-created dirs accumulate in /tmp across bench/test
+            # runs (r10 ADVICE). Only the AUTO-created per-app dir is
+            # removed; an explicitly configured dir is the caller's.
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
         if ckpt:
             spark.sparkContext.setCheckpointDir(ckpt)
     return spark

@@ -500,3 +500,68 @@ def test_large_small_star_handles_string_ids(spark):
     assert got == want
     mm = _cc_labels(G.min_label_components(pairs))
     assert mm == want
+
+
+def _write_docs_fixture(tmp_path, name, texts):
+    import pandas as pd
+
+    d = tmp_path / name
+    d.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["fixture"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_minhash_bulk_guard_templated_corpus_warns(spark, tmp_path, monkeypatch):
+    """r10 VERDICT task 4: the text-family analogue of the embedding
+    threshold_floor guard. A corpus whose random-pair shingle Jaccard
+    bulk reaches the 6×5 banding's implied threshold (~0.70) —
+    templated/boilerplate text where every doc shares most shingles —
+    must WARN that the candidate set (and the true answer) is
+    quadratic in corpus size; a corpus of distinct docs with a few
+    planted duplicates stays quiet (the planted pairs live in the
+    0.999-quantile's tail, same as the embedding guard's geometry)."""
+    import warnings
+
+    import pytest
+
+    from synthetic_datagen_spark.operators import text_queries as TQ
+
+    monkeypatch.setenv("SPARK_GRAFT_TEXT_BULK_MIN", "10")
+    template = (
+        "dear customer your order number {} has shipped and will arrive "
+        "within five business days thank you for shopping with us"
+    )
+    templated = _write_docs_fixture(
+        tmp_path, "templated", [template.format(i) for i in range(60)]
+    )
+    with pytest.warns(UserWarning, match="bulk-Jaccard floor"):
+        TQ.dedup_minhash_lsh(spark, templated).count()
+
+    # distinct docs + planted exact dups: guard engaged (>10 docs) but quiet
+    import random
+
+    # 300 base docs → ~45k sampled pairs, so the 5 planted dup pairs
+    # sit inside the 0.999-quantile's 0.1% tail (same geometry that
+    # keeps the embedding guard quiet on planted corpora)
+    rng = random.Random(7)
+    words = [f"w{i:03d}" for i in range(400)]
+    base = [
+        " ".join(rng.sample(words, 30)) + f" unique token {i}"
+        for i in range(300)
+    ]
+    planted = _write_docs_fixture(
+        tmp_path, "planted", base + base[:5]  # 5 planted duplicate pairs
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        out = TQ.dedup_minhash_lsh(spark, planted)
+        assert out.count() >= 5  # the planted dups are still found

@@ -350,19 +350,24 @@ def test_lsh_scale_guard_swaps_fixed_config_above_cutoff(spark, sf_smoke, monkey
     df = VQ._emb(spark, sf_smoke)
     n = df.count()
     kind = "_emb"
-    # below cutoff (default 50k >> sf0.001): request kept verbatim
+    # below cutoff (default 50k >> sf0.001): request kept verbatim,
+    # guard NOT engaged
     assert VQ._scale_guarded_config(
         spark, sf_smoke, 0.9, 12, 6, kind, df
-    ) == (12, 6)
+    ) == (12, 6, False)
     # force the guard on the small fixture (0.9 is feasible at any n)
     monkeypatch.setenv("SPARK_GRAFT_LSH_FIXED_MAX", str(n - 1))
     b, L = scaled_lsh_params(n, 0.9)
     resolved = VQ._scale_guarded_config(spark, sf_smoke, 0.9, 12, 6, kind, df)
-    assert resolved == (L, b) and resolved != (12, 6)
-    # idempotent: a resolved config re-resolves to itself
+    assert resolved == (L, b, True) and resolved[:2] != (12, 6)
+    # idempotent in the CONFIG — and the engaged flag still reports
+    # True on the second hop (a resolved==requested comparison could
+    # never see it; that blindness was the r10 ADVICE medium defect:
+    # _dedup_clusters pre-resolved, _cached_pairs then missed the
+    # arrow flip and rebuilt the pair set under a different memo key)
     assert VQ._scale_guarded_config(
         spark, sf_smoke, 0.9, L, b, kind, df
-    ) == (L, b)
+    ) == (L, b, True)
 
 
 def test_lsh_scale_guard_end_to_end_strict_dedup(spark, sf_smoke, monkeypatch):
@@ -404,6 +409,50 @@ def test_lsh_scale_guard_end_to_end_strict_dedup(spark, sf_smoke, monkeypatch):
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, recall
     assert got <= truth, f"false merges: {sorted(got - truth)[:5]}"
+
+
+def test_strict_and_scaled_share_memos_above_cutoff(spark, sf_smoke, monkeypatch):
+    """r10 ADVICE (medium): above _fixed_config_max_rows,
+    embedding_dedup_clusters_strict and embedding_dedup_clusters_scaled
+    must resolve to the SAME pair-memo and CC-memo entries — one
+    bucket-join, one label pass. The r10 code resolved the guard in
+    _dedup_clusters first, so _cached_pairs saw resolved==requested,
+    never flipped arrow=True, and rebuilt the pair set under a second
+    memo key with the ~10× slower JVM fold; the scaled twin also used
+    a different CC key prefix, so labels were never shared either."""
+    from synthetic_datagen_spark.functions import graph as G
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_FIXED_MAX", "100")
+    app_id = spark.sparkContext.applicationId
+    n = VQ._corpus_count(
+        spark, sf_smoke, "_planted_corpus", VQ._planted_corpus(spark, sf_smoke)
+    )
+    b, L = V.scaled_lsh_params(n, 0.9)
+    strict = {
+        r.vec_id: r.cluster_id
+        for r in VQ.embedding_dedup_clusters_strict(spark, sf_smoke).collect()
+    }
+    # strict's build above the cutoff lands under the resolved-config
+    # ARROW pair key and the unified (prefix-free) CC key — the exact
+    # keys the scaled twin uses
+    pair_key = (
+        app_id,
+        ("lsh_pairs", sf_smoke, 0.9, L, b, "_planted_corpus", True),
+    )
+    cc_key = (app_id, (f"emb_lsh_cc_0.9_{L}x{b}__planted_corpus", sf_smoke))
+    assert pair_key in V._PAIRS_CACHE, sorted(V._PAIRS_CACHE)
+    assert cc_key in G._CC_CACHE, sorted(G._CC_CACHE)
+    pair_keys = set(V._PAIRS_CACHE)
+    cc_keys = set(G._CC_CACHE)
+    scaled = {
+        r.vec_id: r.cluster_id
+        for r in VQ.embedding_dedup_clusters_scaled(spark, sf_smoke).collect()
+    }
+    # scaled added NO new memo entries: both levels shared
+    assert set(V._PAIRS_CACHE) == pair_keys
+    assert set(G._CC_CACHE) == cc_keys
+    assert scaled == strict
 
 
 def test_lsh_scale_guard_rejects_bulk_threshold(spark, sf_smoke, monkeypatch):

@@ -56,15 +56,11 @@ def _emb_pair_counter(threshold, n_tables, n_planes, corpus_name, arrow=False):
             # engaged path flips to the numpy bucket kernel, and a
             # mismatched flag would memo-MISS and rebuild the pair set
             # with the slow fold instead of hitting the query's memo.
-            L, b = VQ._scale_guarded_config(
+            L, b, engaged = VQ._scale_guarded_config(
                 spark, d, threshold, n_tables, n_planes, corpus_name, df
             )
-            if (L, b) != (n_tables, n_planes):
-                nonlocal_arrow = True
-            else:
-                nonlocal_arrow = arrow
             return VQ._cached_pairs(
-                spark, d, threshold, L, b, corpus, arrow=nonlocal_arrow
+                spark, d, threshold, L, b, corpus, arrow=arrow or engaged
             ).count()
         return VQ._cached_pairs(spark, d, threshold, L, b, corpus, arrow=arrow).count()
 
