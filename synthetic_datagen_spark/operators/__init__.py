@@ -20,7 +20,71 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import event_queries  # noqa: F401,E402
 
-# Round 10 window (first 50): new/changed-code queries first (the
+# Round 11 window (exactly 50): changed-code queries first (the
+# newly value-oracled ANN trio, the embedding family after the
+# guard-engaged-flag/memo-key-sharing fix, the text dedup family after
+# the bulk-Jaccard guard landed in the shared _lsh_candidates path,
+# the media family after the scale-guarded pigeonhole swap), then the
+# ENTIRE r6-stale backlog (after this round no sample is older than
+# r8), topped up with the stalest r8 slot.
+_ROUND11_WINDOW = [
+    # -- code changed / newly value-oracled this round
+    "knn_ivf",
+    "knn_pq",
+    "knn_ivfpq",
+    "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
+    "embedding_dedup_clusters_strict",
+    "embedding_dedup_clusters_scaled",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_cc_large_star",
+    "corpus_curation_pipeline",
+    "dedup_shingle_jaccard",
+    "multimodal_phash_neardup",
+    "multimodal_audio_fingerprint_neardup",
+    "multimodal_cross_dedup_clusters",
+    "knn_lsh_bucketed",
+    # -- full r6-stale backlog (text panels, w-family, sources)
+    "boilerplate_ngram_coverage",
+    "dedup_simhash_pairs",
+    "dedup_word_ngram_jaccard",
+    "doc_lm_perplexity",
+    "doc_rolling_fingerprint",
+    "hash_split_train_val_test",
+    "hourly_rollup",
+    "knn_brute_force",
+    "ranking_functions_panel",
+    "repetition_stats_panel",
+    "resample_4h_gapfill",
+    "s2_csv_union_dedup",
+    "s8_sql_view_summary",
+    "s9_external_process_pipe",
+    "stratified_hash_downsample",
+    "stream_batch_parity_rollup",
+    "tfidf_top_terms",
+    "token_count_panel",
+    "udf_token_count_parity",
+    "vocab_top_tokens",
+    "w10_supervised_xy",
+    "w11_window_zero_mean",
+    "w12_block_smoothing",
+    "w15_chrono_split_counts",
+    "w1_log_returns",
+    "w2_price_reconstruction",
+    "w3_sliding_window_stats",
+    "w4_rolling_volatility",
+    "w5_volatility_ratio",
+    "w6_autocorrelation_panel",
+    "w7_volatility_clustering",
+    "w8_leverage_effect",
+    "w9_max_drawdown",
+    # -- stalest r8 slot
+    "cohort_retention_weekly",
+]
+
+# Round 10 window (kept for the record; superseded by _ROUND11_WINDOW):
+# new/changed-code queries first (the
 # reshaped-and-newly-oracled approx quantiles, the three new pinned
 # summary twins, the scale-guarded embedding family, the CC kernels
 # after the type-generic fix, the d9 panels after the zero-mean guard,
@@ -97,6 +161,6 @@ def _rotate(window: list[str]) -> None:
         REGISTRY[n] = snapshot[n]
 
 
-_rotate(_ROUND10_WINDOW)
+_rotate(_ROUND11_WINDOW)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

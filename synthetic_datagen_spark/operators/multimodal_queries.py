@@ -6,10 +6,74 @@ from documents.parquet — see synthetic_datagen_spark/multimodal/media.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..multimodal import decode_features, frame_sample, media_table, resize_stub
 from .base import register
+
+
+def _pigeonhole_fixed_max() -> int:
+    """Signature count above which the media near-dup entry points
+    swap the fixed 8-blocks × 8-bit pigeonhole config for the
+    combination-key config chosen by scaled_pigeonhole_params (r11
+    100× probe: the fixed config's random-collision term is
+    8·2⁻⁸·n²/2 — 1.9e9 candidates at 62.5k audio signatures for ~15k
+    real pairs). Unlike the LSH guard this swap CANNOT change results:
+    both kernels are exact for the same max_hamming, so the pinned
+    oracles are config-independent — the cutoff only avoids the
+    count+sample jobs at gate scales. Env-overridable for tests."""
+    return int(os.environ.get("SPARK_GRAFT_PIGEONHOLE_FIXED_MAX", "50000"))
+
+
+def _scale_guarded_sig_pairs(
+    sig: DataFrame, sig_col: str, max_hamming: int, n_est: int
+) -> DataFrame:
+    """Route a media signature frame to the right pigeonhole kernel:
+    the classic single-block config below _pigeonhole_fixed_max, the
+    measured-sample combination-key config above it (functions/
+    bitsig.py). The sample is a bounded limit() collect — real media
+    signatures are corpus-correlated and uniform-hash cost models were
+    30×+ off on the r11 fixture, so the chooser must see real pieces.
+    Warns when even the best exact config stays quadratic (signature
+    bulk too close to the threshold — the geometry, not the plan)."""
+    import warnings
+
+    from ..functions.bitsig import (
+        pigeonhole_pairs,
+        pigeonhole_pairs_combo,
+        scaled_pigeonhole_params,
+    )
+
+    if n_est <= _pigeonhole_fixed_max():
+        return pigeonhole_pairs(
+            sig, "media_id", sig_col,
+            n_blocks=8, block_bits=8, max_hamming=max_hamming,
+        )
+    sample = [r[0] for r in sig.select(sig_col).limit(2000).collect()]
+    p, c, est = scaled_pigeonhole_params(n_est, max_hamming, sample)
+    # 500/signature separates the measured geometries at 100×: the
+    # pHash corpus (bulk hamming 31.4 ≈ random bits — healthy) sits at
+    # ~430 background candidates/sig, the correlated audio fingerprint
+    # (bulk 22.4) at ~1600 — genuinely quadratic; no exact config can
+    # shrink a bulk that close to the threshold, only a higher-entropy
+    # signature can (SCALE_SWEEP_r11).
+    if est > 500.0 * n_est:
+        warnings.warn(
+            f"media near-dup mining at n={n_est}: even the best exact "
+            f"combination-key config (pieces={p}, combo={c}) estimates "
+            f"{est:.2e} background candidate pairs (> 500/signature) — "
+            f"the signature bulk sits too close to hamming "
+            f"{max_hamming} and candidate volume is quadratic in "
+            f"corpus size by geometry; the fix is a higher-entropy "
+            f"signature (longer fingerprint), not a blocking change",
+            stacklevel=3,
+        )
+    return pigeonhole_pairs_combo(
+        sig, "media_id", sig_col,
+        max_hamming=max_hamming, n_pieces=p, combo_size=c,
+    )
 
 
 @register(
@@ -571,9 +635,15 @@ FROM (VALUES
     "stage 2 is pure DataFrame ops — Manku pigeonhole blocking (8 "
     "blocks x 8 bits, any hamming<=7 pair shares an exact block), "
     "bucket equi-join, then bit_count(a XOR b) <= 7 verification "
-    "JVM-side. Candidates stay ~linear (no all-pairs); measured "
-    "margins on this corpus: re-encode pairs mean hamming 3.7, "
-    "unrelated images >= 18.",
+    "JVM-side. Measured margins on this corpus: re-encode pairs mean "
+    "hamming 3.7, unrelated images >= 18. Above "
+    "_pigeonhole_fixed_max signatures the entry point swaps in the "
+    "combination-key config from scaled_pigeonhole_params (r11 100x "
+    "probe: the fixed config's 8*2^-8*n^2/2 random-collision term hit "
+    "102M candidates at 60k images for ~12k real pairs; the measured-"
+    "sample chooser cut it 42x). Both kernels are exact for "
+    "hamming<=7, so the swap never changes the pair set — the pinned "
+    "oracle is config-independent.",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -608,13 +678,16 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     phs.append(phash64(px2))
             yield pd.DataFrame({"media_id": ids, "ph": phs})
 
-    from ..functions.bitsig import pigeonhole_pairs
     from ..functions.vectors import cached_lsh_pairs
 
     def build() -> DataFrame:
         sig = docs.repartition(32).mapInPandas(hashes, schema)
-        return pigeonhole_pairs(
-            sig, "media_id", "ph", n_blocks=8, block_bits=8, max_hamming=7
+        # n is derivable from the doc count alone (every doc hashes,
+        # every 5th plants a variant) — no extra pass over the
+        # expensive JPEG re-encode stage just to size the kernel
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        return _scale_guarded_sig_pairs(
+            sig, "ph", max_hamming=7, n_est=n_docs + n_docs // 5 + 1
         )
 
     # session memo: the cross-modality dedup query consumes the same
@@ -695,9 +768,16 @@ FROM (VALUES
     "(real codec, multimodal/audio.py) as a lossy near-duplicate. "
     "Signature = 64 spectral bands of a 1024-point rFFT, bit = band "
     "energy > median (robust to companding noise: measured re-encode "
-    "hamming <= 2, unrelated signals >= 10). Candidates via the "
-    "shared pigeonhole kernel (functions/bitsig.py, 8x8-bit blocks, "
-    "complete for hamming <= 5), verification JVM-side.",
+    "hamming <= 2, unrelated signals >= 10, but BULK hamming mean "
+    "22.4 — these signatures are corpus-correlated). Candidates via "
+    "the shared pigeonhole kernel (functions/bitsig.py, 8x8-bit "
+    "blocks, complete for hamming <= 5), verification JVM-side. "
+    "Above _pigeonhole_fixed_max signatures the combination-key "
+    "config from scaled_pigeonhole_params replaces the fixed blocks "
+    "(r11 100x probe: 1.9e9 candidates at 62.5k audio sigs under the "
+    "fixed config — the correlated-signature worst case; the "
+    "measured-sample chooser cut it 175x). Exact either way, so the "
+    "pinned oracle is config-independent.",
 )
 def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -706,7 +786,6 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..functions.bitsig import pigeonhole_pairs
     from ..multimodal.audio import ulaw_decode, ulaw_encode
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -751,8 +830,9 @@ def multimodal_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> Da
 
     def build() -> DataFrame:
         sig = docs.repartition(32).mapInPandas(hashes, schema)
-        return pigeonhole_pairs(
-            sig, "media_id", "fp", n_blocks=8, block_bits=8, max_hamming=5
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        return _scale_guarded_sig_pairs(
+            sig, "fp", max_hamming=5, n_est=n_docs + n_docs // 4 + 1
         )
 
     cand = cached_lsh_pairs(spark, ("audio_fp_pairs", sf_dir), build)

@@ -31,9 +31,16 @@ def _fixed_config_max_rows() -> int:
     config completes at unit cost 0.31 (SCALE_SWEEP_r9.json). Below
     the cutoff the requested fixed config is kept verbatim, so the
     literal-hyperplane SQL oracles (valid only for the fixed planes)
-    are unaffected at the gate scales (≤2.5k vectors). Env-overridable
-    so tests can force the scaled path on small fixtures."""
-    return int(os.environ.get("SPARK_GRAFT_LSH_FIXED_MAX", "50000"))
+    are unaffected at the gate scales (≤2.5k vectors).
+
+    Default 10 000: the r11 gray-zone probe MEASURED the old 50 000
+    boundary — at 48.4k corpus rows the fixed 12×6 config burned
+    443 s on 244 M bucket candidates where the scaled config finishes
+    in well under a minute (SCALE_SWEEP_r11.json, before/after). The
+    quadratic term reaches ~9e6 candidates at 10k — a few seconds of
+    join work, a defensible worst case for the boundary. Env-
+    overridable so tests can force either path on small fixtures."""
+    return int(os.environ.get("SPARK_GRAFT_LSH_FIXED_MAX", "10000"))
 
 
 # corpus row counts / bulk-cosine floors memoized per (applicationId,

@@ -257,6 +257,100 @@ def test_pigeonhole_rejects_incomplete_config():
         pigeonhole_pairs(None, "id", "sig", n_blocks=4, max_hamming=4)
 
 
+def test_pigeonhole_combo_complete_vs_brute_force(spark):
+    """The combination-key scale kernel (r11: C(p,c) tables, exact for
+    hamming <= p - c) must find EXACTLY the brute-force pair set for
+    every feasible ladder config — same truth set as the classic
+    single-block kernel. Includes adversarial worst-spread pairs
+    (errors spread one-per-piece, the pigeonhole bound's tight case)."""
+    import random
+
+    from synthetic_datagen_spark.functions.bitsig import (
+        _piece_sizes,
+        pigeonhole_pairs_combo,
+    )
+
+    rng = random.Random(99)
+    base = [rng.getrandbits(63) for _ in range(30)]
+    sigs = []
+    for i, b in enumerate(base):
+        sigs.append((i * 10, b))
+        flipped = b
+        for bit in rng.sample(range(63), rng.randint(0, 7)):
+            flipped ^= 1 << bit
+        sigs.append((i * 10 + 1, flipped))
+    # adversarial: exactly h errors, one per piece of the p=10 split —
+    # touches max_hamming pieces, leaving exactly combo_size clean
+    sizes = _piece_sizes(63, 10)
+    offs = [sum(sizes[:i]) for i in range(10)]
+    adv = base[0]
+    for k in range(7):
+        adv ^= 1 << offs[k]  # flip the low bit of pieces 0..6
+    sigs.append((9001, adv))
+    truth = {
+        (min(a_id, b_id), max(a_id, b_id))
+        for i, (a_id, a) in enumerate(sigs)
+        for b_id, b in sigs[i + 1 :]
+        if bin(a ^ b).count("1") <= 7
+    }
+    assert any(9001 in p for p in truth)  # the adversarial pair is real
+    df = spark.createDataFrame(sigs, ["sid", "sig"])
+    for p, c in ((8, 1), (9, 2), (10, 3), (11, 4)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in pigeonhole_pairs_combo(
+                df, "sid", "sig", max_hamming=7, n_pieces=p, combo_size=c
+            ).collect()
+        }
+        assert got == truth, f"config p{p}c{c}: {got ^ truth}"
+
+
+def test_pigeonhole_combo_rejects_incomplete_config():
+    import pytest as _pytest
+
+    from synthetic_datagen_spark.functions.bitsig import pigeonhole_pairs_combo
+
+    with _pytest.raises(ValueError, match="completeness"):
+        pigeonhole_pairs_combo(
+            None, "id", "sig", max_hamming=7, n_pieces=8, combo_size=2
+        )
+
+
+def test_scaled_pigeonhole_params_ladder():
+    """The chooser climbs the combo ladder as the corpus grows (more
+    key bits per table), never returns an incomplete config, and its
+    measured-sample mode reacts to skew: a degenerate sample (everyone
+    shares low pieces) pushes the choice to a larger combo_size than
+    the uniform model would pick at the same n."""
+    import random
+
+    from synthetic_datagen_spark.functions.bitsig import scaled_pigeonhole_params
+
+    rng = random.Random(5)
+    uni = [rng.getrandbits(63) for _ in range(1500)]
+    p_small, c_small, _ = scaled_pigeonhole_params(600, 7, uni)
+    p_big, c_big, est_big = scaled_pigeonhole_params(600_000, 7, uni)
+    assert 7 <= p_small - c_small and 7 <= p_big - c_big
+    assert c_big >= c_small and c_big >= 3
+    assert est_big > 0
+    # correlated sample (the measured media-signature geometry: bulk
+    # hamming well below the 31.5 of random bits): every bit flips a
+    # common pattern with prob 0.15, so single pieces collide ~10% of
+    # pairs and only multi-piece keys separate them — the measured
+    # rate must push the chooser at least as high as the uniform pick
+    common = rng.getrandbits(63)
+    corr = []
+    for _ in range(1500):
+        s = common
+        for bit in range(63):
+            if rng.random() < 0.15:
+                s ^= 1 << bit
+        corr.append(s)
+    p_u, c_u, _ = scaled_pigeonhole_params(5000, 7, None)
+    p_s, c_s, _ = scaled_pigeonhole_params(5000, 7, corr)
+    assert c_s >= c_u
+
+
 class TestBPE:
     def test_merge_table_matches_independent_reference(self, spark):
         """Re-derive the merge sequence with an independent Counter-

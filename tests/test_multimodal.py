@@ -183,3 +183,39 @@ class TestCrossModalityDedup:
             assert ("text" in mods) == (r.n_text_pairs > 0)
             assert ("audio" in mods) == (r.n_audio_pairs > 0)
             assert ("image" in mods) == (r.n_image_pairs > 0)
+
+
+def test_scale_guarded_pigeonhole_same_pairs_as_fixed(spark, monkeypatch):
+    """r11: above _pigeonhole_fixed_max the media near-dup entry points
+    swap the fixed 8x8 blocking for the measured combination-key
+    config. Both kernels are EXACT for the same max_hamming, so the
+    pair set must be bit-identical — forced on at gate scale, the
+    pHash and audio-fingerprint queries must reproduce the fixed-
+    config output (which the pinned oracles check) exactly."""
+    import warnings
+
+    from synthetic_datagen_spark.operators.base import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+
+    def pairs(name):
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in REGISTRY[name].build(spark, sf).collect()
+        }
+
+    fixed = {n: pairs(n) for n in (
+        "multimodal_phash_neardup", "multimodal_audio_fingerprint_neardup")}
+    # invalidate the session pair memo so the guarded configs rebuild
+    from synthetic_datagen_spark.functions import vectors as V
+
+    monkeypatch.setenv("SPARK_GRAFT_PIGEONHOLE_FIXED_MAX", "10")
+    for k in [k for k in V._PAIRS_CACHE if k[1][0] in ("phash_pairs", "audio_fp_pairs")]:
+        del V._PAIRS_CACHE[k]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # tiny corpus may trip the bulk warning
+        guarded = {n: pairs(n) for n in fixed}
+    for k in [k for k in V._PAIRS_CACHE if k[1][0] in ("phash_pairs", "audio_fp_pairs")]:
+        del V._PAIRS_CACHE[k]  # don't leak guarded-config pairs to other tests
+    assert guarded == fixed
+    assert all(len(v) > 50 for v in fixed.values())

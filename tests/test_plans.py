@@ -537,3 +537,43 @@ def test_distributed_index_and_prefix_match_driver_enumeration(spark):
         for k, w in sorted(rows):
             assert abs(gp[k] - acc) < 1e-9, (parts, k)
             acc += w
+
+
+def test_pinned_index_fails_loud_on_lost_checkpoint_blocks(spark):
+    """r10 VERDICT task 7: _pin (functions/indexing.py) promises LOUD
+    failure when the localCheckpoint blocks vanish (executor loss) —
+    never a silent recompute into a different range partitioning,
+    which is exactly the offset-corruption class the pin exists to
+    kill. Simulate the loss by unpersisting the checkpointed RDD's
+    blocks out from under a computed index frame: the next action must
+    raise (checkpoint blocks are unrecoverable by design), not return
+    rows."""
+    import pytest
+
+    from synthetic_datagen_spark.functions.indexing import with_global_index
+
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+
+    def persistent_ids():
+        out = {}
+        it = jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            out[t._1()] = t._2()
+        return out
+
+    before = set(persistent_ids())
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], "k LONG, w DOUBLE"
+    ).repartition(8)
+    idx = with_global_index(df, ["k"])
+    assert idx.count() == 500  # healthy blocks: the frame reads fine
+    fresh = {
+        rid: rdd for rid, rdd in persistent_ids().items() if rid not in before
+    }
+    assert fresh, "expected _pin to leave a persisted (checkpointed) RDD"
+    for rdd in fresh.values():
+        rdd.unpersist(True)  # simulate executor/block loss
+    with pytest.raises(Exception, match="[Cc]heckpoint"):
+        idx.count()

@@ -350,7 +350,7 @@ def test_lsh_scale_guard_swaps_fixed_config_above_cutoff(spark, sf_smoke, monkey
     df = VQ._emb(spark, sf_smoke)
     n = df.count()
     kind = "_emb"
-    # below cutoff (default 50k >> sf0.001): request kept verbatim,
+    # below cutoff (default 10k >> sf0.001): request kept verbatim,
     # guard NOT engaged
     assert VQ._scale_guarded_config(
         spark, sf_smoke, 0.9, 12, 6, kind, df
