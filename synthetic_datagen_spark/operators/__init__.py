@@ -25,8 +25,8 @@ from . import event_queries  # noqa: F401,E402
 # guard-engaged-flag/memo-key-sharing fix, the text dedup family after
 # the bulk-Jaccard guard landed in the shared _lsh_candidates path,
 # the media family after the scale-guarded pigeonhole swap), then the
-# ENTIRE r6-stale backlog (after this round no sample is older than
-# r8), topped up with the stalest r8 slot.
+# five queries newly value-pinned this round, then the ENTIRE r6-stale
+# backlog (after this round no sample is older than r8).
 _ROUND11_WINDOW = [
     # -- code changed / newly value-oracled this round
     "knn_ivf",
@@ -38,13 +38,15 @@ _ROUND11_WINDOW = [
     "embedding_dedup_clusters_scaled",
     "dedup_minhash_lsh",
     "dedup_connected_components",
-    "dedup_cc_large_star",
-    "corpus_curation_pipeline",
-    "dedup_shingle_jaccard",
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
     "multimodal_cross_dedup_clusters",
     "knn_lsh_bucketed",
+    # -- newly value-pinned this round (r11 late: 146 -> 151 oracled)
+    "multimodal_decode_features",
+    "multimodal_frame_stats",
+    "multimodal_audio_spectrogram",
+    "m7_pelt_ward_regimes",
     # -- full r6-stale backlog (text panels, w-family, sources)
     "boilerplate_ngram_coverage",
     "dedup_simhash_pairs",
@@ -79,8 +81,6 @@ _ROUND11_WINDOW = [
     "w7_volatility_clustering",
     "w8_leverage_effect",
     "w9_max_drawdown",
-    # -- stalest r8 slot
-    "cohort_retention_weekly",
 ]
 
 # Round 10 window (kept for the record; superseded by _ROUND11_WINDOW):

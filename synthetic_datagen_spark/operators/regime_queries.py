@@ -232,9 +232,126 @@ def m7_m8_segment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIN_PELT_WARD = """
+SELECT * FROM (VALUES
+  ('click', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(115 AS BIGINT)),
+  ('click', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(95 AS BIGINT)),
+  ('click', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(55 AS BIGINT)),
+  ('click', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(95 AS BIGINT)),
+  ('click', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(195 AS BIGINT)),
+  ('click', CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(125 AS BIGINT)),
+  ('click', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(410 AS BIGINT)),
+  ('click', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(80 AS BIGINT)),
+  ('click', CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(90 AS BIGINT)),
+  ('click', CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(90 AS BIGINT)),
+  ('click', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT)),
+  ('click', CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(195 AS BIGINT)),
+  ('click', CAST(12 AS BIGINT), CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+  ('click', CAST(13 AS BIGINT), CAST(0 AS BIGINT), CAST(65 AS BIGINT)),
+  ('click', CAST(14 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('click', CAST(15 AS BIGINT), CAST(2 AS BIGINT), CAST(55 AS BIGINT)),
+  ('click', CAST(16 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('click', CAST(17 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('click', CAST(18 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('error', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(90 AS BIGINT)),
+  ('error', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(90 AS BIGINT)),
+  ('error', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(110 AS BIGINT)),
+  ('error', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(285 AS BIGINT)),
+  ('error', CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(90 AS BIGINT)),
+  ('error', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(120 AS BIGINT)),
+  ('error', CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(140 AS BIGINT)),
+  ('error', CAST(11 AS BIGINT), CAST(3 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(60 AS BIGINT)),
+  ('error', CAST(13 AS BIGINT), CAST(3 AS BIGINT), CAST(65 AS BIGINT)),
+  ('error', CAST(14 AS BIGINT), CAST(0 AS BIGINT), CAST(65 AS BIGINT)),
+  ('error', CAST(15 AS BIGINT), CAST(3 AS BIGINT), CAST(105 AS BIGINT)),
+  ('error', CAST(16 AS BIGINT), CAST(0 AS BIGINT), CAST(65 AS BIGINT)),
+  ('error', CAST(17 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('error', CAST(18 AS BIGINT), CAST(0 AS BIGINT), CAST(210 AS BIGINT)),
+  ('error', CAST(19 AS BIGINT), CAST(2 AS BIGINT), CAST(218 AS BIGINT)),
+  ('purchase', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(115 AS BIGINT)),
+  ('purchase', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('purchase', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(120 AS BIGINT)),
+  ('purchase', CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(140 AS BIGINT)),
+  ('purchase', CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+  ('purchase', CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('purchase', CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(70 AS BIGINT)),
+  ('purchase', CAST(9 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(185 AS BIGINT)),
+  ('purchase', CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('purchase', CAST(12 AS BIGINT), CAST(0 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(13 AS BIGINT), CAST(2 AS BIGINT), CAST(55 AS BIGINT)),
+  ('purchase', CAST(14 AS BIGINT), CAST(3 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(15 AS BIGINT), CAST(0 AS BIGINT), CAST(170 AS BIGINT)),
+  ('purchase', CAST(16 AS BIGINT), CAST(1 AS BIGINT), CAST(55 AS BIGINT)),
+  ('purchase', CAST(17 AS BIGINT), CAST(0 AS BIGINT), CAST(130 AS BIGINT)),
+  ('purchase', CAST(18 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('purchase', CAST(19 AS BIGINT), CAST(0 AS BIGINT), CAST(90 AS BIGINT)),
+  ('purchase', CAST(20 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(21 AS BIGINT), CAST(1 AS BIGINT), CAST(55 AS BIGINT)),
+  ('purchase', CAST(22 AS BIGINT), CAST(2 AS BIGINT), CAST(55 AS BIGINT)),
+  ('purchase', CAST(23 AS BIGINT), CAST(3 AS BIGINT), CAST(50 AS BIGINT)),
+  ('purchase', CAST(24 AS BIGINT), CAST(0 AS BIGINT), CAST(75 AS BIGINT)),
+  ('signup', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(120 AS BIGINT)),
+  ('signup', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(165 AS BIGINT)),
+  ('signup', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('signup', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('signup', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(95 AS BIGINT)),
+  ('signup', CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+  ('signup', CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(130 AS BIGINT)),
+  ('signup', CAST(9 AS BIGINT), CAST(3 AS BIGINT), CAST(80 AS BIGINT)),
+  ('signup', CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(155 AS BIGINT)),
+  ('signup', CAST(11 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(12 AS BIGINT), CAST(3 AS BIGINT), CAST(70 AS BIGINT)),
+  ('signup', CAST(13 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(14 AS BIGINT), CAST(2 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(15 AS BIGINT), CAST(0 AS BIGINT), CAST(290 AS BIGINT)),
+  ('signup', CAST(16 AS BIGINT), CAST(3 AS BIGINT), CAST(55 AS BIGINT)),
+  ('signup', CAST(17 AS BIGINT), CAST(1 AS BIGINT), CAST(85 AS BIGINT)),
+  ('signup', CAST(18 AS BIGINT), CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+  ('signup', CAST(19 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('signup', CAST(20 AS BIGINT), CAST(0 AS BIGINT), CAST(110 AS BIGINT)),
+  ('signup', CAST(21 AS BIGINT), CAST(0 AS BIGINT), CAST(71 AS BIGINT)),
+  ('view', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(105 AS BIGINT)),
+  ('view', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('view', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(55 AS BIGINT)),
+  ('view', CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(110 AS BIGINT)),
+  ('view', CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(65 AS BIGINT)),
+  ('view', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(65 AS BIGINT)),
+  ('view', CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(215 AS BIGINT)),
+  ('view', CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('view', CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(145 AS BIGINT)),
+  ('view', CAST(9 AS BIGINT), CAST(2 AS BIGINT), CAST(70 AS BIGINT)),
+  ('view', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(80 AS BIGINT)),
+  ('view', CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(80 AS BIGINT)),
+  ('view', CAST(12 AS BIGINT), CAST(2 AS BIGINT), CAST(85 AS BIGINT)),
+  ('view', CAST(13 AS BIGINT), CAST(0 AS BIGINT), CAST(100 AS BIGINT)),
+  ('view', CAST(14 AS BIGINT), CAST(0 AS BIGINT), CAST(60 AS BIGINT)),
+  ('view', CAST(15 AS BIGINT), CAST(2 AS BIGINT), CAST(65 AS BIGINT)),
+  ('view', CAST(16 AS BIGINT), CAST(2 AS BIGINT), CAST(60 AS BIGINT)),
+  ('view', CAST(17 AS BIGINT), CAST(1 AS BIGINT), CAST(60 AS BIGINT)),
+  ('view', CAST(18 AS BIGINT), CAST(2 AS BIGINT), CAST(70 AS BIGINT)),
+  ('view', CAST(19 AS BIGINT), CAST(1 AS BIGINT), CAST(50 AS BIGINT)),
+  ('view', CAST(20 AS BIGINT), CAST(0 AS BIGINT), CAST(316 AS BIGINT))
+) AS t("event_type", "seg_id", "regime", "n")
+"""
+
+
 @register(
     "m7_pelt_ward_regimes",
-    oracle=None,
+    oracle=_PIN_PELT_WARD,  # r11 pinned VALUES at sf0.01: PELT DP + exact
+    # Ward clustering are deterministic numpy over a fixed per-series
+    # order, and the output panel is integer-only — bit-deterministic,
+    # verified across independent processes (tools/pin_oracles.py)
+    pinned_sf="0.01",
     doc="Reference-faithful M7+M8 regime detection (regime_gan.py:25-110 "
     "detect_regimes): per-series PELT change-point DP (Gaussian "
     "mean+variance cost, jump grid, pruning; penalty halved once when "

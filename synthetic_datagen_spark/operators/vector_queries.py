@@ -686,12 +686,117 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.ivf_knn(q, emb, _K, n_lists=16, n_probe=4, seed=42)
 
 
+_PIN_SCALED_CLUSTERS = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+  (CAST(10 AS BIGINT), CAST(10 AS BIGINT), TRUE),
+  (CAST(20 AS BIGINT), CAST(20 AS BIGINT), TRUE),
+  (CAST(40 AS BIGINT), CAST(40 AS BIGINT), TRUE),
+  (CAST(50 AS BIGINT), CAST(50 AS BIGINT), TRUE),
+  (CAST(60 AS BIGINT), CAST(60 AS BIGINT), TRUE),
+  (CAST(70 AS BIGINT), CAST(70 AS BIGINT), TRUE),
+  (CAST(80 AS BIGINT), CAST(80 AS BIGINT), TRUE),
+  (CAST(90 AS BIGINT), CAST(90 AS BIGINT), TRUE),
+  (CAST(100 AS BIGINT), CAST(100 AS BIGINT), TRUE),
+  (CAST(110 AS BIGINT), CAST(110 AS BIGINT), TRUE),
+  (CAST(120 AS BIGINT), CAST(120 AS BIGINT), TRUE),
+  (CAST(130 AS BIGINT), CAST(130 AS BIGINT), TRUE),
+  (CAST(140 AS BIGINT), CAST(140 AS BIGINT), TRUE),
+  (CAST(150 AS BIGINT), CAST(150 AS BIGINT), TRUE),
+  (CAST(160 AS BIGINT), CAST(160 AS BIGINT), TRUE),
+  (CAST(170 AS BIGINT), CAST(170 AS BIGINT), TRUE),
+  (CAST(180 AS BIGINT), CAST(180 AS BIGINT), TRUE),
+  (CAST(190 AS BIGINT), CAST(190 AS BIGINT), TRUE),
+  (CAST(200 AS BIGINT), CAST(200 AS BIGINT), TRUE),
+  (CAST(210 AS BIGINT), CAST(210 AS BIGINT), TRUE),
+  (CAST(220 AS BIGINT), CAST(220 AS BIGINT), TRUE),
+  (CAST(230 AS BIGINT), CAST(230 AS BIGINT), TRUE),
+  (CAST(240 AS BIGINT), CAST(240 AS BIGINT), TRUE),
+  (CAST(250 AS BIGINT), CAST(250 AS BIGINT), TRUE),
+  (CAST(260 AS BIGINT), CAST(260 AS BIGINT), TRUE),
+  (CAST(270 AS BIGINT), CAST(270 AS BIGINT), TRUE),
+  (CAST(280 AS BIGINT), CAST(280 AS BIGINT), TRUE),
+  (CAST(290 AS BIGINT), CAST(290 AS BIGINT), TRUE),
+  (CAST(300 AS BIGINT), CAST(300 AS BIGINT), TRUE),
+  (CAST(310 AS BIGINT), CAST(310 AS BIGINT), TRUE),
+  (CAST(320 AS BIGINT), CAST(320 AS BIGINT), TRUE),
+  (CAST(330 AS BIGINT), CAST(330 AS BIGINT), TRUE),
+  (CAST(350 AS BIGINT), CAST(350 AS BIGINT), TRUE),
+  (CAST(360 AS BIGINT), CAST(360 AS BIGINT), TRUE),
+  (CAST(370 AS BIGINT), CAST(370 AS BIGINT), TRUE),
+  (CAST(380 AS BIGINT), CAST(380 AS BIGINT), TRUE),
+  (CAST(390 AS BIGINT), CAST(390 AS BIGINT), TRUE),
+  (CAST(400 AS BIGINT), CAST(400 AS BIGINT), TRUE),
+  (CAST(410 AS BIGINT), CAST(410 AS BIGINT), TRUE),
+  (CAST(420 AS BIGINT), CAST(420 AS BIGINT), TRUE),
+  (CAST(430 AS BIGINT), CAST(430 AS BIGINT), TRUE),
+  (CAST(440 AS BIGINT), CAST(440 AS BIGINT), TRUE),
+  (CAST(450 AS BIGINT), CAST(450 AS BIGINT), TRUE),
+  (CAST(460 AS BIGINT), CAST(460 AS BIGINT), TRUE),
+  (CAST(470 AS BIGINT), CAST(470 AS BIGINT), TRUE),
+  (CAST(480 AS BIGINT), CAST(480 AS BIGINT), TRUE),
+  (CAST(490 AS BIGINT), CAST(490 AS BIGINT), TRUE),
+  (CAST(1000000 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+  (CAST(1000010 AS BIGINT), CAST(10 AS BIGINT), FALSE),
+  (CAST(1000020 AS BIGINT), CAST(20 AS BIGINT), FALSE),
+  (CAST(1000040 AS BIGINT), CAST(40 AS BIGINT), FALSE),
+  (CAST(1000050 AS BIGINT), CAST(50 AS BIGINT), FALSE),
+  (CAST(1000060 AS BIGINT), CAST(60 AS BIGINT), FALSE),
+  (CAST(1000070 AS BIGINT), CAST(70 AS BIGINT), FALSE),
+  (CAST(1000080 AS BIGINT), CAST(80 AS BIGINT), FALSE),
+  (CAST(1000090 AS BIGINT), CAST(90 AS BIGINT), FALSE),
+  (CAST(1000100 AS BIGINT), CAST(100 AS BIGINT), FALSE),
+  (CAST(1000110 AS BIGINT), CAST(110 AS BIGINT), FALSE),
+  (CAST(1000120 AS BIGINT), CAST(120 AS BIGINT), FALSE),
+  (CAST(1000130 AS BIGINT), CAST(130 AS BIGINT), FALSE),
+  (CAST(1000140 AS BIGINT), CAST(140 AS BIGINT), FALSE),
+  (CAST(1000150 AS BIGINT), CAST(150 AS BIGINT), FALSE),
+  (CAST(1000160 AS BIGINT), CAST(160 AS BIGINT), FALSE),
+  (CAST(1000170 AS BIGINT), CAST(170 AS BIGINT), FALSE),
+  (CAST(1000180 AS BIGINT), CAST(180 AS BIGINT), FALSE),
+  (CAST(1000190 AS BIGINT), CAST(190 AS BIGINT), FALSE),
+  (CAST(1000200 AS BIGINT), CAST(200 AS BIGINT), FALSE),
+  (CAST(1000210 AS BIGINT), CAST(210 AS BIGINT), FALSE),
+  (CAST(1000220 AS BIGINT), CAST(220 AS BIGINT), FALSE),
+  (CAST(1000230 AS BIGINT), CAST(230 AS BIGINT), FALSE),
+  (CAST(1000240 AS BIGINT), CAST(240 AS BIGINT), FALSE),
+  (CAST(1000250 AS BIGINT), CAST(250 AS BIGINT), FALSE),
+  (CAST(1000260 AS BIGINT), CAST(260 AS BIGINT), FALSE),
+  (CAST(1000270 AS BIGINT), CAST(270 AS BIGINT), FALSE),
+  (CAST(1000280 AS BIGINT), CAST(280 AS BIGINT), FALSE),
+  (CAST(1000290 AS BIGINT), CAST(290 AS BIGINT), FALSE),
+  (CAST(1000300 AS BIGINT), CAST(300 AS BIGINT), FALSE),
+  (CAST(1000310 AS BIGINT), CAST(310 AS BIGINT), FALSE),
+  (CAST(1000320 AS BIGINT), CAST(320 AS BIGINT), FALSE),
+  (CAST(1000330 AS BIGINT), CAST(330 AS BIGINT), FALSE),
+  (CAST(1000350 AS BIGINT), CAST(350 AS BIGINT), FALSE),
+  (CAST(1000360 AS BIGINT), CAST(360 AS BIGINT), FALSE),
+  (CAST(1000370 AS BIGINT), CAST(370 AS BIGINT), FALSE),
+  (CAST(1000380 AS BIGINT), CAST(380 AS BIGINT), FALSE),
+  (CAST(1000390 AS BIGINT), CAST(390 AS BIGINT), FALSE),
+  (CAST(1000400 AS BIGINT), CAST(400 AS BIGINT), FALSE),
+  (CAST(1000410 AS BIGINT), CAST(410 AS BIGINT), FALSE),
+  (CAST(1000420 AS BIGINT), CAST(420 AS BIGINT), FALSE),
+  (CAST(1000430 AS BIGINT), CAST(430 AS BIGINT), FALSE),
+  (CAST(1000440 AS BIGINT), CAST(440 AS BIGINT), FALSE),
+  (CAST(1000450 AS BIGINT), CAST(450 AS BIGINT), FALSE),
+  (CAST(1000460 AS BIGINT), CAST(460 AS BIGINT), FALSE),
+  (CAST(1000470 AS BIGINT), CAST(470 AS BIGINT), FALSE),
+  (CAST(1000480 AS BIGINT), CAST(480 AS BIGINT), FALSE),
+  (CAST(1000490 AS BIGINT), CAST(490 AS BIGINT), FALSE)
+) AS t("vec_id", "cluster_id", "keep")
+"""
+
+
 @register(
     "embedding_dedup_clusters_scaled",
-    oracle=None,  # LSH params derive from the corpus COUNT at runtime, so
-    # no static literal-hyperplane oracle exists; correctness is pinned by
-    # (a) the 100%-recall-vs-brute-force test and (b) cluster parity with
-    # the SQL-oracled fixed-config sibling (tests/test_vectors.py)
+    oracle=_PIN_SCALED_CLUSTERS,  # r11 pinned VALUES at sf0.01: the LSH
+    # params derive from the corpus COUNT at runtime so no static
+    # literal-hyperplane SQL exists, but the OUTPUT is integer/bool-only
+    # and bit-deterministic (verified across independent processes);
+    # cluster parity with the SQL-oracled fixed-config sibling and the
+    # 100%-recall-vs-brute-force test remain in tests/test_vectors.py
+    pinned_sf="0.01",
     doc="The 100 TB configuration of production-threshold semantic dedup: "
     "same planted corpus and cos ≥ 0.9 semantics as "
     "embedding_dedup_clusters_strict, but the sign-LSH plane/table "
