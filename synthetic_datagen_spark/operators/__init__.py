@@ -37,7 +37,7 @@ _ROUND11_WINDOW = [
     "embedding_dedup_clusters_strict",
     "embedding_dedup_clusters_scaled",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
+    "multimodal_audio_fingerprint_v2",  # NEW query this round
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
     "multimodal_cross_dedup_clusters",

