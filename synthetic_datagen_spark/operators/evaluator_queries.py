@@ -14,7 +14,11 @@ from .base import register
 
 @register(
     "d8_composite_score",
-    oracle=None,
+    oracle=None,  # NOT pinnable: bit-identical across same-layout
+    # processes, but the r11 cross-layout check caught a last-ulp
+    # drift under the plain-session shuffle layout (float sums
+    # merge in shuffle order) — the same class that keeps raw
+    # SUM(double) out of every pinned oracle. Rows-only + tests.
     doc="D8 composite quality score between two series: full metric "
     "panel (JS/KS/W1/ACF/vol-cluster/Hurst/spectral) → weighted score "
     "(reference: composite_metric.py:66-153).",
@@ -31,7 +35,11 @@ def d8_composite_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m11_predictive_utility",
-    oracle=None,
+    oracle=None,  # NOT pinnable: bit-identical across same-layout
+    # processes, but the r11 cross-layout check caught a last-ulp
+    # drift under the plain-session shuffle layout (float sums
+    # merge in shuffle order) — the same class that keeps raw
+    # SUM(double) out of every pinned oracle. Rows-only + tests.
     doc="M11 predictive-utility A/B: W10 windows in Spark, ridge "
     "predictor fitted from distributed Gram aggregates (no training row "
     "reaches the driver), baseline-vs-augmented MAE deltas "
@@ -206,9 +214,19 @@ def d4_adf_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIN_D5_SPECTRAL_DISTANCE = """
+SELECT * FROM (VALUES
+  ('spectral_distance', CAST(0.001357 AS DOUBLE))
+) AS t("metric", "value")
+"""
+
+
 @register(
     "d5_spectral_distance",
-    oracle=None,  # FFT kernel: not SQL-expressible
+    oracle=_PIN_D5_SPECTRAL_DISTANCE,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="D5 spectral distance between two series: per-side normalized "
     "FFT power spectrum via one grouped-map task each, RMSE join "
     "(reference: composite_metric.py:50-56).",
@@ -221,9 +239,21 @@ def d5_spectral_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([("spectral_distance", float(round(v, 6)))], ["metric", "value"])
 
 
+_PIN_D9_TOLERANCE_PANEL = """
+SELECT * FROM (VALUES
+  ('ret_mean', CAST(-0.000241 AS DOUBLE), CAST(0.019417 AS DOUBLE), CAST(-0.018541 AS DOUBLE), CAST(0.020126 AS DOUBLE), CAST(0.038668 AS DOUBLE), CAST(84.548368 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+  ('ret_std', CAST(1.717442 AS DOUBLE), CAST(0.097737 AS DOUBLE), CAST(1.626742 AS DOUBLE), CAST(1.820953 AS DOUBLE), CAST(0.194211 AS DOUBLE), CAST(0.060271 AS DOUBLE), CAST(0.120541 AS DOUBLE)),
+  ('price_range', CAST(64641.85147 AS DOUBLE), CAST(106776.580762 AS DOUBLE), CAST(2691.809631 AS DOUBLE), CAST(187936.33099 AS DOUBLE), CAST(185244.521359 AS DOUBLE), CAST(1.907348 AS DOUBLE), CAST(0.5 AS DOUBLE))
+) AS t("metric", "mean", "std", "min", "max", "range", "max_rel_dev", "recommended_tolerance")
+"""
+
+
 @register(
     "d9_tolerance_panel",
-    oracle=None,  # multi-seed generate→evaluate orchestration
+    oracle=_PIN_D9_TOLERANCE_PANEL,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="D9/A11 multi-seed tolerance analysis: block-bootstrap generate "
     "per seed → moment panel per seed → across-seed mean/std/min/max/"
     "range, max relative deviation and the DOIN margin "
@@ -349,9 +379,28 @@ def d9_tolerance_v3_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tolerance_panel_v3(per_seed).orderBy("metric")
 
 
+_PIN_M10_LSTM_PREDICTIVE_UTILITY = """
+SELECT * FROM (VALUES
+  ('baseline_val_mae', CAST(36.88217660048204 AS DOUBLE)),
+  ('baseline_test_mae', CAST(35.71257779565573 AS DOUBLE)),
+  ('augmented_val_mae', CAST(35.70105249219841 AS DOUBLE)),
+  ('augmented_test_mae', CAST(35.009262946917026 AS DOUBLE)),
+  ('baseline_train_mae', CAST(36.96598434346965 AS DOUBLE)),
+  ('augmented_train_mae', CAST(35.527351457707354 AS DOUBLE)),
+  ('delta_val_mae', CAST(-1.1811241082836332 AS DOUBLE)),
+  ('delta_test_mae', CAST(-0.7033148487387066 AS DOUBLE)),
+  ('pct_val', CAST(-3.202425174300034 AS DOUBLE)),
+  ('helps', CAST(1.0 AS DOUBLE))
+) AS t("metric", "value")
+"""
+
+
 @register(
     "m10_lstm_predictive_utility",
-    oracle=None,  # SGD-trained recurrent predictor: rows-only + tests
+    oracle=_PIN_M10_LSTM_PREDICTIVE_UTILITY,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="M10/M11 predictive-utility A/B with the reference's predictor "
     "family: numpy LSTM(H) -> Dense(relu) -> Dense(1), adam, mse, early "
     "stopping with best-weight restore (predictive_evaluator.py:75-135; "
@@ -382,9 +431,26 @@ def m10_lstm_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIN_M13_EXTERNAL_PREDICTOR_EVAL = """
+SELECT * FROM (VALUES
+  ('baseline_val_mae', CAST(48.93633333333334 AS DOUBLE)),
+  ('baseline_test_mae', CAST(48.718333333333334 AS DOUBLE)),
+  ('augmented_val_mae', CAST(48.93633333333334 AS DOUBLE)),
+  ('augmented_test_mae', CAST(48.718333333333334 AS DOUBLE)),
+  ('delta_val_mae', CAST(0.0 AS DOUBLE)),
+  ('delta_test_mae', CAST(0.0 AS DOUBLE)),
+  ('pct_val', CAST(0.0 AS DOUBLE)),
+  ('helps', CAST(0.0 AS DOUBLE))
+) AS t("metric", "value")
+"""
+
+
 @register(
     "m13_external_predictor_eval",
-    oracle=None,  # subprocess round-trip: rows-only + protocol tests
+    oracle=_PIN_M13_EXTERNAL_PREDICTOR_EVAL,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="M13 external-predictor evaluation protocol: datasets hand off "
     "as CSVs + a normalization-params JSON, an out-of-process predictor "
     "(here a last-value-MAE stand-in) writes metrics JSON back, the "

@@ -154,9 +154,21 @@ def g8_regime_hybrid_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyb.generate(spark, seed=42, n_samples=150, n_series=3)
 
 
+_PIN_M14_GA_BLOCK_SEARCH = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0.109239 AS DOUBLE), CAST(0.507282 AS DOUBLE), CAST(0.109239 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(0.139917 AS DOUBLE), CAST(0.322552 AS DOUBLE), CAST(0.109239 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(0.228668 AS DOUBLE), CAST(0.321756 AS DOUBLE), CAST(0.109239 AS DOUBLE))
+) AS t("gen", "gen_best", "gen_mean", "overall_best")
+"""
+
+
 @register(
     "m14_ga_block_search",
-    oracle=None,
+    oracle=_PIN_M14_GA_BLOCK_SEARCH,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="M14 GA hyperparameter search (pop 8 × 3 gens, tournament-3, "
     "two-point crossover, elitism): GA loop on the driver, each "
     "generation's fitness evaluated as ONE Spark grouped-map stage "
@@ -376,9 +388,20 @@ def m7_pelt_ward_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIN_M16_RANDOM_SWEEP = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0.169684 AS DOUBLE), CAST(12 AS BIGINT), CAST(0.117365 AS DOUBLE)),
+  (CAST(1 AS BIGINT), CAST(0.117365 AS DOUBLE), CAST(12 AS BIGINT), CAST(0.117365 AS DOUBLE))
+) AS t("batch", "batch_best", "n_evaluated", "overall_best")
+"""
+
+
 @register(
     "m16_random_sweep",
-    oracle=None,
+    oracle=_PIN_M16_RANDOM_SWEEP,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="M16 random hyperparameter sweep with early-stop margin: "
     "seed-deterministic config sampling, batched Spark grouped-map "
     "fitness evaluation, driver-side early stop between batches "
@@ -450,9 +473,21 @@ def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
 
 
+_PIN_M15_STAGED_OPTIMIZER = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'broad', CAST(0.1227 AS DOUBLE), CAST(0.1227 AS DOUBLE), CAST(16 AS BIGINT), ''),
+  (CAST(1 AS BIGINT), 'ac-focus', CAST(0.275074 AS DOUBLE), CAST(0.1227 AS DOUBLE), CAST(12 AS BIGINT), ''),
+  (CAST(2 AS BIGINT), 'polish', CAST(0.132131 AS DOUBLE), CAST(0.1227 AS DOUBLE), CAST(12 AS BIGINT), 'block_size')
+) AS t("stage", "name", "stage_best", "global_best", "n_evals", "frozen")
+"""
+
+
 @register(
     "m15_staged_optimizer",
-    oracle=None,  # seeded stochastic search: rows-only + tests
+    oracle=_PIN_M15_STAGED_OPTIMIZER,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="M15 elite staged optimizer over the M14 GA (reference: "
     "optimize_staged.py:55-383): three stages with shrinking mutation "
     "scale, elite carry-over, stage-specific fitness weights, and a "

@@ -331,9 +331,21 @@ def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name).groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
+_PIN_STREAM_REGIME_GENERATE_PARITY = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(3 AS BIGINT), TRUE),
+  (CAST(1 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(3 AS BIGINT), TRUE),
+  (CAST(2 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(120 AS BIGINT), CAST(3 AS BIGINT), TRUE)
+) AS t("series_id", "n_steps", "n_price_eq", "n_regime_eq", "n_regimes_seen", "exact_match")
+"""
+
+
 @register(
     "stream_regime_generate_parity",
-    oracle=None,  # seeded stochastic generator: batch twin IS the oracle
+    oracle=_PIN_STREAM_REGIME_GENERATE_PARITY,  # r11 pinned VALUES at sf0.01 (tools/pin_oracles.py):
+    # deterministic seeded computation, verified bit-identical across
+    # independent processes AND under the plain-session gate layout
+    pinned_sf="0.01",
     doc="ONLINE G6/G7 generator (SURVEY §2.13): per-series "
     "applyInPandasWithState runs the regime-Markov + AR(1)+GARCH "
     "recursion over a STREAM of tick requests (several micro-batches "
