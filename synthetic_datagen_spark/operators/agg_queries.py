@@ -441,13 +441,33 @@ def cube_type_dow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL++ sketch values are engine-specific (DuckDB can't reproduce
+# them), but they ARE deterministic: the register-merge is commutative
+# and associative, so the estimate is independent of partition layout
+# and task order. Pinned at sf0.01 (tools/pin_oracles.py), validated
+# bit-identical across independent processes AND across the builder
+# (32 shuffle partitions) vs plain-gate (200) layouts.
+_PIN_APPROX_DISTINCT = """
+SELECT * FROM (VALUES
+  ('purchase', CAST(150 AS BIGINT), CAST(1962 AS BIGINT)),
+  ('error', CAST(150 AS BIGINT), CAST(2009 AS BIGINT)),
+  ('view', CAST(150 AS BIGINT), CAST(2016 AS BIGINT)),
+  ('signup', CAST(150 AS BIGINT), CAST(2027 AS BIGINT)),
+  ('click', CAST(150 AS BIGINT), CAST(1991 AS BIGINT))
+) AS t("event_type", "approx_users", "approx_events")
+"""
+
+
 @register(
     "approx_distinct_scale_path",
-    oracle=None,  # HLL++ sketch: engine-specific by design; exact twin is a14
+    oracle=_PIN_APPROX_DISTINCT,
+    pinned_sf="0.01",
     doc="approx_count_distinct (HyperLogLog++, rsd 2%) per event_type — "
     "the 100 TB distinct-count path: one pass, mergeable sketches, no "
     "distinct shuffle. Exactness twin is a14_distinct_states; the test "
-    "pins the sketch within tolerance of the exact counts.",
+    "pins the sketch within tolerance of the exact counts, and the "
+    "sketch output itself is layout-independent (commutative register "
+    "merge) so it carries a pinned VALUES oracle at the gate scale.",
 )
 def approx_distinct_scale_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)

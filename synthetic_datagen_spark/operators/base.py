@@ -44,6 +44,19 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def pinned_parquet_oracle(query: str) -> str:
+    """Oracle SQL for a parquet-captured pin (tools/pin_oracles.py
+    --parquet): DuckDB scans the captured frame directly. Used for
+    deterministic rows-only queries whose output is too large to inline
+    as a VALUES literal; the parquet keeps doubles bit-exact (no
+    text round-trip). Always paired with ``pinned_sf`` so the parity
+    harness skips the pin at other scale factors."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "pins", f"{query}.parquet")
+    return f"SELECT * FROM '{path}'"
+
+
 def register(
     name: str,
     oracle: str | None = None,

@@ -68,9 +68,28 @@ def m11_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Pinned VALUES at sf0.01 (tools/pin_oracles.py): the sweep is
+# deterministic end-to-end (seeded generators, chrono splits with
+# unique tiebreakers, numpy fits over driver-ordered arrays) and the
+# panel floats are pre-rounded by the builder. Validated bit-identical
+# across independent processes AND across the builder (32 shuffle
+# partitions) vs plain-gate (200) session layouts.
+_PIN_RATIO_SWEEP = """
+SELECT * FROM (VALUES
+  ('bb_bs10', CAST(250 AS BIGINT), CAST(10 AS BIGINT), CAST(37.191855 AS DOUBLE), CAST(37.959761 AS DOUBLE), CAST(1.4469 AS DOUBLE), CAST(-0.6743 AS DOUBLE), 'GOOD', FALSE, FALSE),
+  ('bb_bs40', CAST(250 AS BIGINT), CAST(40 AS BIGINT), CAST(36.951362 AS DOUBLE), CAST(37.807023 AS DOUBLE), CAST(2.0842 AS DOUBLE), CAST(-0.2692 AS DOUBLE), 'GOOD', TRUE, FALSE),
+  ('bb_n100', CAST(100 AS BIGINT), CAST(25 AS BIGINT), CAST(37.267945 AS DOUBLE), CAST(37.531138 AS DOUBLE), CAST(1.2453 AS DOUBLE), CAST(0.4624 AS DOUBLE), 'GOOD', FALSE, FALSE),
+  ('bb_n250', CAST(250 AS BIGINT), CAST(25 AS BIGINT), CAST(37.142631 AS DOUBLE), CAST(37.518472 AS DOUBLE), CAST(1.5773 AS DOUBLE), CAST(0.496 AS DOUBLE), 'GOOD', FALSE, TRUE),
+  ('gr_n100', CAST(100 AS BIGINT), CAST(0 AS BIGINT), CAST(37.706932 AS DOUBLE), CAST(37.874887 AS DOUBLE), CAST(0.082 AS DOUBLE), CAST(-0.4492 AS DOUBLE), 'GOOD', FALSE, FALSE)
+) AS t("label", "n_samples", "block_size", "augmented_val_mae", "augmented_test_mae", "val_improvement_pct", "test_improvement_pct", "verdict", "best_val", "best_test")
+"""
+
+
 @register(
     "ratio_sweep_panel",
-    oracle=None,  # generate→fit→score orchestration per sweep point
+    oracle=_PIN_RATIO_SWEEP,  # generate→fit→score orchestration is not
+    # SQL-expressible, but it IS deterministic — pinned at the gate scale
+    pinned_sf="0.01",
     doc="Augmentation ratio sweep — the reference's experiment harness "
     "as one query (run_ratio_sweep.py:50-176: n_samples sweep, "
     "block-size sweep at fixed n, head-n subsample of a pre-generated "

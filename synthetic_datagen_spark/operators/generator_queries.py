@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..generators import BlockBootstrapGenerator, GrasyndaGenerator
 from ..sources import Catalog
-from .base import register
+from .base import pinned_parquet_oracle, register
 
 
 def _train_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19,7 +19,13 @@ def _train_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g4_block_bootstrap",
-    oracle=None,
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): window-free hash-seeded block choice and
+    # log-ratio chaining are per-row deterministic. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("g4_block_bootstrap"),
+    pinned_sf="0.01",
     doc="G4 block bootstrap: windowed block indexing + hash-seeded block "
     "choice + log-space ratio chaining (no applyInPandas, no driver "
     "loop) — reference: block_bootstrap_generator.py:50-103.",
@@ -33,7 +39,13 @@ def g4_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g5_grasynda",
-    oracle=None,
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): per-series splitmix64 walk inside one grouped-map
+    # task is layout-independent by construction. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("g5_grasynda"),
+    pinned_sf="0.01",
     doc="G5 Grasynda graph walk: DataFrame-built quantile states + "
     "transition matrix, per-series applyInPandas walk with "
     "splitmix64(seed, series_id) RNG — reference: "
@@ -122,7 +134,13 @@ def g5_grasynda_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g1_g3_latent_decode_generate",
-    oracle=None,  # seeded-rng generation: rows-only + determinism tests
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): seeded latent sampling + broadcast
+    # decode are per-window deterministic. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("g1_g3_latent_decode_generate"),
+    pinned_sf="0.01",
     doc="G1→G2→G3 deep-generator inference chain with the stand-in "
     "linear decoder: per-window seeded latent sampling, broadcast-"
     "weights mapInPandas decode, zero-mean + seeded anchor-price window "
@@ -148,7 +166,13 @@ def g1_g3_latent_decode_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g2_conditional_train_generate",
-    oracle=None,  # SGD training + seeded generation: rows-only + tests
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): numpy SGD trains on a driver-ordered
+    # window matrix; generation is seeded. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("g2_conditional_train_generate"),
+    pinned_sf="0.01",
     doc="G2 CONDITIONAL decode path (reference: "
     "typical_price_generator.py:120-136 + vae_gan_trainer.py:64-94): "
     "a conditional tanh-MLP VAE-GAN trains on windows with the 6 "
@@ -180,7 +204,13 @@ def g2_conditional_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "m1_vae_train_generate",
-    oracle=None,  # SGD training + seeded generation: rows-only + tests
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): numpy SGD trains on a driver-ordered window
+    # matrix; generation is seeded. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("m1_vae_train_generate"),
+    pinned_sf="0.01",
     doc="M1 end-to-end train→generate: Spark-prepared return windows "
     "(S2→W1→W3) feed the numpy-SGD tanh-MLP VAE-GAN (analytic "
     "gradients through the reference's Dense stacks + Gaussian-kernel "
@@ -208,7 +238,13 @@ def m1_vae_train_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g11_timegan_train_generate",
-    oracle=None,  # 3-phase adversarial training: rows-only + tests
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): the 3-phase numpy protocol trains on a
+    # driver-ordered window matrix; generation is seeded. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts.
+    oracle=pinned_parquet_oracle("g11_timegan_train_generate"),
+    pinned_sf="0.01",
     doc="M4+G11 end-to-end TimeGAN: Spark-prepared return windows feed "
     "the numpy 3-phase protocol (autoencoder L1 -> supervised one-step "
     "latent -> joint BCE + 10x supervised + 100x moment loss, per-phase "

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..regime import RegimeModel, RegimeGenerator, fit_garch_grid, regime_features
 from ..sources import Catalog
-from .base import register
+from .base import pinned_parquet_oracle, register
 
 
 # In-process fitted-model registry: g7/g8/m9 all consume the SAME HMM
@@ -122,7 +122,16 @@ def _fitted_garch(
 
 @register(
     "g7_regime_garch_generate",
-    oracle=None,
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): the GMM/GARCH fits are numpy EM over a
+    # driver-ordered series and generation is a per-series seeded
+    # grouped-map. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts,
+    # each run with an ISOLATED artifact cache so the cross-session
+    # fit memo could not mask layout sensitivity in the fit itself.
+    oracle=pinned_parquet_oracle("g7_regime_garch_generate"),
+    pinned_sf="0.01",
     doc="Full regime pipeline: features (W1+W4+W5) → MLlib GaussianMixture "
     "regime labels (M5 scale path) → A8 per-regime stats + A7 transition "
     "matrix → Spark-parallel GARCH(1,1) grid MLE (M6) → per-series "
@@ -139,7 +148,15 @@ def g7_regime_garch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g8_regime_hybrid_generate",
-    oracle=None,
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): the hybrid block pool derives from the
+    # deterministic fit and stitching is per-series seeded. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts,
+    # each run with an ISOLATED artifact cache so the cross-session
+    # fit memo could not mask layout sensitivity in the fit itself.
+    oracle=pinned_parquet_oracle("g8_regime_hybrid_generate"),
+    pinned_sf="0.01",
     doc="G8/G9 regime-segmented block bootstrap: GMM regime labels → "
     "gaps-and-islands per-regime block pools (distributed, capped) → "
     "per-series applyInPandas walk with Markov regime path, block "
@@ -218,7 +235,11 @@ def m14_ga_block_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m7_m8_segment_clusters",
-    oracle=None,
+    oracle=None,  # PIN ATTEMPTED r11, rejected by the cross-layout
+    # check: MLlib KMeans aggregates float centroids in shuffle order,
+    # and the 32- vs 200-shuffle-partition runs disagreed (same class
+    # as d8/m11 — raw double sums merge in layout order). The exact
+    # deterministic twin is m7_pelt_ward_regimes (pinned).
     doc="M7+M8+J3 segmentation pipeline: per-series change-point "
     "detection (binary segmentation on |log-return| mean shift, one "
     "grouped-map task per series — PELT-lite; reference uses ruptures "
@@ -453,7 +474,15 @@ def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m9_regime_gan_generate",
-    oracle=None,  # per-regime SGD training + seeded sampling: rows-only
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): the per-regime GAN trains in seeded numpy
+    # over the deterministic labeled stream. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts,
+    # each run with an ISOLATED artifact cache so the cross-session
+    # fit memo could not mask layout sensitivity in the fit itself.
+    oracle=pinned_parquet_oracle("m9_regime_gan_generate"),
+    pinned_sf="0.01",
     doc="M9/G10 per-regime generator training + regime-chained sampling: "
     "HMM labels partition the return stream; ONE grouped-map Spark task "
     "per regime trains that regime's adversarial linear VAE (numpy SGD "
@@ -551,7 +580,15 @@ def m15_staged_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "g9_stitch_variants",
-    oracle=None,  # generator-internal (engine PRNG + fitted pools); the
+    # Parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): all four stitch variants derive from the same
+    # deterministic fit + per-series seeded walks. Validated
+    # bit-identical across independent processes AND across the
+    # builder (32 shuffle partitions) vs plain-gate (200) layouts,
+    # each run with an ISOLATED artifact cache so the cross-session
+    # fit memo could not mask layout sensitivity in the fit itself.
+    oracle=pinned_parquet_oracle("g9_stitch_variants"),
+    pinned_sf="0.01",
     # seam invariants — shared regime path across variants, none==blend@lam0,
     # crossfade/bridge reduce boundary roughness — are pinned in
     # tests/test_regime.py

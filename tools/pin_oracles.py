@@ -52,12 +52,29 @@ def main() -> None:
     from synthetic_datagen_spark.operators import REGISTRY
     from synthetic_datagen_spark.session import get_spark
 
+    as_parquet = "--parquet" in sys.argv
+    names = [a for a in sys.argv[1:] if a != "--parquet"]
     spark = get_spark("pin-oracles")
-    for name in sys.argv[1:]:
+    for name in names:
         pdf = REGISTRY[name].build(spark, SF_DIR).toPandas()
-        print(f"-- {name}: {len(pdf)} rows")
-        print(values_sql(pdf))
-        print()
+        if as_parquet:
+            # Large panels pin as a parquet capture instead of an inline
+            # VALUES literal: bit-exact doubles with no repr round-trip,
+            # and no thousand-line literals in the operator modules. The
+            # oracle SQL reads it via operators.base.pinned_parquet_oracle.
+            import os
+
+            pins_dir = os.path.join(
+                "/root/repo/synthetic_datagen_spark/operators", "pins"
+            )
+            os.makedirs(pins_dir, exist_ok=True)
+            out = os.path.join(pins_dir, f"{name}.parquet")
+            pdf.to_parquet(out, index=False)
+            print(f"-- {name}: {len(pdf)} rows -> {out}")
+        else:
+            print(f"-- {name}: {len(pdf)} rows")
+            print(values_sql(pdf))
+            print()
 
 
 if __name__ == "__main__":
