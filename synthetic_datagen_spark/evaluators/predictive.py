@@ -36,6 +36,15 @@ def _xy(df: DataFrame, window: int, horizon: int, value_col: str,
     return d.select(F.col("x"), F.col("y"))
 
 
+def _dsum(expr):
+    """Layout-deterministic sum — see functions.stats.dsum: the ridge
+    A/B drifted in the last ulp across partition layouts until the
+    Gram/MAE partials moved to associative decimal accumulation."""
+    from ..functions.stats import dsum
+
+    return dsum(expr)
+
+
 def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Distributed X'X, X'y over (x: array<double>, y) with intercept."""
     # append 1.0 for the intercept; aggregate outer products via
@@ -46,9 +55,9 @@ def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
     aggs = []
     for i in range(n):
         for j in range(i, n):
-            aggs.append(F.sum(xi[i] * xi[j]).alias(f"g_{i}_{j}"))
+            aggs.append(_dsum(xi[i] * xi[j]).alias(f"g_{i}_{j}"))
     for i in range(n):
-        aggs.append(F.sum(xi[i] * F.col("y")).alias(f"b_{i}"))
+        aggs.append(_dsum(xi[i] * F.col("y")).alias(f"b_{i}"))
     aggs.append(F.count("*").alias("m"))
     row = df.agg(*aggs).first()
     G = np.zeros((n, n))
@@ -124,10 +133,17 @@ class PredictiveEvaluator:
         return np.linalg.solve(G + lam * np.eye(len(b)), b)
 
     def _mae(self, df: DataFrame, w: np.ndarray) -> float:
+        # deterministic avg: decimal sum / count (see _dsum) — with the
+        # Gram also decimal-summed, the whole ridge A/B panel is now a
+        # pure function of the input set, independent of layout
         pred = F.lit(float(w[-1]))
         for i in range(self.window):
             pred = pred + F.element_at("x", i + 1) * float(w[i])
-        return float(df.agg(F.avg(F.abs(pred - F.col("y")))).first()[0])
+        row = df.agg(
+            _dsum(F.abs(pred - F.col("y"))).alias("s"),
+            F.count("*").alias("m"),
+        ).first()
+        return float(row["s"]) / max(int(row["m"]), 1)
 
     # ------------------------------------------------------- lstm path --
     def _collect_xy(self, df: DataFrame, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -168,7 +184,15 @@ class PredictiveEvaluator:
                 yh = NumpyLstm.predict_with(export, X)
                 yield pd.DataFrame({"ae": np.abs(yh - pdf["y"].to_numpy())})
 
-        return float(df.mapInPandas(score, "ae double").agg(F.avg("ae")).first()[0])
+        # deterministic avg (see _dsum): the per-row |err| terms are
+        # bit-deterministic (broadcast weights, per-row forward pass),
+        # so a decimal sum makes the MAE layout-independent as well
+        row = (
+            df.mapInPandas(score, "ae double")
+            .agg(_dsum(F.col("ae")).alias("s"), F.count("*").alias("m"))
+            .first()
+        )
+        return float(row["s"]) / max(int(row["m"]), 1)
 
     def evaluate(
         self,

@@ -178,3 +178,49 @@ def zscore(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, (F.col(c) - F.col(f"{c}_mean")) / F.col(f"{c}_std"))
     return out.drop(*[f"{c}_mean" for c in cols], *[f"{c}_std" for c in cols])
+
+
+def dsum(expr: Column | str) -> Column:
+    """Layout-DETERMINISTIC sum of a double expression.
+
+    Raw ``SUM(double)`` merges partial sums in shuffle/task-completion
+    order, so the total drifts in the last ulp when the partition
+    layout (or even fetch order) changes — the r11 cross-layout checks
+    caught exactly this class in the ridge A/B and segment-cluster
+    paths. Fix: compute each per-row term in double (bit-deterministic
+    per row), quantize to fixed point, and sum in DECIMAL — decimal
+    addition is associative and commutative, so the merged total is a
+    pure function of the input SET, independent of partitioning, task
+    order, and shuffle fetch order. Quantization is 1e-12 per term;
+    DECIMAL(38,12) leaves 26 integer digits of headroom (sums of
+    squared O(1e4) values stay exact past 1e20 rows). At 100 TB this
+    matters beyond testing: re-running the same job twice produces
+    byte-identical aggregates, which is what makes results cacheable
+    and diffs meaningful."""
+    col = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+
+def dmean_dstd(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sample: bool = True,
+) -> DataFrame:
+    """Deterministic grouped mean/std via exact decimal moment sums:
+    mean = Σx/n and var = (Σx² − (Σx)²/n)/(n−1 or n) computed from
+    exact (decimal) Σx and Σx², so the result is layout-independent.
+    Returns (group_cols…, n, mean_v, std_v)."""
+    g = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        dsum(F.col(value_col)).alias("_sx"),
+        dsum(F.col(value_col) * F.col(value_col)).alias("_sxx"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_sx") / n
+    denom = n - F.lit(1.0) if sample else n
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / denom
+    std = F.when(denom > 0, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(0.0)
+    return g.select(
+        *group_cols, "n", mean.alias("mean_v"), std.alias("std_v")
+    )

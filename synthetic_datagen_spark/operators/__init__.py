@@ -20,7 +20,9 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import event_queries  # noqa: F401,E402
 
-# Round 11 window (exactly 50): changed-code queries first (the
+# Round 11 window (71 names; the driver samples the first ~50, so the
+# ordering below is a priority list — every changed-code query outranks
+# stale-rotation backfill): changed-code queries first (the
 # newly value-oracled ANN trio, the embedding family after the
 # guard-engaged-flag/memo-key-sharing fix, the text dedup family after
 # the bulk-Jaccard guard landed in the shared _lsh_candidates path,
@@ -47,6 +49,28 @@ _ROUND11_WINDOW = [
     "multimodal_frame_stats",
     "multimodal_audio_spectrogram",
     "m7_pelt_ward_regimes",
+    # -- r11 final sweep: the 17 pins that closed the rows-only set to
+    # ZERO (parquet-captured generator panels; the decimal-deterministic
+    # ridge/kmeans fixes behind m10/m11/d8/m7_m8; the corrected stale
+    # phash pin) — changed code, so the driver board must sample them
+    "approx_distinct_scale_path",
+    "ratio_sweep_panel",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_video_frames",
+    "g1_g3_latent_decode_generate",
+    "g2_conditional_train_generate",
+    "m1_vae_train_generate",
+    "g11_timegan_train_generate",
+    "g4_block_bootstrap",
+    "g5_grasynda",
+    "g7_regime_garch_generate",
+    "g8_regime_hybrid_generate",
+    "m9_regime_gan_generate",
+    "g9_stitch_variants",
+    "m11_predictive_utility",
+    "d8_composite_score",
+    "m7_m8_segment_clusters",
+    "m10_lstm_predictive_utility",
     # -- full r6-stale backlog (text panels, w-family, sources)
     "boilerplate_ngram_coverage",
     "dedup_simhash_pairs",

@@ -235,17 +235,26 @@ def m14_ga_block_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m7_m8_segment_clusters",
-    oracle=None,  # PIN ATTEMPTED r11, rejected by the cross-layout
-    # check: MLlib KMeans aggregates float centroids in shuffle order,
-    # and the 32- vs 200-shuffle-partition runs disagreed (same class
-    # as d8/m11 — raw double sums merge in layout order). The exact
-    # deterministic twin is m7_pelt_ward_regimes (pinned).
+    # The r11 cross-layout check first REJECTED this pin: MLlib KMeans
+    # is layout-sensitive even when seeded (k-means|| init samples per
+    # partition; centroid updates merge float partials in task order),
+    # and the 32- vs 200-shuffle-partition runs disagreed. FIXED at the
+    # kernel: clustering now runs segmentation.deterministic_kmeans
+    # (exact-percentile init, decimal-sum centroid updates, tie-broken
+    # assignment) and the segment features use exact decimal moment
+    # sums (functions.stats.dmean_dstd) — the whole pipeline is a pure
+    # function of the input set. Re-validated cross-layout, then
+    # pinned (parquet capture at sf0.01).
+    oracle=pinned_parquet_oracle("m7_m8_segment_clusters"),
+    pinned_sf="0.01",
     doc="M7+M8+J3 segmentation pipeline: per-series change-point "
     "detection (binary segmentation on |log-return| mean shift, one "
     "grouped-map task per series — PELT-lite; reference uses ruptures "
-    "PELT, regime_gan.py:36-69), per-segment feature aggregation, "
-    "MLlib KMeans segment clustering (M8 scale path for sklearn Ward), "
-    "and the J3 segment×label equi-join.",
+    "PELT, regime_gan.py:36-69), per-segment feature aggregation "
+    "(exact decimal moments), deterministic distributed Lloyd k-means "
+    "segment clustering (M8 scale path for sklearn Ward; "
+    "layout-independent by construction), and the J3 segment×label "
+    "equi-join.",
 )
 def m7_m8_segment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..regime.segmentation import cluster_segments, detect_changepoints

@@ -11,9 +11,17 @@ Spark-first split:
   reference's rbf-cost PELT serves the same purpose: volatility-shift
   segment boundaries). Thousands of series parallelize across the
   cluster while each series' DP stays a tight local loop.
-- Per-segment features are a distributed groupBy (A8-shape).
-- Clustering is MLlib KMeans (seed-pinned) — the scale substitute the
-  survey names for driver-side sklearn Ward (M8).
+- Per-segment features are a distributed groupBy (A8-shape), with
+  exact decimal moment sums (functions.stats.dmean_dstd) so the
+  feature matrix is layout-independent.
+- Clustering is a DETERMINISTIC distributed Lloyd k-means
+  (`deterministic_kmeans` below) — the scale substitute the survey
+  names for driver-side sklearn Ward (M8). MLlib's KMeans is
+  layout-sensitive even when seeded (k-means|| init samples by
+  partition, and centroid updates merge float partials in task order);
+  this kernel initializes from exact per-feature percentiles and
+  updates centroids via associative decimal sums, so the labels are a
+  pure function of the input set.
 - The J3 "positional zip" of segments to labels is a proper equi-join
   on (series, segment_id).
 """
@@ -23,10 +31,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.ml.clustering import KMeans
-from pyspark.ml.feature import VectorAssembler
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+from ..functions.stats import dmean_dstd, dsum
 
 
 def _pelt(
@@ -325,13 +333,84 @@ def cluster_segments(
     rows = df.withColumn("idx", F.row_number().over(win) - 1).join(
         labeled_rows, series_cols + ["idx"]
     )
-    feats = rows.groupBy(*series_cols, "seg_id").agg(
-        F.count("*").alias("n"),
-        F.avg(value_col).alias("mean_v"),
-        F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("std_v"),
-    )
-    va = VectorAssembler(inputCols=["mean_v", "std_v"], outputCol="_fv")
-    km = KMeans(k=k, seed=seed, featuresCol="_fv", predictionCol="cluster")
-    assembled = va.transform(feats)
-    model = km.fit(assembled)
-    return model.transform(assembled).drop("_fv")
+    # exact decimal moment sums: the segment feature matrix is a pure
+    # function of the input set (raw avg/stddev_samp drift in the last
+    # ulp with partition layout — the r11 cross-layout finding)
+    feats = dmean_dstd(rows, value_col, [*series_cols, "seg_id"], sample=True)
+    labels = deterministic_kmeans(feats, ["mean_v", "std_v"], k=k)
+    return labels.withColumnRenamed("_cluster", "cluster")
+
+
+def deterministic_kmeans(
+    feats: DataFrame,
+    feature_cols: list[str],
+    k: int,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed Lloyd k-means whose labels are a pure function of
+    the input SET — independent of partition layout, task order, and
+    shuffle fetch order. Contrast MLlib KMeans, which is
+    layout-sensitive even when seeded (k-means|| init samples per
+    partition; centroid updates merge float partials in completion
+    order).
+
+    Determinism by construction at every step:
+      * init — per-feature EXACT percentiles at (i+0.5)/k (order
+        statistics, order-independent), forming a quantile grid;
+      * assign — per-row argmin distance with ties broken by lowest
+        centroid id (double math on broadcast literals);
+      * update — per-cluster feature means via associative decimal
+        sums (functions.stats.dsum);
+      * stop — centroids bit-equal to the previous round, or max_iter.
+
+    Each iteration is one map-side-combined hash aggregate over the
+    (small) segment-feature frame; centroids live in the plan as
+    literals, so at 100 TB this is max_iter linear passes with no
+    driver-side data movement beyond k×d centroid values."""
+    p = [(i + 0.5) / k for i in range(k)]
+    qrow = feats.agg(
+        *[
+            F.percentile(F.col(c), F.array(*[F.lit(x) for x in p])).alias(c)
+            for c in feature_cols
+        ]
+    ).first()
+    cents = [tuple(float(qrow[c][i]) for c in feature_cols) for i in range(k)]
+
+    def assign(df: DataFrame) -> DataFrame:
+        # struct(dist, cid) min — deterministic tie-break on cid
+        choices = [
+            F.struct(
+                sum(
+                    (F.col(c) - F.lit(cc)) * (F.col(c) - F.lit(cc))
+                    for c, cc in zip(feature_cols, cent)
+                ).alias("d"),
+                F.lit(ci).alias("cid"),
+            )
+            for ci, cent in enumerate(cents)
+        ]
+        return df.withColumn("_cluster", F.least(*choices)["cid"])
+
+    for _ in range(max_iter):
+        agg = (
+            assign(feats)
+            .groupBy("_cluster")
+            .agg(
+                F.count("*").alias("_n"),
+                *[dsum(F.col(c)).alias(f"_s_{c}") for c in feature_cols],
+            )
+            .collect()  # k rows — centroid update, not data movement
+        )
+        by_cid = {r["_cluster"]: r for r in agg}
+        new_cents = [
+            tuple(
+                float(by_cid[ci][f"_s_{c}"]) / by_cid[ci]["_n"]
+                for c in feature_cols
+            )
+            if ci in by_cid
+            else cents[ci]  # empty cluster keeps its centroid
+            for ci in range(k)
+        ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return assign(feats)

