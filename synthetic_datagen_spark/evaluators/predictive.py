@@ -45,6 +45,35 @@ def _dsum(expr):
     return dsum(expr)
 
 
+def _det_agg(df: DataFrame, terms: list, bound: "F.Column"):
+    """Deterministic multi-sum with the fast-path/fallback protocol:
+    run every term through the primitive long-quantized sum
+    (stats.dsum_scaled) TOGETHER with count(*) and ONE per-row bound
+    (``bound`` must satisfy |term| ≤ bound for every term — e.g.
+    max(|x|,|y|,1)² dominates every Gram outer product) — max and
+    count are order-independent and overflow-free, so the post-hoc
+    check (stats.long_sum_safe) is sound even when the long sums
+    themselves wrapped. Only on a failed check does the aggregate
+    re-run through the DECIMAL path (stats.dsum). Common regime = one
+    codegen-friendly primitive pass; extreme-scale regime stays
+    correct automatically. ``terms`` is [(alias, Column)]; returns the
+    result Row (with ``_n_rows``)."""
+    from ..functions.stats import dsum, dsum_scaled, long_sum_safe
+
+    row = df.agg(
+        *[dsum_scaled(c).alias(a) for a, c in terms],
+        F.max(bound).alias("_mx"),
+        F.count("*").alias("_n_rows"),
+    ).first()
+    if long_sum_safe(row["_mx"], row["_n_rows"]):
+        return row
+    # measured bounds exceeded — exact decimal accumulation instead
+    return df.agg(
+        *[dsum(c).alias(a) for a, c in terms],
+        F.count("*").alias("_n_rows"),
+    ).first()
+
+
 def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
     """Distributed X'X, X'y over (x: array<double>, y) with intercept."""
     # append 1.0 for the intercept; aggregate outer products via
@@ -52,20 +81,25 @@ def _gram(df: DataFrame, window: int) -> tuple[np.ndarray, np.ndarray, int]:
     # aggregate expressions (W+1 ≤ ~33 → (W+1)² ≤ ~1.1k sums, one pass).
     n = window + 1
     xi = [F.element_at("x", i + 1) for i in range(window)] + [F.lit(1.0)]
-    aggs = []
+    terms = []
     for i in range(n):
         for j in range(i, n):
-            aggs.append(_dsum(xi[i] * xi[j]).alias(f"g_{i}_{j}"))
+            terms.append((f"g_{i}_{j}", xi[i] * xi[j]))
     for i in range(n):
-        aggs.append(_dsum(xi[i] * F.col("y")).alias(f"b_{i}"))
-    aggs.append(F.count("*").alias("m"))
-    row = df.agg(*aggs).first()
+        terms.append((f"b_{i}", xi[i] * F.col("y")))
+    # per-row bound dominating every outer product: max(|x|, |y|, 1)²
+    base = F.greatest(
+        F.array_max(F.transform("x", lambda v: F.abs(v))),
+        F.abs(F.col("y")),
+        F.lit(1.0),
+    )
+    row = _det_agg(df, terms, base * base)
     G = np.zeros((n, n))
     for i in range(n):
         for j in range(i, n):
             G[i, j] = G[j, i] = row[f"g_{i}_{j}"]
     b = np.array([row[f"b_{i}"] for i in range(n)])
-    return G, b, int(row["m"])
+    return G, b, int(row["_n_rows"])
 
 
 def augmentation_metrics(
@@ -133,17 +167,16 @@ class PredictiveEvaluator:
         return np.linalg.solve(G + lam * np.eye(len(b)), b)
 
     def _mae(self, df: DataFrame, w: np.ndarray) -> float:
-        # deterministic avg: decimal sum / count (see _dsum) — with the
-        # Gram also decimal-summed, the whole ridge A/B panel is now a
-        # pure function of the input set, independent of layout
+        # deterministic avg: guarded long-quantized sum / count
+        # (_det_agg) — with the Gram summed the same way, the whole
+        # ridge A/B panel is a pure function of the input set,
+        # independent of layout
         pred = F.lit(float(w[-1]))
         for i in range(self.window):
             pred = pred + F.element_at("x", i + 1) * float(w[i])
-        row = df.agg(
-            _dsum(F.abs(pred - F.col("y"))).alias("s"),
-            F.count("*").alias("m"),
-        ).first()
-        return float(row["s"]) / max(int(row["m"]), 1)
+        ae = F.abs(pred - F.col("y"))
+        row = _det_agg(df, [("s", ae)], ae)
+        return float(row["s"]) / max(int(row["_n_rows"]), 1)
 
     # ------------------------------------------------------- lstm path --
     def _collect_xy(self, df: DataFrame, cap: int) -> tuple[np.ndarray, np.ndarray]:

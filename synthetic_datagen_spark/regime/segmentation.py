@@ -367,6 +367,12 @@ def deterministic_kmeans(
     (small) segment-feature frame; centroids live in the plan as
     literals, so at 100 TB this is max_iter linear passes with no
     driver-side data movement beyond k×d centroid values."""
+    # the loop scans feats once per iteration (init + ≤max_iter
+    # aggregates + the final labeled projection) — materialize the
+    # upstream lineage (window join + grouped moments) exactly once;
+    # localCheckpoint (not persist) so nothing leaks past the caller:
+    # the ContextCleaner reclaims the blocks when the frame is GC'd
+    feats = feats.localCheckpoint(eager=True)
     p = [(i + 0.5) / k for i in range(k)]
     qrow = feats.agg(
         *[

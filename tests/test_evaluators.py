@@ -600,3 +600,27 @@ def test_dmean_dstd_matches_builtin_within_quantization(spark):
     for g in det:
         assert det[g]["mean_v"] == det2[g]["mean_v"]
         assert det[g]["std_v"] == det2[g]["std_v"]
+
+
+def test_dsum_scaled_layout_independent_and_guard(spark):
+    """stats.dsum_scaled (the primitive fast sibling of dsum) must be
+    bit-identical across layouts, agree with plain summation to the
+    1e-6 quantum, and long_sum_safe must reject regimes where the
+    64-bit path could wrap."""
+    from synthetic_datagen_spark.functions.stats import dsum_scaled, long_sum_safe
+    from pyspark.sql import functions as F
+
+    vals = [(((i * 2654435761) % 10_000) / 7.0,) for i in range(30_000)]
+    df = spark.createDataFrame(vals, "v DOUBLE")
+    totals = {
+        df.repartition(n).agg(dsum_scaled(F.col("v")).alias("s")).first()["s"]
+        for n in (1, 5, 31)
+    }
+    assert len(totals) == 1, f"dsum_scaled drifted: {totals}"
+    exact = sum(v[0] for v in vals)
+    assert abs(next(iter(totals)) - exact) < 30_000 * 1e-6 + 1e-6
+    # guard arithmetic: per-row quantized term must stay under 2^52
+    assert long_sum_safe(1e3, 10**6)
+    assert not long_sum_safe(1e47, 10)          # per-term overflow
+    assert not long_sum_safe(1e9, 10**8)        # total could wrap
+    assert long_sum_safe(None, None)            # empty input
