@@ -60,14 +60,25 @@ def _det_agg(df: DataFrame, terms: list, bound: "F.Column"):
     result Row (with ``_n_rows``)."""
     from ..functions.stats import dsum, dsum_scaled, long_sum_safe
 
-    row = df.agg(
-        *[dsum_scaled(c).alias(a) for a, c in terms],
-        F.max(bound).alias("_mx"),
-        F.count("*").alias("_n_rows"),
-    ).first()
-    if long_sum_safe(row["_mx"], row["_n_rows"]):
-        return row
-    # measured bounds exceeded — exact decimal accumulation instead
+    try:
+        row = df.agg(
+            *[dsum_scaled(c).alias(a) for a, c in terms],
+            F.max(bound).alias("_mx"),
+            F.count("*").alias("_n_rows"),
+        ).first()
+        if long_sum_safe(row["_mx"], row["_n_rows"]):
+            return row
+    except Exception as e:  # noqa: BLE001
+        # Spark 4 runs ANSI mode by default, so an out-of-range term
+        # THROWS (ARITHMETIC_OVERFLOW / CAST_OVERFLOW) instead of
+        # wrapping — caught at sf0.001 by the plan audit, where a
+        # diverging synthetic price series overflowed the quantized
+        # Gram terms. That throw IS the guard in ANSI sessions;
+        # long_sum_safe above covers non-ANSI sessions, where the same
+        # regime wraps silently. Anything else propagates.
+        if "OVERFLOW" not in str(e).upper():
+            raise
+    # bounds exceeded — exact decimal accumulation instead
     return df.agg(
         *[dsum(c).alias(a) for a, c in terms],
         F.count("*").alias("_n_rows"),
