@@ -389,9 +389,13 @@ class PredictiveEvaluator:
             # baseline_file across different splits or window/horizon/
             # predictor settings must recompute, not return a stale
             # baseline. The fitted callable itself is not fingerprinted.
+            # deterministic fingerprint: a raw SUM(double) key would
+            # vary in the last ulp with partition layout, silently
+            # missing the memo on every layout change (min/max/count
+            # are already order-independent)
             fp = xy_real.agg(
                 F.count("*").alias("n"),
-                F.sum("y").alias("s"),
+                _dsum(F.col("y")).alias("s"),
                 F.min("y").alias("lo"),
                 F.max("y").alias("hi"),
             ).first()

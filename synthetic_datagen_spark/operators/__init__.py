@@ -71,6 +71,7 @@ _ROUND11_WINDOW = [
     "d8_composite_score",
     "m7_m8_segment_clusters",
     "m10_lstm_predictive_utility",
+    "dedup_repeated_ngram_spans",  # NEW query (r11 late): span-level dedup
     # -- full r6-stale backlog (text panels, w-family, sources)
     "boilerplate_ngram_coverage",
     "dedup_simhash_pairs",

@@ -22,6 +22,31 @@ _EVENTS_CSV = T.StructType(
 )
 
 
+_SCRATCH_CLEANUP_REGISTERED: set = set()
+
+
+def _scratch(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Per-application scratch root for query-local sink/re-read work.
+
+    These dirs are rebuilt (mode=overwrite) on every run — they are NOT
+    cross-session caches — so a constant shared path lets two
+    CONCURRENT sessions corrupt each other mid-query: one session
+    overwrites parquet parts while the other's scan still holds the old
+    file listing (observed as FAILED_READ_FILE / wrong stream feeds
+    under an r11 two-gate stress run). applicationId-keyed paths make
+    every run self-contained; an atexit sweep reclaims the session's
+    tree on shutdown."""
+    app = spark.sparkContext.applicationId
+    root = f"/tmp/spark_graft_scratch/{app}"
+    if app not in _SCRATCH_CLEANUP_REGISTERED:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_CLEANUP_REGISTERED.add(app)
+    return f"{root}/{kind}/{os.path.basename(sf_dir.rstrip('/'))}"
+
+
 @register(
     "s2_csv_union_dedup",
     oracle="""
@@ -40,7 +65,7 @@ def s2_csv_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events").select(
         "event_id", "ts", "event_type", "value"
     )
-    base = f"/tmp/spark_graft_csv/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "csv", sf_dir)
     # two overlapping halves — the dedup has real work to do
     save_csv(ev.filter(F.col("event_id") % 3 != 0), f"{base}/a")
     save_csv(ev.filter(F.col("event_id") % 3 != 1), f"{base}/b")
@@ -108,7 +133,7 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource needs a directory; stage a normalized copy (this
     # also converts the testdata's ns timestamps to Spark-native µs).
     # count-only output so stream-vs-batch sum ordering cannot differ.
-    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream", sf_dir)
     Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
     name = f"rollup_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
@@ -200,7 +225,7 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_session_stats
 
-    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream", sf_dir)
     Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
@@ -238,7 +263,7 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_dedup_keep_first
 
-    base = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream", sf_dir)
     Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
@@ -315,7 +340,7 @@ def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     import uuid
 
     docs = Catalog(spark, sf_dir).table("documents")
-    base = f"/tmp/spark_graft_stream/docs_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream_docs", sf_dir)
     docs.write.mode("overwrite").parquet(base)
     name = f"curate_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(docs.schema).parquet(base)
@@ -377,7 +402,7 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     n_series, n_ticks = 3, 120
 
     # tick requests staged as several files → several micro-batches
-    base = f"/tmp/spark_graft_stream/ticks_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream_ticks", sf_dir)
     ticks = spark.createDataFrame(
         [(int(s), int(t)) for s in range(n_series) for t in range(n_ticks)],
         "series_id LONG, tick LONG",
@@ -461,7 +486,7 @@ def stream_pq_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import fit_pq_codebooks, pq_encode_frame
 
     emb = Catalog(spark, sf_dir).table("embeddings")
-    base = f"/tmp/spark_graft_stream/emb_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream_emb", sf_dir)
     emb.write.mode("overwrite").parquet(base)
 
     sample = emb.orderBy("vec_id").limit(4096).collect()
@@ -538,7 +563,7 @@ def stream_decontamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from .text_queries import _decon_gram_frames
 
     docs = Catalog(spark, sf_dir).table("documents")
-    base = f"/tmp/spark_graft_stream/decon_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream_decon", sf_dir)
     docs.write.mode("overwrite").parquet(base)
 
     # static side: benchmark gram set from the batch reader
@@ -598,7 +623,7 @@ GROUP BY lang, source ORDER BY lang, source
     "cached per sf-dir and idempotent (overwrite).",
 )
 def s11_orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = f"/tmp/spark_graft_orc/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "orc", sf_dir)
     docs = Catalog(spark, sf_dir).table("documents")
     docs.write.mode("overwrite").orc(f"{base}/documents")
     back = spark.read.orc(f"{base}/documents")
@@ -633,7 +658,7 @@ FROM events
     "nothing; decimal sums keep the check exact.",
 )
 def s12_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = f"/tmp/spark_graft_compact/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "compact", sf_dir)
     ev = Catalog(spark, sf_dir).table("events")
     ev.repartition(64).write.mode("overwrite").parquet(f"{base}/small")
     small = spark.read.parquet(f"{base}/small")
@@ -675,7 +700,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     "one-pass (no inference job).",
 )
 def s13_jsonl_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = f"/tmp/spark_graft_jsonl/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "jsonl", sf_dir)
     ev = Catalog(spark, sf_dir).table("events").select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -743,7 +768,7 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_funnel_stages
 
-    base = f"/tmp/spark_graft_stream/funnel_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(spark, "stream_funnel", sf_dir)
     # 8 hash-shuffled files: each spans the full time range, so both
     # intra-batch disorder and cross-batch late arrivals are exercised
     Catalog(spark, sf_dir).table("events").repartition(8).write.mode(

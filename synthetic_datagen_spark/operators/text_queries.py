@@ -2211,3 +2211,106 @@ def sql_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.lang ORDER BY d.lang
         """
     )
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    oracle=r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, s.i AS pos, toks[s.i] AS tok
+  FROM arr, UNNEST(generate_series(1, len(toks))) AS s(i)
+  WHERE toks[s.i] <> ''
+), gram AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g,
+         lead(tok, 4) OVER w AS tail
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), full_gram AS (
+  SELECT doc_id, pos, g FROM gram WHERE tail IS NOT NULL
+), hit AS (
+  SELECT doc_id, pos FROM full_gram
+  QUALIFY COUNT(*) OVER (PARTITION BY g) > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       COUNT(*) AS n_grams
+FROM grp GROUP BY doc_id, gid
+""",
+    doc="SUBSTRING-level dedup (the missing granularity below the "
+    "doc-level exact/MinHash/SimHash/embedding family): find every "
+    "maximal token span covered by 5-grams that occur corpus-wide "
+    "more than once — the Lee-et-al. 'deduplicating training data' "
+    "operation that removes boilerplate/templated spans WITHIN "
+    "otherwise-unique documents. Fully relational, REAL SQL oracle "
+    "(no pin): posexplode tokens → per-doc window lead builds 5-grams "
+    "(no global window) → one count-window over the gram column marks "
+    "hit positions in the same pipeline (one corpus pass, no "
+    "re-derived join-back lineage) → gaps-and-islands (merge when spans overlap "
+    "or touch: gap ≤ gram width) emits maximal spans. At 100 TB every "
+    "stage is linear: the gram count agg is the one big shuffle "
+    "(map-side combined), the hot-gram set is output-bound, and all "
+    "other windows are per-document.",
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 5
+    docs = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos0", "tok"
+            ),
+        )
+        # 1-based positions to match UNNEST WITH ORDINALITY; empties
+        # filtered AFTER position assignment on both sides
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, K)]
+        ).alias("g"),
+        F.lead("tok", K - 1).over(w).alias("tail"),
+    ).filter(F.col("tail").isNotNull())
+    # single-pipeline hot-gram detection: a count window over g costs
+    # the same shuffle as groupBy(g) but avoids re-deriving the whole
+    # tokenize+gram lineage a second time for the join-back (the
+    # two-scan plan doubles the corpus pass at 100 TB)
+    hit = (
+        gram.withColumn("n_occ", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
+    brk = hit.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > K, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    grp = brk.select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (K - 1)).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

@@ -659,3 +659,37 @@ def test_minhash_bulk_guard_templated_corpus_warns(spark, tmp_path, monkeypatch)
         warnings.simplefilter("error", UserWarning)
         out = TQ.dedup_minhash_lsh(spark, planted)
         assert out.count() >= 5  # the planted dups are still found
+
+
+def test_repeated_ngram_spans_planted_and_maximal(spark):
+    """dedup_repeated_ngram_spans invariants on a planted corpus: a
+    5-gram-long phrase duplicated across two docs is found in BOTH as
+    one maximal span; per-doc spans never overlap; unique text yields
+    nothing."""
+    import pandas as pd
+
+    phrase = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {phrase} four five six"),
+            (2, f"seven eight {phrase} nine ten eleven twelve"),
+            (3, "totally unique words without any repeated passage here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    import synthetic_datagen_spark.operators.text_queries as TQ
+    orig = TQ._docs_wide
+    TQ._docs_wide = lambda spark, sf_dir: docs
+    try:
+        from synthetic_datagen_spark.operators import REGISTRY
+        out = REGISTRY["dedup_repeated_ngram_spans"].build(spark, "ignored").toPandas()
+    finally:
+        TQ._docs_wide = orig
+    assert set(out["doc_id"]) == {1, 2}
+    for _, r in out.iterrows():
+        assert r["n_grams"] == 1  # exactly the planted 5-gram
+        assert r["span_end"] - r["span_start"] == 4
+    # doc 1: phrase starts at token 4 (1-based); doc 2: token 3
+    spans = {int(r["doc_id"]): (int(r["span_start"]), int(r["span_end"]))
+             for _, r in out.iterrows()}
+    assert spans[1] == (4, 8) and spans[2] == (3, 7)

@@ -228,7 +228,7 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
-def test_stream_curation_state_is_watermark_bounded(spark):
+def test_stream_curation_state_is_watermark_bounded(spark, tmp_path):
     """The streaming corpus-curation dedup must use the
     watermark-expiring state operator (DeduplicateWithinWatermark), not
     unbounded Deduplicate — the difference between O(watermark) and
@@ -237,7 +237,7 @@ def test_stream_curation_state_is_watermark_bounded(spark):
     from synthetic_datagen_spark.sources import Catalog
 
     docs = Catalog(spark, SF).table("documents")
-    base = "/tmp/spark_graft_stream/plan_pin_docs"
+    base = str(tmp_path / "plan_pin_docs")  # test-local: no shared /tmp path
     docs.limit(10).write.mode("overwrite").parquet(base)
     stream = spark.readStream.schema(docs.schema).parquet(base)
     curated = curated_doc_stream(stream)
