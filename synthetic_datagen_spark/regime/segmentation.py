@@ -380,6 +380,8 @@ def deterministic_kmeans(
             for c in feature_cols
         ]
     ).first()
+    if qrow[feature_cols[0]] is None:  # empty input: no percentiles
+        return feats.withColumn("_cluster", F.lit(0))
     cents = [tuple(float(qrow[c][i]) for c in feature_cols) for i in range(k)]
 
     def assign(df: DataFrame) -> DataFrame:

@@ -350,3 +350,14 @@ def test_deterministic_kmeans_layout_independent_and_separates(spark):
     blob_labels = {c: {out1[s] for s in out1 if s % 3 == c} for c in range(3)}
     assert all(len(v) == 1 for v in blob_labels.values()), blob_labels
     assert len({next(iter(v)) for v in blob_labels.values()}) == 3
+
+
+def test_deterministic_kmeans_empty_input(spark):
+    """Empty feature frame: no percentiles to init from — the kernel
+    must return an empty labeled frame, not crash on a NULL qrow."""
+    from synthetic_datagen_spark.regime.segmentation import deterministic_kmeans
+
+    df = spark.createDataFrame([], "seg INT, mean_v DOUBLE, std_v DOUBLE")
+    out = deterministic_kmeans(df, ["mean_v", "std_v"], k=3)
+    assert out.count() == 0
+    assert "_cluster" in out.columns
