@@ -72,6 +72,7 @@ _ROUND11_WINDOW = [
     "m7_m8_segment_clusters",
     "m10_lstm_predictive_utility",
     "dedup_repeated_ngram_spans",  # NEW query (r11 late): span-level dedup
+    "stream_repeated_span_parity",  # NEW query (r11 late): its streaming twin
     # -- full r6-stale backlog (text panels, w-family, sources)
     "boilerplate_ngram_coverage",
     "dedup_simhash_pairs",

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
 from ..sources import Catalog
@@ -857,3 +857,126 @@ def s14_python_datasource_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series_id")
     )
+
+
+@register(
+    "stream_repeated_span_parity",
+    oracle=r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, s.i AS pos, toks[s.i] AS tok
+  FROM arr, UNNEST(generate_series(1, len(toks))) AS s(i)
+  WHERE toks[s.i] <> ''
+), gram AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g,
+         lead(tok, 4) OVER w AS tail
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), full_gram AS (
+  SELECT doc_id, pos, g FROM gram WHERE tail IS NOT NULL
+), hit AS (
+  SELECT doc_id, pos FROM full_gram
+  QUALIFY COUNT(*) OVER (PARTITION BY g) > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+), grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
+       COUNT(*) AS n_grams
+FROM grp GROUP BY doc_id, gid
+""",
+    doc="STREAMING twin of dedup_repeated_ngram_spans, sharing its "
+    "batch SQL oracle: documents arrive as 8 hash-shuffled files, 2 "
+    "per micro-batch, so hot grams routinely straddle batches. Gram "
+    "extraction is STATELESS array algebra (zip_with positions + "
+    "try_element_at slices — window functions are not stream-legal), "
+    "then applyInPandasWithState keyed by gram buffers each first "
+    "occurrence and flushes it the moment its gram turns hot "
+    "(streaming/stateful.stream_hot_gram_positions: O(1) state per "
+    "gram, every position emitted exactly once), and the final span "
+    "assembly runs order-insensitive islands over the emitted "
+    "position SET — any micro-batch partitioning of the corpus yields "
+    "the same spans, which is exactly what the shared oracle checks.",
+)
+def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.stateful import stream_hot_gram_positions
+
+    K = 5
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    base = _scratch(spark, "stream_spans", sf_dir)
+    docs.repartition(8, F.col("doc_id")).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(base)
+    )
+
+    raw = F.split(F.lower(F.trim("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(raw))  # 1-based raw positions
+    pairs = F.filter(
+        F.zip_with(idx, raw, lambda i, t: F.struct(i.alias("pos"), t.alias("tok"))),
+        lambda s: s["tok"] != "",
+    )
+
+    def gram_at(i):
+        toks = [F.try_element_at(pairs, i + j)["tok"] for j in range(K)]
+        return F.when(
+            i + (K - 1) <= F.size(pairs),
+            F.struct(
+                F.try_element_at(pairs, i)["pos"].cast("long").alias("pos"),
+                F.concat_ws(" ", *toks).alias("g"),
+            ),
+        )
+
+    grams = F.filter(
+        F.transform(F.sequence(F.lit(1), F.size(pairs)), gram_at),
+        lambda s: s.isNotNull(),
+    )
+    occ = stream.select("doc_id", F.explode(grams).alias("gr")).select(
+        "doc_id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g")
+    )
+
+    name = f"spans_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_hot_gram_positions(occ)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = spark.table(name).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > K, 1).otherwise(0).alias("brk"),
+    )
+    grp = brk.select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (K - 1)).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")

@@ -412,3 +412,69 @@ def stream_funnel_stages(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming hot-gram positions (span-dedup's stateful stage) ----
+
+HOT_GRAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),        # occurrences seen so far
+        T.StructField("buf_doc", T.LongType()),  # the single buffered row
+        T.StructField("buf_pos", T.LongType()),  # (only while n == 1)
+    ]
+)
+
+HOT_GRAM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+    ]
+)
+
+
+def stream_hot_gram_positions(grams: DataFrame) -> DataFrame:
+    """Stateful stage of the streaming repeated-ngram span detector:
+    input is a stream of (g, doc_id, pos) gram occurrences; emit every
+    position whose gram occurs MORE THAN ONCE corpus-wide — exactly
+    the batch count-window predicate, incrementally.
+
+    Order/batch-split-invariant by construction: each (doc_id, pos)
+    is emitted exactly once (the first occurrence is buffered in state
+    until its gram turns hot, then flushed with the triggering batch),
+    and the downstream span assembly consumes the emitted position SET
+    with order-insensitive islands — so any micro-batch partitioning
+    of the corpus yields the same final spans. State per gram is O(1)
+    (count + one buffered row); keys are distinct grams, the same
+    cardinality the batch query shuffles. A continuous production feed
+    would add a state TTL to age out stale singleton grams (the
+    parity harness replays a bounded corpus, so timeouts stay off)."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            n, buf_doc, buf_pos = state.get
+        else:
+            n, buf_doc, buf_pos = 0, None, None
+        total = n + len(rows)
+        out_docs: list[int] = []
+        out_pos: list[int] = []
+        if total > 1:
+            if n == 1:  # the buffered first occurrence turns hot now
+                out_docs.append(int(buf_doc))
+                out_pos.append(int(buf_pos))
+                buf_doc, buf_pos = None, None
+            out_docs.extend(int(v) for v in rows["doc_id"])
+            out_pos.extend(int(v) for v in rows["pos"])
+        elif total == 1 and n == 0:  # first sighting: buffer, emit nothing
+            buf_doc = int(rows["doc_id"].iloc[0])
+            buf_pos = int(rows["pos"].iloc[0])
+        state.update((total, buf_doc, buf_pos))
+        yield pd.DataFrame({"doc_id": out_docs, "pos": out_pos})
+
+    return grams.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=HOT_GRAM_OUT_SCHEMA,
+        stateStructType=HOT_GRAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -626,3 +626,53 @@ def test_streaming_state_size_bounds(spark, tmp_path):
     # first_view for ~all users, so buffers pruned to empty
     assert bytes_big < bytes_small * 1.5, (bytes_small, bytes_big)
     spark.conf.unset("spark.sql.streaming.maxBatchesToRetainInMemory")
+
+
+def test_hot_gram_state_is_per_gram_constant(spark, tmp_path):
+    """stream_hot_gram_positions state contract: rows == distinct
+    grams (one O(1) entry each — count + one buffered row), and every
+    emitted (doc_id, pos) appears exactly once even when a gram's
+    occurrences straddle micro-batches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from synthetic_datagen_spark.streaming.stateful import stream_hot_gram_positions
+
+    rows = [
+        (1, 1, "a b c d e"),   # hot gram: three occurrences across batches
+        (2, 4, "a b c d e"),
+        (3, 9, "a b c d e"),
+        (4, 2, "only once"),   # singleton: buffered, never emitted
+        (5, 7, "twice seen"),  # hot pair split across files
+        (6, 3, "twice seen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, pos LONG, g STRING")
+    base = str(tmp_path / "grams")
+    # one row per file -> occurrences arrive in separate micro-batches
+    df.repartition(6, "doc_id").write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    name = f"hotgram_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_hot_gram_positions(stream.select("doc_id", "pos", "g"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state_rows = None
+    for prog in reversed(q.recentProgress):
+        ops = prog["stateOperators"]
+        if ops:
+            state_rows = ops[0]["numRowsTotal"]
+            break
+    assert state_rows == 3, state_rows  # one entry per DISTINCT gram
+    out = spark.table(name).toPandas()
+    got = sorted(zip(out["doc_id"], out["pos"]))
+    assert got == [(1, 1), (2, 4), (3, 9), (5, 7), (6, 3)], got  # 4 never emits
+    assert len(got) == len(set(got))  # exactly-once emission
