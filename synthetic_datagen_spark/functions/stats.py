@@ -196,7 +196,15 @@ def dsum(expr: Column | str) -> Column:
     squared O(1e4) values stay exact past 1e20 rows). At 100 TB this
     matters beyond testing: re-running the same job twice produces
     byte-identical aggregates, which is what makes results cacheable
-    and diffs meaningful."""
+    and diffs meaningful.
+
+    NULL/NaN contract: like SQL SUM, NULL terms are skipped — and NaN
+    terms become NULL under the decimal cast, so they are skipped too
+    (raw SUM(double) would instead poison the total to NaN; pinned in
+    tests). Callers whose inputs can legitimately contain NaN must
+    pre-check; every current call site (ridge Gram/MAE, segment
+    moments, k-means updates) feeds NaN-free expressions by
+    construction."""
     col = F.col(expr) if isinstance(expr, str) else expr
     return F.sum(col.cast("decimal(38,12)")).cast("double")
 

@@ -73,6 +73,8 @@ _ROUND11_WINDOW = [
     "m10_lstm_predictive_utility",
     "dedup_repeated_ngram_spans",  # NEW query (r11 late): span-level dedup
     "stream_repeated_span_parity",  # NEW query (r11 late): its streaming twin
+    "corpus_span_scrub",  # NEW query (r11 late): apply the span dedup
+    "token_budget_pack",  # NEW query (r11 late): budgeted mix assembly
     # -- full r6-stale backlog (text panels, w-family, sources)
     "boilerplate_ngram_coverage",
     "dedup_simhash_pairs",

@@ -2213,6 +2213,67 @@ def sql_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_GRAM_K = 5
+
+
+def _span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (doc_id, pos, tok) token stream: 1-based RAW positions
+    (matching DuckDB's generate_series indexing), empties dropped AFTER
+    position assignment on both engines."""
+    docs = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "pos0", "tok"
+            ),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+        .filter(F.col("tok") != "")
+    )
+
+
+def _repeated_spans(tok: DataFrame, k: int = SPAN_GRAM_K) -> DataFrame:
+    """Shared span-detection pipeline (dedup_repeated_ngram_spans and
+    corpus_span_scrub): per-doc lead windows build k-grams, a
+    count-window over the gram column marks corpus-hot positions in
+    the SAME pipeline (one corpus pass — the groupBy + join-back
+    alternative re-derives the whole tokenize+gram lineage and scans
+    twice), gaps-and-islands merges overlapping spans. Returns
+    (doc_id, span_start, span_end, n_grams)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = tok.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, k)]
+        ).alias("g"),
+        F.lead("tok", k - 1).over(w).alias("tail"),
+    ).filter(F.col("tail").isNotNull())
+    hit = (
+        gram.withColumn("n_occ", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
+    brk = hit.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    grp = brk.select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
 @register(
     "dedup_repeated_ngram_spans",
     oracle=r"""
@@ -2265,52 +2326,226 @@ FROM grp GROUP BY doc_id, gid
     "other windows are per-document.",
 )
 def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    K = 5
-    docs = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
-    tok = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
-                "pos0", "tok"
-            ),
+    return _repeated_spans(_span_tokens(spark, sf_dir))
+
+
+@register(
+    "corpus_span_scrub",
+    oracle=r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), tok AS (
+  SELECT doc_id, s.i AS pos, toks[s.i] AS tok
+  FROM arr, UNNEST(generate_series(1, len(toks))) AS s(i)
+  WHERE toks[s.i] <> ''
+), gram AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g,
+         lead(tok, 4) OVER w AS tail
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), full_gram AS (
+  SELECT doc_id, pos, g FROM gram WHERE tail IS NOT NULL
+), hit AS (
+  SELECT doc_id, pos FROM full_gram
+  QUALIFY COUNT(*) OVER (PARTITION BY g) > 1
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM hit
+), grpd AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+), span AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+  FROM grpd GROUP BY doc_id, gid
+), span_txt AS (
+  SELECT s.doc_id, s.span_start, s.span_end,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS sptext
+  FROM span s JOIN tok t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  GROUP BY s.doc_id, s.span_start, s.span_end
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY sptext
+                               ORDER BY doc_id, span_start) AS rk
+  FROM span_txt
+), covered AS (
+  SELECT doc_id, u.p AS pos
+  FROM ranked, UNNEST(generate_series(span_start, span_end)) AS u(p)
+  WHERE rk > 1
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+), pre AS (
+  SELECT doc_id, COUNT(*) AS nb FROM tok GROUP BY doc_id
+), post AS (
+  SELECT doc_id, COUNT(*) AS na,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+  FROM kept GROUP BY doc_id
+), scr AS (
+  SELECT doc_id, COUNT(*) AS ns FROM ranked WHERE rk > 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       p.nb AS n_tokens_before,
+       COALESCE(a.na, 0) AS n_tokens_after,
+       COALESCE(s.ns, 0) AS n_spans_scrubbed,
+       COALESCE(a.fp, md5('')) AS scrub_fp
+FROM pre p
+LEFT JOIN post a ON p.doc_id = a.doc_id
+LEFT JOIN scr s ON p.doc_id = s.doc_id
+""",
+    doc="APPLY the span-level dedup (the detect→scrub pair with "
+    "dedup_repeated_ngram_spans): rank identical repeated-span texts "
+    "by (doc_id, span_start), keep the first occurrence as canonical, "
+    "and scrub every other occurrence's tokens from its document — "
+    "the Lee-et-al. removal step. Emits per-doc before/after token "
+    "counts, scrubbed-span count, and an md5 fingerprint of the "
+    "cleaned token stream (whitespace-normalized by construction). "
+    "Fully relational, REAL SQL oracle: span detection reuses the "
+    "shared single-pass pipeline; span texts come from a doc-equi "
+    "join + range filter (spans per doc are few); the scrub itself is "
+    "an equi anti-join on exploded covered positions — never a range "
+    "join on the corpus side.",
+)
+def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SPAN_GRAM_K
+    tok = _span_tokens(spark, sf_dir)
+    spans = _repeated_spans(tok, k).drop("n_grams")
+    span_txt = (
+        spans.join(tok, "doc_id")
+        .filter(F.col("pos").between(F.col("span_start"), F.col("span_end")))
+        .groupBy("doc_id", "span_start", "span_end")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("sptext")
         )
-        # 1-based positions to match UNNEST WITH ORDINALITY; empties
-        # filtered AFTER position assignment on both sides
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-        .filter(F.col("tok") != "")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = tok.select(
+    ranked = span_txt.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("sptext").orderBy("doc_id", "span_start")
+        ),
+    )
+    covered = ranked.filter(F.col("rk") > 1).select(
         "doc_id",
-        "pos",
-        F.concat_ws(
-            " ", F.col("tok"), *[F.lead("tok", i).over(w) for i in range(1, K)]
-        ).alias("g"),
-        F.lead("tok", K - 1).over(w).alias("tail"),
-    ).filter(F.col("tail").isNotNull())
-    # single-pipeline hot-gram detection: a count window over g costs
-    # the same shuffle as groupBy(g) but avoids re-deriving the whole
-    # tokenize+gram lineage a second time for the join-back (the
-    # two-scan plan doubles the corpus pass at 100 TB)
-    hit = (
-        gram.withColumn("n_occ", F.count("*").over(Window.partitionBy("g")))
-        .filter(F.col("n_occ") > 1)
-        .select("doc_id", "pos")
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
-    brk = hit.select(
-        "doc_id",
-        "pos",
-        F.when(F.col("pos") - F.lag("pos").over(w) > K, 1)
-        .otherwise(0)
-        .alias("brk"),
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    pre = tok.groupBy("doc_id").agg(F.count("*").alias("n_tokens_before"))
+    post = kept.groupBy("doc_id").agg(
+        F.count("*").alias("na"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("fp"),
     )
-    grp = brk.select(
-        "doc_id",
-        "pos",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    scr = (
+        ranked.filter(F.col("rk") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ns"))
     )
-    return grp.groupBy("doc_id", "gid").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + (K - 1)).alias("span_end"),
-        F.count("*").alias("n_grams"),
-    ).select("doc_id", "span_start", "span_end", "n_grams")
+    return (
+        pre.join(post, "doc_id", "left")
+        .join(scr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce("na", F.lit(0)).alias("n_tokens_after"),
+            F.coalesce("ns", F.lit(0)).alias("n_spans_scrubbed"),
+            F.coalesce("fp", F.md5(F.lit(""))).alias("scrub_fp"),
+        )
+    )
+
+
+@register(
+    "token_budget_pack",
+    oracle=r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+), stat AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t <> '')) AS n_tokens,
+         len(list_distinct(list_filter(toks, t -> t <> ''))) AS n_distinct
+  FROM arr
+), scored AS (
+  SELECT doc_id, n_tokens,
+         ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS quality
+  FROM stat WHERE n_tokens > 0
+), budget AS (
+  SELECT CAST(FLOOR(SUM(n_tokens) * 0.5) AS BIGINT) AS b FROM scored
+), ordered AS (
+  SELECT doc_id, n_tokens, quality,
+         ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rank,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM scored
+)
+SELECT o.doc_id, o.rank, o.n_tokens, o.cum_tokens, o.quality
+FROM ordered o, budget b
+WHERE o.cum_tokens <= b.b
+""",
+    doc="Token-budget corpus packing — the mix-assembly step that "
+    "selects the highest-quality documents until a token budget is "
+    "exhausted (here: unique-token-ratio quality, budget = 50% of "
+    "corpus tokens; any scorer/budget slots in). The relational trap "
+    "is the global ordered cumsum: a naive SUM OVER (ORDER BY ...) is "
+    "a single-partition window. Scale path: "
+    "functions/indexing.with_prefix_sum — one repartitionByRange on "
+    "the (quality, doc_id) total order, partition-LOCAL running "
+    "windows, driver-side cumulation of #partitions totals, eagerly "
+    "pinned against shuffle re-execution. The DuckDB oracle is the "
+    "naive windowed form; values must agree exactly.",
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.indexing import with_global_index, with_prefix_sum
+
+    tok = _span_tokens(spark, sf_dir)
+    scored = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("quality"),
+        )
+    )
+    budget_row = scored.agg(
+        F.floor(F.sum("n_tokens") * 0.5).cast("long").alias("b")
+    ).first()
+    budget = int(budget_row["b"])
+    # total order is (quality DESC, doc_id ASC): encode as ascending
+    # (-quality, doc_id) for the range partitioner
+    ordered = scored.withColumn("_negq", -F.col("quality"))
+    ordered = with_prefix_sum(ordered, ["_negq", "doc_id"], "n_tokens", "_pfx")
+    ordered = with_global_index(ordered, ["_negq", "doc_id"], "_rank0")
+    return (
+        ordered.withColumn("cum_tokens", (F.col("_pfx") + F.col("n_tokens")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id",
+            (F.col("_rank0") + 1).alias("rank"),
+            "n_tokens",
+            "cum_tokens",
+            "quality",
+        )
+    )

@@ -624,3 +624,21 @@ def test_dsum_scaled_layout_independent_and_guard(spark):
     assert not long_sum_safe(1e47, 10)          # per-term overflow
     assert not long_sum_safe(1e9, 10**8)        # total could wrap
     assert long_sum_safe(None, None)            # empty input
+
+
+def test_dsum_nan_contract(spark):
+    """dsum skips NaN terms (they become NULL under the decimal cast,
+    like SQL NULLs) where raw SUM(double) poisons the total to NaN —
+    the documented contract callers rely on pre-checking."""
+    import math
+
+    from synthetic_datagen_spark.functions.stats import dsum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,), (None,)], "v DOUBLE"
+    )
+    raw = df.agg(F.sum("v")).first()[0]
+    det = df.agg(dsum(F.col("v"))).first()[0]
+    assert math.isnan(raw)          # double sum: NaN propagates
+    assert det == 3.0               # dsum: NaN skipped like NULL
