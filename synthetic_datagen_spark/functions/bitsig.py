@@ -298,6 +298,16 @@ def scaled_pigeonhole_params(
         est = rate * n * (n - 1) / 2 + explode_weight * n * tables
         if best is None or est < best[3]:
             best = (p, c, rate, est)
+    if best is None:
+        # no ladder step was feasible: p = max_hamming+1 already
+        # exceeds the signature width, or even the c=1 table count
+        # blows the budget — fail with the parameters, not a
+        # NoneType unpack
+        raise ValueError(
+            f"no feasible pigeonhole config: max_hamming={max_hamming} "
+            f"needs p={max_hamming + 1} blocks over sig_bits={sig_bits} "
+            f"with <= {max_tables} tables"
+        )
     p, c, rate, _ = best
     if sample is not None and len(sample) >= 64:
         bg = sampled_candidate_rate(sample, p, c, sig_bits, max_hamming=max_hamming)

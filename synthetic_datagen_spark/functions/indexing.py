@@ -108,6 +108,7 @@ def with_prefix_sum(
     weight_col: str,
     prefix_col: str = "_prefix",
     n_parts: int | None = None,
+    index_col: str | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``weight_col`` over the total order —
     row r gets the sum of weights of all rows strictly before it.
@@ -120,30 +121,48 @@ def with_prefix_sum(
     Pinned before the totals collect for the same reason as
     with_global_index: spark_partition_id() is assignment-dependent,
     so the totals job and the window job must not re-execute the range
-    shuffle independently (see _pin)."""
+    shuffle independently (see _pin).
+
+    ``index_col``: when set, ALSO emit the dense 0-based global row
+    index over the same total order — it falls out of the same pinned
+    partitioning for free (the metadata collect gains a count column;
+    the local rank is a row_number over the same partition-local
+    window), so callers needing both never pay a second range shuffle
+    + pin the way chaining with_global_index would."""
     d = _pin(
         df.repartitionByRange(_n_parts(df, n_parts), *order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in d.groupBy("_pid").agg(F.sum(weight_col).alias("_t")).collect()
+    meta = {
+        r["_pid"]: (r["_t"], r["_c"])
+        for r in d.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_t"), F.count("*").alias("_c"))
+        .collect()
     }
-    items: list = []
-    acc = 0
-    for pid in sorted(totals):
-        items += [F.lit(pid), F.lit(acc)]
-        acc += totals[pid] or 0
-    om = F.create_map(*items) if items else F.create_map(F.lit(0), F.lit(0))
+    witems: list = []
+    citems: list = []
+    wacc = 0
+    cacc = 0
+    for pid in sorted(meta):
+        t, c = meta[pid]
+        witems += [F.lit(pid), F.lit(wacc)]
+        citems += [F.lit(pid), F.lit(cacc)]
+        wacc += t or 0
+        cacc += c
+    om = F.create_map(*witems) if witems else F.create_map(F.lit(0), F.lit(0))
     lw = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        d.withColumn(
-            prefix_col,
-            om[F.col("_pid")] + F.coalesce(F.sum(weight_col).over(lw), F.lit(0)),
-        )
-        .drop("_pid")
+    out = d.withColumn(
+        prefix_col,
+        om[F.col("_pid")] + F.coalesce(F.sum(weight_col).over(lw), F.lit(0)),
     )
+    if index_col is not None:
+        cm = F.create_map(*citems) if citems else F.create_map(F.lit(0), F.lit(0))
+        rw = Window.partitionBy("_pid").orderBy(*order_cols)
+        out = out.withColumn(
+            index_col, cm[F.col("_pid")] + F.row_number().over(rw) - 1
+        )
+    return out.drop("_pid")

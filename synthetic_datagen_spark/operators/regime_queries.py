@@ -262,7 +262,7 @@ def m7_m8_segment_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events").select("event_type", "ts", "event_id", "value")
     cps = detect_changepoints(ev, "value", ["event_type"], ["ts", "event_id"], min_size=50)
     out = cluster_segments(
-        ev, cps, "value", ["event_type"], ["ts", "event_id"], k=3, seed=42
+        ev, cps, "value", ["event_type"], ["ts", "event_id"], k=3
     )
     return out.select(
         "event_type",

@@ -237,7 +237,7 @@ _BULK_CACHE: dict = {}
 
 
 def _minhash_bulk_guard(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame
+    spark: SparkSession, sf_dir: str, shingled: DataFrame, docs: DataFrame
 ) -> None:
     """Warn when the corpus's bulk-Jaccard floor reaches the 6×5
     banding's implied threshold (≈0.70): at that point RANDOM pairs
@@ -255,7 +255,13 @@ def _minhash_bulk_guard(
     if key not in _BULK_CACHE:
         for k in [k for k in _BULK_CACHE if k[0] != app_id]:
             del _BULK_CACHE[k]
-        n = shingled.count()
+        # size the corpus from the CHEAP docs lineage (column-pruned
+        # parquet count), not shingled.count() — materializing the
+        # tokenize+shingle+array_distinct chain just to read a row
+        # count would pre-pay the query's most expensive stage even
+        # when the corpus is far below the guard's cutoff (shingled is
+        # one row per doc, so the two counts are identical)
+        n = docs.count()
         _BULK_CACHE[key] = (
             TX.jaccard_bulk_floor(shingled) if n > key[2] else None
         )
@@ -280,7 +286,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select(
         "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
     )
-    _minhash_bulk_guard(spark, sf_dir, shingled)
+    _minhash_bulk_guard(spark, sf_dir, shingled, docs)
     return _lsh_candidates_from(shingled)
 
 
@@ -2512,7 +2518,7 @@ WHERE o.cum_tokens <= b.b
     "naive windowed form; values must agree exactly.",
 )
 def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.indexing import with_global_index, with_prefix_sum
+    from ..functions.indexing import with_prefix_sum
 
     tok = _span_tokens(spark, sf_dir)
     scored = (
@@ -2532,12 +2538,24 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget_row = scored.agg(
         F.floor(F.sum("n_tokens") * 0.5).cast("long").alias("b")
     ).first()
+    if budget_row["b"] is None:  # empty corpus: SUM over zero rows is NULL
+        return scored.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("rank"),
+            "n_tokens",
+            F.lit(0).cast("long").alias("cum_tokens"),
+            "quality",
+        ).limit(0)
     budget = int(budget_row["b"])
     # total order is (quality DESC, doc_id ASC): encode as ascending
     # (-quality, doc_id) for the range partitioner
     ordered = scored.withColumn("_negq", -F.col("quality"))
-    ordered = with_prefix_sum(ordered, ["_negq", "doc_id"], "n_tokens", "_pfx")
-    ordered = with_global_index(ordered, ["_negq", "doc_id"], "_rank0")
+    # one range shuffle + one pin: prefix sum AND dense rank both come
+    # from the same pinned partitioning (index_col) — chaining
+    # with_global_index would re-shuffle and re-pin the identical order
+    ordered = with_prefix_sum(
+        ordered, ["_negq", "doc_id"], "n_tokens", "_pfx", index_col="_rank0"
+    )
     return (
         ordered.withColumn("cum_tokens", (F.col("_pfx") + F.col("n_tokens")).cast("long"))
         .filter(F.col("cum_tokens") <= budget)

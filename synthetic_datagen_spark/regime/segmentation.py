@@ -323,10 +323,12 @@ def cluster_segments(
     series_cols: list[str],
     order_cols: list[str],
     k: int = 3,
-    seed: int = 42,
 ) -> DataFrame:
-    """M8: per-segment feature aggregation → KMeans labels → J3 join
-    back. Returns (series…, seg_id, n, mean_v, std_v, cluster)."""
+    """M8: per-segment feature aggregation → deterministic-Lloyd
+    labels → J3 join back. Returns (series…, seg_id, n, mean_v,
+    std_v, cluster). No seed parameter: the r11 kernel initializes
+    from exact per-feature percentiles, so the labels are a pure
+    function of the input (the MLlib-era seed no longer exists)."""
     from pyspark.sql import Window
 
     win = Window.partitionBy(*series_cols).orderBy(*order_cols)

@@ -75,3 +75,40 @@ def test_bucketed_join_has_no_exchange(warehouse):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scaled_pigeonhole_params_infeasible_raises():
+    """r11 review finding: an infeasible ladder (p = max_hamming+1
+    exceeding the signature width) must raise a ValueError naming the
+    parameters, not crash unpacking None."""
+    import pytest
+
+    from synthetic_datagen_spark.functions.bitsig import scaled_pigeonhole_params
+
+    with pytest.raises(ValueError, match="no feasible pigeonhole config"):
+        scaled_pigeonhole_params(10_000, max_hamming=63, sig_bits=63)
+
+
+def test_prefix_sum_index_col_matches_global_index(spark):
+    """with_prefix_sum(index_col=...) must emit the same dense rank
+    with_global_index computes, from ONE shared range shuffle."""
+    from synthetic_datagen_spark.functions.indexing import (
+        with_global_index,
+        with_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [((i * 37) % 101, i, 1 + i % 5) for i in range(500)],
+        "k INT, id INT, w INT",
+    )
+    both = with_prefix_sum(df, ["k", "id"], "w", "_pfx", index_col="_i")
+    ref = with_global_index(df, ["k", "id"], "_i")
+    a = {(r["k"], r["id"]): r["_i"] for r in both.collect()}
+    b = {(r["k"], r["id"]): r["_i"] for r in ref.collect()}
+    assert a == b
+    # prefix sums still correct: sorted-by-rank prefix is cumulative
+    rows = sorted(both.collect(), key=lambda r: r["_i"])
+    acc = 0
+    for r in rows:
+        assert r["_pfx"] == acc, (r["_i"], r["_pfx"], acc)
+        acc += r["w"]

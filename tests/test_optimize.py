@@ -158,7 +158,7 @@ def test_segmentation_finds_vol_shift(spark):
     assert len(segs) >= 2  # the vol shift is detected
     bounds = sorted(r.lo for r in segs if r.lo > 0)
     assert any(abs(b - 500) < 60 for b in bounds)  # near the true break
-    out = cluster_segments(df, cps, "value", ["series"], ["t"], k=2, seed=42)
+    out = cluster_segments(df, cps, "value", ["series"], ["t"], k=2)
     assert out.count() == len(segs)
     assert out.select("cluster").distinct().count() >= 1
 

@@ -64,9 +64,12 @@ def main() -> None:
             # oracle SQL reads it via operators.base.pinned_parquet_oracle.
             import os
 
-            pins_dir = os.path.join(
-                "/root/repo/synthetic_datagen_spark/operators", "pins"
-            )
+            # derive from the package location (the same path
+            # operators/base.pinned_parquet_oracle reads from), not a
+            # hardcoded checkout root
+            from synthetic_datagen_spark.operators import base as _ob
+
+            pins_dir = os.path.join(os.path.dirname(_ob.__file__), "pins")
             os.makedirs(pins_dir, exist_ok=True)
             out = os.path.join(pins_dir, f"{name}.parquet")
             pdf.to_parquet(out, index=False)
