@@ -930,10 +930,18 @@ def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = F.split(F.lower(F.trim("text")), r"\s+")
     idx = F.sequence(F.lit(1), F.size(raw))  # 1-based raw positions
-    pairs = F.filter(
+    pairs_expr = F.filter(
         F.zip_with(idx, raw, lambda i, t: F.struct(i.alias("pos"), t.alias("tok"))),
         lambda s: s["tok"] != "",
     )
+    # materialize the filtered token array in its OWN projection and
+    # reference it as an attribute below: inlining `pairs_expr` into
+    # every try_element_at re-evaluates the whole split+zip+filter
+    # chain per array access — O(tokens²) per doc, measured 59 s for
+    # the sf0.1 extraction vs 7 s materialized (CollapseProject keeps
+    # multi-referenced non-cheap expressions in their own stage)
+    staged = stream.select("doc_id", pairs_expr.alias("pairs"))
+    pairs = F.col("pairs")
 
     def gram_at(i):
         toks = [F.try_element_at(pairs, i + j)["tok"] for j in range(K)]
@@ -949,7 +957,7 @@ def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.sequence(F.lit(1), F.size(pairs)), gram_at),
         lambda s: s.isNotNull(),
     )
-    occ = stream.select("doc_id", F.explode(grams).alias("gr")).select(
+    occ = staged.select("doc_id", F.explode(grams).alias("gr")).select(
         "doc_id", F.col("gr.pos").alias("pos"), F.col("gr.g").alias("g")
     )
 

@@ -629,8 +629,10 @@ def test_streaming_state_size_bounds(spark, tmp_path):
 
 
 def test_hot_gram_state_is_per_gram_constant(spark, tmp_path):
-    """stream_hot_gram_positions state contract: rows == distinct
-    grams (one O(1) entry each — count + one buffered row), and every
+    """stream_hot_gram_positions state contract: state rows are
+    BUCKETS (bounded by HOT_GRAM_BUCKETS, not by distinct grams — the
+    python-call count per trigger is what melts at high gram
+    cardinality), per-gram entries inside a bucket are O(1), and every
     emitted (doc_id, pos) appears exactly once even when a gram's
     occurrences straddle micro-batches."""
     import uuid
@@ -671,7 +673,9 @@ def test_hot_gram_state_is_per_gram_constant(spark, tmp_path):
         if ops:
             state_rows = ops[0]["numRowsTotal"]
             break
-    assert state_rows == 3, state_rows  # one entry per DISTINCT gram
+    # bucketed state: one row per OCCUPIED bucket (3 grams land in
+    # <= 3 of the 256 buckets), each holding the per-gram dict
+    assert 1 <= state_rows <= 3, state_rows
     out = spark.table(name).toPandas()
     got = sorted(zip(out["doc_id"], out["pos"]))
     assert got == [(1, 1), (2, 4), (3, 9), (5, 7), (6, 3)], got  # 4 never emits
