@@ -201,10 +201,16 @@ def dsum(expr: Column | str) -> Column:
     NULL/NaN contract: like SQL SUM, NULL terms are skipped — and NaN
     terms become NULL under the decimal cast, so they are skipped too
     (raw SUM(double) would instead poison the total to NaN; pinned in
-    tests). Callers whose inputs can legitimately contain NaN must
-    pre-check; every current call site (ridge Gram/MAE, segment
-    moments, k-means updates) feeds NaN-free expressions by
-    construction."""
+    tests). The same cast-to-NULL skip applies to ±Infinity and to any
+    |term| >= 1e26 (out of DECIMAL(38,12) range): in an ANSI session
+    the cast throws (loud), but in a NON-ANSI session such terms are
+    silently dropped, producing a plausible-looking finite total where
+    raw SUM(double) would have visibly gone to ±Inf. Callers whose
+    inputs can legitimately contain NaN/Inf or exceed 1e26 must
+    pre-check with isfinite + a magnitude bound; every current call
+    site (ridge Gram/MAE, segment moments, k-means updates) feeds
+    finite, bounded expressions by construction (inputs are z-scored
+    or price-scale data, orders of magnitude under the 1e26 edge)."""
     col = F.col(expr) if isinstance(expr, str) else expr
     return F.sum(col.cast("decimal(38,12)")).cast("double")
 

@@ -20,7 +20,8 @@ from . import multimodal_queries  # noqa: F401,E402
 from . import regime_queries  # noqa: F401,E402
 from . import event_queries  # noqa: F401,E402
 
-# Round 11 window (71 names; the driver samples the first ~50, so the
+# Round 11 window (72 names, asserted below; the driver samples the
+# first ~50, so the
 # ordering below is a priority list — every changed-code query outranks
 # stale-rotation backfill): changed-code queries first (the
 # newly value-oracled ANN trio, the embedding family after the
@@ -175,6 +176,14 @@ _ROUND10_WINDOW = [
     "dedup_shingle_jaccard",
     "dedup_simhash",
 ]
+
+
+# The stated size is part of the priority-ordering contract (the driver
+# samples the first ~50 by POSITION, so believing a query is inside the
+# sampled prefix requires the count to be right) — assert it so the
+# comment can't silently drift from the list (r11 advisor finding).
+assert len(_ROUND11_WINDOW) == 72, len(_ROUND11_WINDOW)
+assert len(set(_ROUND11_WINDOW)) == len(_ROUND11_WINDOW)
 
 
 def _rotate(window: list[str]) -> None:

@@ -23,6 +23,15 @@ from .base import pinned_parquet_oracle, register
     # of the input set — re-validated across 32- vs 200-partition
     # layouts, then pinned. Internal consumers (composite_score, the GA
     # fitness) keep full precision.
+    # DOCUMENTED RESIDUAL RISK (r11 advisor): quantization absorbs the
+    # drift probabilistically, not by construction — a metric landing
+    # within ~1e-16-relative of a 9th-significant-digit rounding
+    # boundary (probability ~1e-7 per metric per layout) would still
+    # flip the rounded value against the bit-exact pin, and only the
+    # 32- and 200-partition layouts were validated. Accepted as-is: the
+    # alternative (routing every distribution kernel through the dsum
+    # decimal path) costs ~2x on a 7-kernel panel for a one-in-1e7
+    # flake; if the pin ever flakes on a new layout, that is the fix.
     oracle=pinned_parquet_oracle("d8_composite_score"),
     pinned_sf="0.01",
     doc="D8 composite quality score between two series: full metric "

@@ -2489,8 +2489,13 @@ WITH arr AS (
          len(list_distinct(list_filter(toks, t -> t <> ''))) AS n_distinct
   FROM arr
 ), scored AS (
+  -- raw IEEE division, NOT ROUND(...): the quality is the global
+  -- ordering key, and Spark's BigDecimal HALF_UP round can disagree
+  -- with DuckDB's binary-double round on exact-decimal ties (k/640);
+  -- the unrounded quotient of the same two integers is bit-identical
+  -- in both engines for ordering AND output.
   SELECT doc_id, n_tokens,
-         ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS quality
+         CAST(n_distinct AS DOUBLE) / n_tokens AS quality
   FROM stat WHERE n_tokens > 0
 ), budget AS (
   SELECT CAST(FLOOR(SUM(n_tokens) * 0.5) AS BIGINT) AS b FROM scored
@@ -2530,9 +2535,15 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
-            ).alias("quality"),
+            # unrounded on purpose: this quotient is the global ordering
+            # key AND an output column; IEEE double division of the same
+            # two integers is bit-identical in Spark and DuckDB, while
+            # round-to-6dp is not (Spark BigDecimal HALF_UP vs DuckDB
+            # binary rounding can flip a ...5 tie and shift every later
+            # rank/cum_tokens past the budget cutoff).
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "quality"
+            ),
         )
     )
     budget_row = scored.agg(
