@@ -1,0 +1,125 @@
+"""PII detection/redaction kernels — the corpus-scrub stage between
+quality filtering and dedup.
+
+No counterpart exists in the reference repo (synthetic-datagen has no
+PII stage); this family models the standard LLM-training-corpus scrub
+(C4, Dolma, FineWeb, RefinedWeb all run an email/phone/IP/SSN redaction
+pass before dedup). Everything here is fully relational — per-row
+`regexp_extract_all` / `regexp_replace` column expressions, no UDFs, no
+shuffle — so at 100 TB the scrub is a map-only stage that pipelines
+into whatever comes next.
+
+Engine-parity contract: every pattern is written in the Java-regex
+(Spark) ∩ RE2 (DuckDB) common subset — no lookaround, no possessive
+quantifiers, no backreferences, ASCII classes only (`\\d` and `\\b` are
+ASCII in both engines' defaults). The DuckDB side must pass the ``'g'``
+flag to ``regexp_replace`` (Spark always replaces all matches).
+
+The test corpus is digit-free word salad, so PII is INJECTED by a
+deterministic doc_id-keyed derivation (same trick as
+corpus_snapshot_diff's "derived next release"): both engines render the
+same SQL template (only the string cast type differs), so the derived
+corpus — emails mid-text, phones in three formats, IPv4s, SSN-shaped
+ids appended — is bit-identical on both sides and the detector runs
+against realistic in-context matches rather than a toy fixture.
+
+Pattern-disjointness (load-bearing for count parity, pinned in
+tests/test_pii.py): on any text the four patterns can never overlap —
+SSN's ``\\d{2}`` middle group rejects phone's ``\\d{3}``; IPv4 needs
+four dot-separated octets where dotted phones have three groups and the
+last phone group has four digits (> an octet's max three); emails
+require ``@``. So per-type extraction counts sum to the redaction count
+regardless of scrub order (fixed anyway: email, ssn, phone, ip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# NOTE: no leading \b on PHONE — '(' is a non-word char, so a boundary
+# between the preceding space and '(' does not exist and \b would
+# reject every parenthesized number. The trailing \b stops partial
+# matches into longer digit runs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+PII_TYPES: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ssn", SSN_RE, "<SSN>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+    ("ip", IP_RE, "<IP>"),
+]
+
+# The doc_id-keyed injection, one SQL template for both engines.
+# {S} = STRING (Spark) / VARCHAR (DuckDB); everything else is in the
+# shared dialect (||, CASE, substr, lpad, %). Emails go MID-text (after
+# char 64 — substr is total-length-safe in both engines), the rest are
+# appended with word context, so detectors must match in running text.
+# doc 0 carries all four types at once (0 ≡ 0 mod everything).
+_PII_TEXT_TEMPLATE = """\
+CASE WHEN doc_id % 5 = 0 THEN
+  substr(text, 1, 64) || ' ' ||
+  CASE WHEN doc_id % 10 = 0
+    THEN 'u.' || CAST(doc_id AS {S}) || '.x+tag@mail-'
+         || CAST(doc_id % 7 AS {S}) || '.example.co.uk'
+    ELSE 'user' || CAST(doc_id AS {S}) || '@example.com' END
+  || ' ' || substr(text, 65)
+ELSE text END
+|| CASE WHEN doc_id % 7 = 0 THEN ' call ' ||
+     CASE CAST(doc_id % 3 AS INT)
+       WHEN 0 THEN '555-' || lpad(CAST((doc_id * 3) % 1000 AS {S}), 3, '0')
+                   || '-' || lpad(CAST((doc_id * 7) % 10000 AS {S}), 4, '0')
+       WHEN 1 THEN '(555) ' || lpad(CAST((doc_id * 3) % 1000 AS {S}), 3, '0')
+                   || ' ' || lpad(CAST((doc_id * 7) % 10000 AS {S}), 4, '0')
+       ELSE '555.' || lpad(CAST((doc_id * 3) % 1000 AS {S}), 3, '0')
+            || '.' || lpad(CAST((doc_id * 7) % 10000 AS {S}), 4, '0')
+     END
+   ELSE '' END
+|| CASE WHEN doc_id % 11 = 0 THEN ' origin 10.'
+     || CAST(doc_id % 256 AS {S}) || '.'
+     || CAST((doc_id * 7) % 256 AS {S}) || '.'
+     || CAST((doc_id * 13) % 256 AS {S})
+   ELSE '' END
+|| CASE WHEN doc_id % 13 = 0 THEN ' id '
+     || lpad(CAST(100 + doc_id % 899 AS {S}), 3, '0') || '-'
+     || lpad(CAST(10 + doc_id % 89 AS {S}), 2, '0') || '-'
+     || lpad(CAST(doc_id % 10000 AS {S}), 4, '0')
+   ELSE '' END"""
+
+PII_TEXT_SPARK_SQL = _PII_TEXT_TEMPLATE.format(S="STRING")
+PII_TEXT_DUCK_SQL = _PII_TEXT_TEMPLATE.format(S="VARCHAR")
+
+
+def pii_text() -> Column:
+    """The deterministically PII-injected document text (Spark side).
+
+    Pure column expression over (doc_id, text) — no UDF, no shuffle."""
+    return F.expr(PII_TEXT_SPARK_SQL)
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Number of matches of one PII pattern in a text column (int)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Redact every PII match with its typed placeholder, in the fixed
+    PII_TYPES order (placeholders contain no digits or '@', so later
+    patterns can never match inside an earlier replacement)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_TYPES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def duck_redact_sql(expr: str) -> str:
+    """The DuckDB twin of pii_redact over an SQL expression — nested
+    regexp_replace in the same fixed order, with the 'g' flag DuckDB
+    needs to replace ALL matches (Spark always does)."""
+    out = expr
+    for _, pattern, token in PII_TYPES:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out

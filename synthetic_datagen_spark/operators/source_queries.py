@@ -988,3 +988,70 @@ def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + (K - 1)).alias("span_end"),
         F.count("*").alias("n_grams"),
     ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+from ..functions import pii as _PII  # noqa: E402  (shared with the batch family)
+
+
+@register(
+    "stream_pii_scrub_parity",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, {_PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(ptext, '{_PII.EMAIL_RE}'))
+         + len(regexp_extract_all(ptext, '{_PII.SSN_RE}'))
+         + len(regexp_extract_all(ptext, '{_PII.PHONE_RE}'))
+         + len(regexp_extract_all(ptext, '{_PII.IP_RE}')) AS n_redactions,
+       md5({_PII.duck_redact_sql('ptext')}) AS redacted_fp
+FROM p ORDER BY doc_id
+""",
+    doc="STREAMING twin of corpus_pii_scrub (SURVEY §2.13 × the PII "
+    "family): documents arrive as a 4-file stream (one per "
+    "micro-batch), each batch is scrubbed STATELESSLY — the PII "
+    "redaction is per-row regex, so the streaming plan keeps ZERO "
+    "state, needs no watermark, and its output is trivially "
+    "batch-split-invariant: the right shape for scrubbing a 100 TB "
+    "continuous ingest where every other curation stage "
+    "(dedup/funnel) needs keyed state but the PII pass never does. "
+    "Per-doc (n_redactions, redacted_fp) rows append to the sink; the "
+    "oracle is the batch scrub SQL verbatim — stream == batch "
+    "bit-exact, including the md5 of every redacted text.",
+)
+def stream_pii_scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    PII = _PII
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    base = _scratch(spark, "stream_pii", sf_dir)
+    # 4 files -> 4 micro-batches: parity must survive batch splits
+    docs.repartition(4).write.mode("overwrite").parquet(base)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+    scrubbed = stream.select(
+        "doc_id", PII.pii_text().alias("ptext")
+    ).select(
+        "doc_id",
+        (
+            PII.pii_count("ptext", PII.EMAIL_RE)
+            + PII.pii_count("ptext", PII.SSN_RE)
+            + PII.pii_count("ptext", PII.PHONE_RE)
+            + PII.pii_count("ptext", PII.IP_RE)
+        ).alias("n_redactions"),
+        F.md5(PII.pii_redact("ptext")).alias("redacted_fp"),
+    )
+
+    name = f"piiscrub_{uuid.uuid4().hex[:8]}"
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("doc_id")

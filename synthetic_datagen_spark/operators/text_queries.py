@@ -2578,3 +2578,228 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction family — the standard corpus-scrub stage
+# between quality filtering and dedup (C4, Dolma, FineWeb, RefinedWeb
+# all run one; the reference repo has no counterpart). Kernels and the
+# engine-parity contract live in functions/pii.py; the test corpus is
+# digit-free word salad, so both engines derive the same deterministic
+# doc_id-keyed PII injection (emails mid-text, phones in three formats,
+# IPv4s, SSN-shaped ids) before detecting — realistic in-context
+# matches, bit-identical on both sides.
+
+from ..functions import pii as PII  # noqa: E402
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, ptext): the deterministically PII-injected corpus."""
+    return _docs_wide(spark, sf_dir).select(
+        "doc_id", "lang", PII.pii_text().alias("ptext")
+    )
+
+
+_PII_COUNT_DUCK = {
+    name: f"len(regexp_extract_all(ptext, '{pat}'))"
+    for name, pat, _ in PII.PII_TYPES
+}
+_PII_TOTAL_DUCK = " + ".join(_PII_COUNT_DUCK.values())
+
+
+@register(
+    "pii_extract_panel",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, lang, {PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         {_PII_COUNT_DUCK['email']} AS n_email,
+         {_PII_COUNT_DUCK['phone']} AS n_phone,
+         {_PII_COUNT_DUCK['ip']} AS n_ip,
+         {_PII_COUNT_DUCK['ssn']} AS n_ssn,
+         (regexp_extract_all(ptext, '{PII.EMAIL_RE}'))[1] AS sample_email
+  FROM p
+)
+SELECT doc_id, lang, n_email, n_phone, n_ip, n_ssn,
+       n_email + n_phone + n_ip + n_ssn AS n_pii, sample_email
+FROM c
+""",
+    doc="PII DETECTION panel — per-document match counts for the four "
+    "standard PII classes (email, phone in dashed/parenthesized/dotted "
+    "formats, IPv4, SSN-shaped ids) plus the first extracted email as "
+    "an audit sample, for EVERY document (zero rows included: the "
+    "detector report a curation run reviews before scrubbing; a "
+    "consumer's WHERE n_pii>0 is a trivial residual filter). "
+    "Deliberately filterless: a `n_pii > 0` filter here gets "
+    "predicate-pushed below the projection and re-derives the entire "
+    "4-pattern regex chain a second time inside the filter condition "
+    "(observed in the plan — the same expression-inlining trap the "
+    "r11 streaming span twin hit), whereas the filterless panel is "
+    "one regex pass per row: Scan → Project, map-only, NO shuffle "
+    "(plan-pinned), pipelining into the scan at 100 TB. Patterns are "
+    "anchored, ASCII, in the Java-regex ∩ RE2 subset so the DuckDB "
+    "oracle matches bit-exactly (functions/pii.py documents the "
+    "mutual-disjointness proof that makes per-type counts "
+    "order-independent).",
+)
+def pii_extract_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pii_docs(spark, sf_dir)
+    c = d.select(
+        "doc_id",
+        "lang",
+        PII.pii_count("ptext", PII.EMAIL_RE).alias("n_email"),
+        PII.pii_count("ptext", PII.PHONE_RE).alias("n_phone"),
+        PII.pii_count("ptext", PII.IP_RE).alias("n_ip"),
+        PII.pii_count("ptext", PII.SSN_RE).alias("n_ssn"),
+        F.get(
+            F.regexp_extract_all("ptext", F.lit(PII.EMAIL_RE), F.lit(0)), 0
+        ).alias("sample_email"),
+    ).withColumn(
+        "n_pii",
+        F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn"),
+    )
+    return c.select(
+        "doc_id", "lang", "n_email", "n_phone", "n_ip", "n_ssn",
+        "n_pii", "sample_email",
+    )
+
+
+@register(
+    "corpus_pii_scrub",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, {PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
+), r AS (
+  SELECT doc_id, ptext, {PII.duck_redact_sql('ptext')} AS red FROM p
+)
+SELECT doc_id,
+       {_PII_TOTAL_DUCK} AS n_redactions,
+       length(ptext) AS n_chars_before,
+       length(red) AS n_chars_after,
+       md5(red) AS redacted_fp,
+       len(regexp_extract_all(red, '{PII.EMAIL_RE}'))
+         + len(regexp_extract_all(red, '{PII.PHONE_RE}'))
+         + len(regexp_extract_all(red, '{PII.IP_RE}'))
+         + len(regexp_extract_all(red, '{PII.SSN_RE}')) AS n_residual
+FROM r
+""",
+    doc="PII REDACTION apply step (the detect→scrub pair with "
+    "pii_extract_panel, mirroring corpus_span_scrub's shape): every "
+    "match replaced by its typed placeholder in a fixed order "
+    "(email, ssn, phone, ip — placeholders are digit/@-free so later "
+    "patterns can't match inside earlier replacements), emitting "
+    "per-doc redaction counts, before/after char lengths, an md5 "
+    "fingerprint of the redacted text (the downstream-dedup input), "
+    "and n_residual — matches remaining AFTER the scrub, which the "
+    "value oracle pins to zero for every doc: the "
+    "scrub-completeness invariant is part of the checked output, not "
+    "just a test. Map-only, no shuffle; at 100 TB this is a free "
+    "pipeline stage fused into the scan.",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pii_docs(spark, sf_dir).withColumn("red", PII.pii_redact("ptext"))
+    total = (
+        PII.pii_count("ptext", PII.EMAIL_RE)
+        + PII.pii_count("ptext", PII.PHONE_RE)
+        + PII.pii_count("ptext", PII.IP_RE)
+        + PII.pii_count("ptext", PII.SSN_RE)
+    )
+    residual = (
+        PII.pii_count("red", PII.EMAIL_RE)
+        + PII.pii_count("red", PII.PHONE_RE)
+        + PII.pii_count("red", PII.IP_RE)
+        + PII.pii_count("red", PII.SSN_RE)
+    )
+    return d.select(
+        "doc_id",
+        total.alias("n_redactions"),
+        F.length("ptext").alias("n_chars_before"),
+        F.length("red").alias("n_chars_after"),
+        F.md5("red").alias("redacted_fp"),
+        residual.alias("n_residual"),
+    )
+
+
+@register(
+    "corpus_curation_pii_v2",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, lang, {PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
+), q AS (
+  SELECT doc_id, lang, ptext FROM p
+  WHERE length(ptext) >= 50
+    AND (length(ptext) - length(regexp_replace(ptext, '[\\.,;:!\\?''"\\(\\)\\[\\]\\-]', '', 'g')))
+        / CAST(length(ptext) AS DOUBLE) <= 0.2
+), r AS (
+  SELECT doc_id, lang,
+         {PII.duck_redact_sql('ptext')} AS red,
+         {_PII_TOTAL_DUCK} AS n_pii
+  FROM q
+), kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(red)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM r
+  ) WHERE rn = 1
+)
+SELECT d.lang,
+       COUNT(*) AS total,
+       COUNT(r.doc_id) AS quality_pass,
+       CAST(COALESCE(SUM(CASE WHEN r.n_pii > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS pii_docs,
+       CAST(COALESCE(SUM(r.n_pii), 0) AS BIGINT) AS total_redactions,
+       COUNT(k.doc_id) AS exact_kept
+FROM documents d
+LEFT JOIN r ON r.doc_id = d.doc_id
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+""",
+    doc="Curation funnel v2 — the v1 composition "
+    "(corpus_curation_pipeline) with the PII scrub inserted in its "
+    "production slot BETWEEN the quality gate and exact dedup (the "
+    "C4/Dolma ordering: scrub first so redaction canonicalizes docs "
+    "that differ only in their PII, letting exact dedup catch them): "
+    "quality gate (length/punct on the ingested text) → PII redaction "
+    "→ keep-first exact dedup on the md5 of the normalized REDACTED "
+    "text. Emits per-language funnel counts (total → quality_pass → "
+    "pii_docs/total_redactions → exact_kept). Same fused one-pass "
+    "shape as v1: one scan → per-row regex columns → one fingerprint "
+    "window → one hash agg of conditional sums (the near-dup CC stage "
+    "stays in v1; v2 demonstrates the scrub's funnel position).",
+)
+def corpus_curation_pii_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pii_docs(spark, sf_dir)
+    q = (F.length("ptext") >= 50) & (TX.punct_ratio(F.col("ptext")) <= 0.2)
+    n_pii = (
+        PII.pii_count("ptext", PII.EMAIL_RE)
+        + PII.pii_count("ptext", PII.PHONE_RE)
+        + PII.pii_count("ptext", PII.IP_RE)
+        + PII.pii_count("ptext", PII.SSN_RE)
+    )
+    red = PII.pii_redact("ptext")
+    # rank within (quality, redacted-fingerprint) so failing docs can't
+    # shadow a passing duplicate — v1's exact-dedup semantics, applied
+    # to the REDACTED text
+    wfp = Window.partitionBy(q, TX.fingerprint(red)).orderBy("doc_id")
+    flagged = (
+        d.withColumn("_q", q)
+        .withColumn("_npii", n_pii)
+        .withColumn("_kept", F.col("_q") & (F.row_number().over(wfp) == 1))
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("_q").cast("long")).alias("quality_pass"),
+            F.sum(
+                (F.col("_q") & (F.col("_npii") > 0)).cast("long")
+            ).alias("pii_docs"),
+            F.sum(
+                F.when(F.col("_q"), F.col("_npii")).otherwise(0).cast("long")
+            ).alias("total_redactions"),
+            F.sum(F.col("_kept").cast("long")).alias("exact_kept"),
+        )
+        .orderBy("lang")
+    )
