@@ -1,0 +1,122 @@
+"""Self-exonerating bench movers (VERDICT r11 "What's wrong" #1).
+
+The r11 committed anchors showed g2_conditional_train_generate at 2.24x
+its r10 anchor; the builder's hand-picked A/B didn't cover it, so only
+the judge's own re-extraction could exonerate it (ratio_median 0.94 —
+host noise). This tool closes that gap mechanically: every query whose
+current bench time exceeds ``threshold`` x its prior committed anchor
+is AUTOMATICALLY probed with tools/ab_probe.py (interleaved fresh
+processes, >= ``trials`` trials) against the prior round's extracted
+git snapshot, plus a fixed control query whose code never changed — so
+the round's own evidence contains the exoneration (or the regression)
+for every apparent mover.
+
+    python tools/ab_auto.py --current=BENCH_LOCAL_latest.json \
+        --prior=BENCH_LOCAL_r11.json --out=BENCH_AB_r12.json
+
+The prior snapshot commit defaults to the last commit that touched the
+prior anchor file (i.e. the end of that round); override with
+--snapshot=<commit>. New queries (absent from the prior anchor) have no
+prior behavior to regress from and are skipped with a note.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONTROL = "q1_pricing_summary"  # stable TPC-H-style control, never a mover
+
+
+def _arg(name: str, default: str | None = None) -> str | None:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
+def main() -> None:
+    current_path = _arg("current", os.path.join(REPO, "BENCH_LOCAL_latest.json"))
+    prior_path = _arg("prior")
+    out_path = _arg("out")
+    threshold = float(_arg("threshold", "1.3"))
+    trials = int(_arg("trials", "3"))
+    if not prior_path or not out_path:
+        sys.exit("usage: ab_auto.py --prior=BENCH_LOCAL_rN.json --out=BENCH_AB_rM.json [--current=...] [--snapshot=...] [--threshold=1.3] [--trials=3]")
+
+    with open(current_path) as fh:
+        cur = json.load(fh)["queries"]
+    prior_file = os.path.join(REPO, prior_path) if not os.path.isabs(prior_path) else prior_path
+    with open(prior_file) as fh:
+        pri = json.load(fh)["queries"]
+
+    snapshot = _arg("snapshot")
+    if snapshot is None:
+        snapshot = subprocess.check_output(
+            ["git", "log", "--format=%H", "-n1", "--", os.path.basename(prior_path)],
+            cwd=REPO, text=True,
+        ).strip()
+        if not snapshot:
+            sys.exit(f"no commit found touching {prior_path}; pass --snapshot=")
+
+    movers = {
+        n: round(cur[n] / pri[n], 3)
+        for n in cur
+        if n in pri and pri[n] > 0 and cur[n] / pri[n] > threshold
+    }
+    new_queries = sorted(set(cur) - set(pri))
+    print(f"movers >{threshold}x vs {os.path.basename(prior_path)}: {movers}",
+          file=sys.stderr)
+
+    rec: dict = {
+        "threshold": threshold,
+        "prior_anchor": os.path.basename(prior_path),
+        "snapshot": snapshot,
+        "control": CONTROL,
+        "anchor_ratios": movers,
+        "new_queries_skipped": new_queries,
+    }
+    if not movers:
+        rec["queries"] = {}
+        rec["note"] = "no movers above threshold; control not probed"
+        with open(out_path, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+        print(json.dumps({"movers": 0, "out": out_path}))
+        return
+
+    workdir = tempfile.mkdtemp(prefix="ab_snapshot_")
+    subprocess.run(
+        f"git archive {snapshot} | tar -x -C {workdir}",
+        shell=True, check=True, cwd=REPO,
+    )
+    probe_names = sorted(movers) + [CONTROL]
+    probe_out = out_path + ".probe"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ab_probe.py"),
+         REPO, workdir, *probe_names,
+         f"--trials={trials}", f"--out={probe_out}"],
+        check=True, cwd=REPO,
+    )
+    with open(probe_out) as fh:
+        probe = json.load(fh)
+    os.unlink(probe_out)
+    rec.update({"a": probe["a"], "b": probe["b"], "trials": probe["trials"],
+                "queries": probe["queries"]})
+    with open(out_path, "w") as fh:
+        json.dump(rec, fh, indent=1, sort_keys=True)
+    verdicts = {
+        n: ("regression" if probe["queries"][n]["ratio_median"] > threshold
+            else "exonerated")
+        for n in movers
+    }
+    print(json.dumps({"movers": len(movers), "verdicts": verdicts,
+                      "control_ratio": probe["queries"][CONTROL]["ratio_median"],
+                      "out": out_path}))
+
+
+if __name__ == "__main__":
+    main()
