@@ -440,7 +440,9 @@ HOT_GRAM_OUT_SCHEMA = T.StructType(
 HOT_GRAM_BUCKETS = 256
 
 
-def stream_hot_gram_positions(grams: DataFrame) -> DataFrame:
+def stream_hot_gram_positions(
+    grams: DataFrame, ttl_triggers: int | None = None
+) -> DataFrame:
     """Stateful stage of the streaming repeated-ngram span detector:
     input is a stream of (g, doc_id, pos) gram occurrences; emit every
     position whose gram occurs MORE THAN ONCE corpus-wide — exactly
@@ -448,26 +450,58 @@ def stream_hot_gram_positions(grams: DataFrame) -> DataFrame:
 
     Order/batch-split-invariant by construction: each (doc_id, pos)
     is emitted exactly once (the first occurrence is buffered in state
-    until its gram turns hot, then flushed with the triggering batch),
-    and the downstream span assembly consumes the emitted position SET
-    with order-insensitive islands — so any micro-batch partitioning
-    of the corpus yields the same final spans. State is bucketed
-    (HOT_GRAM_BUCKETS rows, each a pickled {gram: (count, buffered
-    row)} dict): per-gram entries are O(1), total state is O(distinct
-    grams) bytes either way, but the python-call count per trigger
-    drops from O(distinct grams) to O(buckets). A continuous
-    production feed would add a state TTL to age out stale singleton
-    grams (the parity harness replays a bounded corpus, so timeouts
-    stay off)."""
+    until its gram turns hot, then flushed with the triggering batch;
+    the flush clears the buffer, so nothing can re-emit), and the
+    downstream span assembly consumes the emitted position SET with
+    order-insensitive islands — so any micro-batch partitioning of
+    the corpus yields the same final spans. State is bucketed
+    (HOT_GRAM_BUCKETS rows, each a pickled (trigger_no, {gram:
+    (count, buffered row, last_seen_trigger)}) blob): per-gram
+    entries are O(1), total state is O(distinct grams) bytes either
+    way, but the python-call count per trigger drops from O(distinct
+    grams) to O(buckets).
+
+    ``ttl_triggers`` (r11 VERDICT item 4) bounds state for a
+    CONTINUOUS feed: after each trigger, every gram not seen within
+    the bucket's last ``ttl_triggers`` triggers is evicted — state
+    becomes O(grams active in the horizon), not O(distinct grams
+    ever). Eviction is SAFE but lossy in exactly one direction: a
+    (doc_id, pos) is still NEVER emitted twice (eviction only deletes
+    entries; an entry must exist to flush its buffer, and a flushed
+    buffer is already None), but a gram whose recurrence gap exceeds
+    the horizon is re-seen as a fresh singleton, so its pre-gap
+    occurrences are MISSED (pinned in tests: TTL emissions ⊆ exact
+    emissions, with equality whenever all recurrence gaps fit the
+    horizon). That is the standard production trade — the bounded
+    parity harness keeps it off (None). Buckets age on their own
+    trigger counter (a bucket with no rows in a trigger isn't
+    invoked, so its entries age later — the safe direction).
+
+    Scale note (r11 VERDICT item 4): each occupied bucket's ENTIRE
+    blob is deserialized/rewritten per trigger — fine at 256 buckets,
+    but the per-trigger commit is O(state), the driver bench's worst
+    row. The structural fix is per-gram state rows on the RocksDB
+    state store (spark.sql.streaming.stateStore.providerClass=
+    RocksDBStateStoreProvider + changelog checkpointing): RocksDB
+    commits incrementally (only touched keys), turning the commit
+    cost from O(state) to O(batch); the python-call cost that forced
+    bucketing would move JVM-side with transformWithState's per-key
+    handles once that API is the baseline. Kept as documented
+    design, not code: applyInPandasWithState can't mix per-gram
+    keying with O(buckets) python calls today."""
     import pickle
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         rows = pd.concat(list(pdfs), ignore_index=True)
-        seen: dict = pickle.loads(state.get[0]) if state.exists else {}
+        if state.exists:
+            trig, seen = pickle.loads(state.get[0])
+        else:
+            trig, seen = 0, {}
+        trig += 1
         out_docs: list[int] = []
         out_pos: list[int] = []
         for g, grp in rows.groupby("g", sort=False):
-            n, buf = seen.get(g, (0, None))
+            n, buf, _ = seen.get(g, (0, None, trig))
             total = n + len(grp)
             if total > 1:
                 if n == 1:  # buffered first occurrence turns hot now
@@ -478,8 +512,12 @@ def stream_hot_gram_positions(grams: DataFrame) -> DataFrame:
                 out_pos.extend(int(v) for v in grp["pos"])
             elif total == 1 and n == 0:  # first sighting: buffer only
                 buf = (int(grp["doc_id"].iloc[0]), int(grp["pos"].iloc[0]))
-            seen[g] = (total, buf)
-        state.update((pickle.dumps(seen, protocol=4),))
+            seen[g] = (total, buf, trig)
+        if ttl_triggers is not None:
+            seen = {
+                g: e for g, e in seen.items() if trig - e[2] <= ttl_triggers
+            }
+        state.update((pickle.dumps((trig, seen), protocol=4),))
         yield pd.DataFrame({"doc_id": out_docs, "pos": out_pos})
 
     from pyspark.sql import functions as F
