@@ -263,3 +263,86 @@ def test_audio_fingerprint_v2_margins_and_entropy(spark):
         assert max(len(pa), len(pb)) < 770, (a, b, match)
         floor_pairs += 1
     assert floor_pairs <= 2, floor_pairs  # the floor is rare, not a loophole
+
+
+def test_audio_v2_gate_matches_floor_contract(spark):
+    """multimodal_audio_fingerprint_v2_gated (r12): the min-duration
+    gate is exactly the docstring's discrimination floor, the funnel
+    counts reconcile against the raw corpus, and — since every sf0.01
+    fixture clip sits below the 768-sample analysis span — the gated
+    run truthfully reports an empty qualifying population (the
+    non-degenerate behavior is probed at 100x: SCALE_SWEEP_r12)."""
+    import duckdb
+
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators.multimodal_queries import (
+        AUDIO_V2_MIN_SAMPLES,
+    )
+
+    row = (
+        REGISTRY["multimodal_audio_fingerprint_v2_gated"]
+        .build(spark, "/root/testdata/sf0.01")
+        .first()
+    )
+    n_total, n_short = duckdb.sql(
+        "select count(*), count(*) filter (n_chars < "
+        f"{AUDIO_V2_MIN_SAMPLES}) "
+        "from '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchone()
+    assert row["n_clips_total"] == n_total
+    assert row["n_clips_gated"] == n_short
+    # empty qualifying set -> zero pairs, zero planted, sentinel max
+    assert row["n_planted_expected"] == 0
+    assert (row["n_pairs"], row["n_planted_found"], row["max_hamming"]) == (
+        0, 0, -1,
+    )
+
+
+def test_audio_v2_gate_is_neutral_on_qualifying_clips(spark, tmp_path):
+    """The gate must not cost recall on QUALIFYING audio: on a synthetic
+    corpus where half the clips clear the floor, the gated pair set
+    equals the ungated pair set restricted to qualifying clips, and
+    every sub-window clip is excluded before fingerprinting."""
+    import duckdb  # noqa: F401
+
+    from synthetic_datagen_spark.operators.multimodal_queries import (
+        AUDIO_V2_MIN_SAMPLES,
+        _audio_v2_pairs,
+    )
+
+    # 40 docs: even ids long (qualify), odd ids short (sub-window);
+    # varied content so unrelated longs don't pair
+    rows = []
+    for i in range(40):
+        body = " ".join(f"tok{i}_{j}" for j in range(200 if i % 2 == 0 else 8))
+        rows.append((i, body[: 1200 if i % 2 == 0 else 120]))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base = str(tmp_path / "gated_corpus")
+    import os
+
+    os.makedirs(base)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+    pairs = _audio_v2_pairs(
+        spark, base, min_samples=AUDIO_V2_MIN_SAMPLES
+    ).toPandas()
+    kept = {i for i, t in rows if len(t) >= AUDIO_V2_MIN_SAMPLES}
+    # gate NEUTRALITY — the load-bearing contract: among qualifying
+    # clips the gate changes NOTHING (pairs found gated == ungated
+    # pairs restricted to kept clips); whether a particular companded
+    # twin clears hamming 4 is the fingerprint's property, not the
+    # gate's, and is pinned on the fixture corpus in the v2 test above
+    ungated = _audio_v2_pairs(spark, base, min_samples=None).toPandas()
+    gated_set = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    kept_restricted = {
+        (int(a), int(b))
+        for a, b in zip(ungated.id_a, ungated.id_b)
+        if int(a) % 1_000_000 in kept and int(b) % 1_000_000 in kept
+    }
+    assert gated_set == kept_restricted
+    # no gated clip appears on either side of any pair
+    sides = set(pairs["id_a"] % 1_000_000) | set(pairs["id_b"] % 1_000_000)
+    assert all(s in kept for s in sides), sides - kept
+    # and the corpus exercises the non-degenerate path: qualifying
+    # clips DO pair (every planted twin of a kept clip is a candidate)
+    assert len(gated_set) > 0
