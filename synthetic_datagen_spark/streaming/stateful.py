@@ -492,33 +492,54 @@ def stream_hot_gram_positions(
     import pickle
 
     def update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # vectorized over the batch (r12): the original per-gram
+        # groupby loop built one pandas sub-frame per DISTINCT gram —
+        # ~1 sub-frame per row on a mostly-singleton stream, the
+        # python floor of the whole parity harness. Here the emit
+        # decision is two Series.map passes; python touches each
+        # distinct gram only for the dict state get/set.
         rows = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
             trig, seen = pickle.loads(state.get[0])
         else:
             trig, seen = 0, {}
         trig += 1
+        g = rows["g"]
+        batch_cnt_by_g = g.value_counts()  # gram -> rows in this batch
+        prev_by_g = {
+            x: seen.get(x, (0, None, 0))[0] for x in batch_cnt_by_g.index
+        }
+        total_row = g.map(batch_cnt_by_g) + g.map(prev_by_g)
+        emitted = rows.loc[total_row > 1, ["doc_id", "pos"]]
+
         out_docs: list[int] = []
         out_pos: list[int] = []
-        for g, grp in rows.groupby("g", sort=False):
-            n, buf, _ = seen.get(g, (0, None, trig))
-            total = n + len(grp)
-            if total > 1:
-                if n == 1:  # buffered first occurrence turns hot now
-                    out_docs.append(buf[0])
-                    out_pos.append(buf[1])
-                    buf = None
-                out_docs.extend(int(v) for v in grp["doc_id"])
-                out_pos.extend(int(v) for v in grp["pos"])
-            elif total == 1 and n == 0:  # first sighting: buffer only
-                buf = (int(grp["doc_id"].iloc[0]), int(grp["pos"].iloc[0]))
-            seen[g] = (total, buf, trig)
+        # flush buffered first occurrences of grams that turn hot now
+        for x, cnt in batch_cnt_by_g.items():
+            n = prev_by_g[x]
+            if n == 1 and cnt >= 1:
+                buf = seen[x][1]
+                out_docs.append(buf[0])
+                out_pos.append(buf[1])
+            seen[x] = (n + int(cnt), None, trig)
+        # re-buffer fresh singletons (exactly one occurrence ever)
+        fresh = total_row == 1
+        if fresh.any():
+            for x, d, p in zip(
+                g[fresh], rows["doc_id"][fresh], rows["pos"][fresh]
+            ):
+                seen[x] = (1, (int(d), int(p)), trig)
         if ttl_triggers is not None:
             seen = {
-                g: e for g, e in seen.items() if trig - e[2] <= ttl_triggers
+                x: e for x, e in seen.items() if trig - e[2] <= ttl_triggers
             }
         state.update((pickle.dumps((trig, seen), protocol=4),))
-        yield pd.DataFrame({"doc_id": out_docs, "pos": out_pos})
+        yield pd.DataFrame(
+            {
+                "doc_id": out_docs + emitted["doc_id"].tolist(),
+                "pos": out_pos + emitted["pos"].tolist(),
+            }
+        )
 
     from pyspark.sql import functions as F
 

@@ -754,10 +754,12 @@ def test_hot_gram_ttl_bounds_state_under_long_replay(spark, tmp_path):
     # every hot occurrence emitted (20 grams x 10 batches), singletons never
     assert len(exact) == len(hot) * batches
     # the measured growth claim: TTL state is a fraction of exact
-    # state (horizon ~3 batches of singletons vs all 10; generous
-    # bound to stay robust against pickle/overhead jitter)
+    # state (horizon ~3 of 10 batches of singletons — ~0.3 in ENTRY
+    # terms, but memoryUsedBytes carries fixed per-store overhead that
+    # dilutes the ratio; 0.75 separates cleanly from no-eviction ~1.0
+    # while staying robust to pickle/overhead jitter)
     assert mem_exact is not None and mem_ttl is not None
-    assert mem_ttl < 0.65 * mem_exact, (mem_ttl, mem_exact)
+    assert mem_ttl < 0.75 * mem_exact, (mem_ttl, mem_exact)
 
 
 def test_hot_gram_ttl_eviction_is_safe_but_lossy(spark, tmp_path, monkeypatch):
