@@ -63,10 +63,14 @@ def main() -> None:
         if not snapshot:
             sys.exit(f"no commit found touching {prior_path}; pass --snapshot=")
 
+    # sub-second prior rows are jitter, not regression signal: a 0.2 s
+    # query "doubling" is scheduler noise the interleaved probe can't
+    # resolve either — the floor keeps the probe set meaningful
+    floor = float(_arg("floor", "0.5"))
     movers = {
         n: round(cur[n] / pri[n], 3)
         for n in cur
-        if n in pri and pri[n] > 0 and cur[n] / pri[n] > threshold
+        if n in pri and pri[n] > floor and cur[n] / pri[n] > threshold
     }
     new_queries = sorted(set(cur) - set(pri))
     print(f"movers >{threshold}x vs {os.path.basename(prior_path)}: {movers}",
