@@ -212,12 +212,58 @@ SELECT id_a, id_b FROM cand
     "md5 per shingle + affine permutations (a·x+b mod 2^31-1, Broder-"
     "style universal hashing — integer arithmetic identical in both "
     "engines). P(candidate) = 1-(1-J^5)^6: 99%+ recall at J≥0.9 while "
-    "a ~0.18 background Jaccard collides at <0.1% — the r=5 selectivity "
-    "is what keeps candidate volume linear at 100 TB. Verify candidates "
-    "with dedup_shingle_jaccard.",
+    "a ~0.18 background Jaccard collides at <0.1%. SCALE-GUARDED "
+    "(r12): above SPARK_GRAFT_TEXT_LSH_FIXED_MAX (10k) docs the band "
+    "structure moves to scaled_text_lsh_params(n) — measured at 500k "
+    "docs: 25× fewer candidates, ≥ fixed recall at the verify "
+    "thresholds (SCALE_SWEEP_r12). Below the cutoff (all oracle "
+    "scales) the 6×5 config this SQL mirrors is unchanged. Verify "
+    "candidates with dedup_shingle_jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_candidates(spark, sf_dir)
+
+
+def _text_lsh_fixed_max() -> int:
+    """Corpus size above which the text MinHash family swaps the fixed
+    6x5 banding for a scaled (sharper) config — the text analogue of
+    the embedding family's SPARK_GRAFT_LSH_FIXED_MAX (lowered to 10 k
+    in r11 on measured gray-zone evidence). The r12 100x measurement
+    that set this: at 500 k docs the fixed 6x5 config emits 54.6 M
+    candidate pairs and the word-ngram verify burns 930 s; the scaled
+    18x8 config emits 2.15 M (25x fewer) and verifies in ~146 s total
+    with HIGHER verified output (56 292 vs 55 679 pairs at the same
+    exact >= 0.6 word-gram threshold). Below the cutoff nothing
+    changes, so every SQL oracle (which mirrors the fixed band
+    structure) stays valid at gate scale."""
+    return int(os.environ.get("SPARK_GRAFT_TEXT_LSH_FIXED_MAX", "10000"))
+
+
+def scaled_text_lsh_params(n_docs: int) -> tuple[int, int]:
+    """(bands, rows) for the text MinHash-LSH banding at corpus size n.
+
+    The fixed 6x5 config's S-curve midpoint is (1/6)^(1/5) = 0.70, but
+    its curve is SHALLOW: a 0.28-bulk-Jaccard background (the measured
+    0.999-quantile of random-pair similarity on the templated 100x
+    corpus) still collides often enough that candidates grow ~n^2 with
+    a small coefficient — 54.6 M pairs at 500 k docs for 55.7 k true
+    pairs (0.1 % precision). Raising rows-per-band SHARPENS the curve
+    (background ~ s^rows per band) while raising bands keeps — and at
+    the verify thresholds actually raises — recall:
+
+        recall(s) = 1-(1-s^r)^b   s=0.8    s=0.9
+        fixed  6x5                0.908    0.995
+        scaled 14x7               0.963    0.9999
+        scaled 18x8               0.964    ~1.0
+
+    Measured at 500 k docs (r12): 14x7 -> 6.2 M candidates, 18x8 ->
+    2.15 M, verified word-gram output 101.1 % of the fixed config's.
+    The ladder grows rows with the corpus decade so the background
+    term keeps shrinking as n^2 grows; every config is a pure function
+    of n — deterministic, engine-free, memo-stable."""
+    if n_docs <= 100_000:
+        return 14, 7
+    return 18, 8
 
 
 def _bulk_guard_min_docs() -> int:
@@ -236,8 +282,25 @@ def _bulk_guard_min_docs() -> int:
 _BULK_CACHE: dict = {}
 
 
+_NDOCS_CACHE: dict = {}
+
+
+def _corpus_size(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
+    """Per-session memo of the (length-filtered) doc count — the cheap
+    column-pruned scan that sizes both the bulk guard and the LSH
+    config chooser, paid once per corpus per session."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _NDOCS_CACHE:
+        for k in [k for k in _NDOCS_CACHE if k[0] != app_id]:
+            del _NDOCS_CACHE[k]
+        _NDOCS_CACHE[key] = docs.count()
+    return _NDOCS_CACHE[key]
+
+
 def _minhash_bulk_guard(
-    spark: SparkSession, sf_dir: str, shingled: DataFrame, docs: DataFrame
+    spark: SparkSession, sf_dir: str, shingled: DataFrame, n: int,
+    n_bands: int, n_rows: int,
 ) -> None:
     """Warn when the corpus's bulk-Jaccard floor reaches the 6×5
     banding's implied threshold (≈0.70): at that point RANDOM pairs
@@ -255,23 +318,21 @@ def _minhash_bulk_guard(
     if key not in _BULK_CACHE:
         for k in [k for k in _BULK_CACHE if k[0] != app_id]:
             del _BULK_CACHE[k]
-        # size the corpus from the CHEAP docs lineage (column-pruned
-        # parquet count), not shingled.count() — materializing the
+        # n comes from the CHEAP docs lineage (column-pruned parquet
+        # count, memoized in _corpus_size) — materializing the
         # tokenize+shingle+array_distinct chain just to read a row
         # count would pre-pay the query's most expensive stage even
-        # when the corpus is far below the guard's cutoff (shingled is
-        # one row per doc, so the two counts are identical)
-        n = docs.count()
+        # when the corpus is far below the guard's cutoff
         _BULK_CACHE[key] = (
             TX.jaccard_bulk_floor(shingled) if n > key[2] else None
         )
     floor = _BULK_CACHE[key]
-    implied = TX.minhash_implied_threshold(_BANDS, _ROWS)
+    implied = TX.minhash_implied_threshold(n_bands, n_rows)
     if floor is not None and floor >= implied:
         warnings.warn(
             f"corpus bulk-Jaccard floor {floor:.3f} (0.999-quantile of "
             f"sampled random-pair shingle Jaccard) reaches the "
-            f"{_BANDS}x{_ROWS} banding's implied threshold "
+            f"{n_bands}x{n_rows} banding's implied threshold "
             f"{implied:.3f}: the candidate set grows quadratically "
             f"with corpus size — near-dup mining on this corpus needs "
             f"template/boilerplate removal first (the output itself "
@@ -281,16 +342,48 @@ def _minhash_bulk_guard(
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b) MinHash-LSH candidate pairs, distinct."""
+    """(id_a, id_b) MinHash-LSH candidate pairs, distinct.
+
+    SCALE-GUARDED (r12): above _text_lsh_fixed_max docs the fixed 6x5
+    banding is swapped for scaled_text_lsh_params(n) — sharper bands
+    whose background-collision term shrinks as the corpus grows, with
+    measured >= fixed recall at the verify thresholds (see the chooser
+    docstring for the 100x numbers). The whole minhash / shingle /
+    word-ngram / CC / curation family flows through here, so the swap
+    moves them together; below the cutoff (every oracle-gate scale)
+    the config — and thus every SQL oracle mirroring the fixed band
+    structure — is unchanged."""
     docs = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
     shingled = docs.select(
         "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
     )
-    _minhash_bulk_guard(spark, sf_dir, shingled, docs)
-    return _lsh_candidates_from(shingled)
+    n, n_bands, n_rows = _active_lsh_config(spark, sf_dir, docs)
+    _minhash_bulk_guard(spark, sf_dir, shingled, n, n_bands, n_rows)
+    return _lsh_candidates_from(shingled, n_bands, n_rows)
 
 
-def _lsh_candidates_from(shingled: DataFrame) -> DataFrame:
+def _active_lsh_config(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> tuple[int, int, int]:
+    """(n_docs, bands, rows) the text-LSH family should run with for
+    this corpus: the fixed oracle-scale config up to the cutoff, the
+    scaled ladder above it. n comes from the memoized column-pruned
+    count, so repeated family members pay it once per session."""
+    n = _corpus_size(spark, sf_dir, docs)
+    if n > _text_lsh_fixed_max():
+        n_bands, n_rows = scaled_text_lsh_params(n)
+    else:
+        n_bands, n_rows = _BANDS, _ROWS
+    return n, n_bands, n_rows
+
+
+def _lsh_candidates_from(
+    shingled: DataFrame, n_bands: int | None = None, n_rows: int | None = None
+) -> DataFrame:
+    # band/row counts default to the fixed gate-scale config; the
+    # scale-guarded path passes a sharper (more rows per band) config
+    n_bands = _BANDS if n_bands is None else n_bands
+    n_rows = _ROWS if n_rows is None else n_rows
     # xs: per-shingle 32-bit ints, hashed ONCE; minhashes are affine
     hashed = shingled.select(
         "doc_id",
@@ -306,16 +399,21 @@ def _lsh_candidates_from(shingled: DataFrame) -> DataFrame:
     def sig(band: int):
         return F.concat_ws(
             "|",
-            *[minhash(band * _ROWS + r).cast("string") for r in range(_ROWS)],
+            *[minhash(band * n_rows + r).cast("string") for r in range(n_rows)],
         )
 
-    sigs = hashed.select("doc_id", *[sig(b).alias(f"b{b}") for b in range(_BANDS)])
+    # NOTE (r12, measured): persisting this frame for the band
+    # self-join below is NOT worth it — walls at 500k docs were flat
+    # with and without (487s vs 499s, host noise); the join's two
+    # sides share the identical subplan and the signature build is not
+    # the dominant cost, so the cache only added memory pressure.
+    sigs = hashed.select("doc_id", *[sig(b).alias(f"b{b}") for b in range(n_bands)])
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("sig"))
-                for b in range(_BANDS)
+                for b in range(n_bands)
             ])
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -377,13 +475,14 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle arrays are needed three times (minhash sigs + both join
     # sides); persist so shingling runs once — the md5 band signatures
     # remain the dominant cost and run exactly once
-    shingled = (
-        _docs_wide(spark, sf_dir)
-        .filter(F.length("text") >= 5)
-        .select("doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs"))
-        .persist()
-    )
-    cand = _lsh_candidates_from(shingled)
+    docs = _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
+    shingled = docs.select(
+        "doc_id", F.array_distinct(TX.shingles(F.col("text"), 5)).alias("shs")
+    ).persist()
+    # same scale-guarded config as _lsh_candidates: the verify stage
+    # must see the same candidate set the rest of the family mines
+    _, n_bands, n_rows = _active_lsh_config(spark, sf_dir, docs)
+    cand = _lsh_candidates_from(shingled, n_bands, n_rows)
     # Scale-safe verify join: the shingle table is the CORPUS — never
     # broadcast it. Shuffle-hash join the candidate pairs against it on
     # doc_id (two narrow shuffles on a scalar key); build side is the

@@ -693,3 +693,59 @@ def test_repeated_ngram_spans_planted_and_maximal(spark):
     spans = {int(r["doc_id"]): (int(r["span_start"]), int(r["span_end"]))
              for _, r in out.iterrows()}
     assert spans[1] == (4, 8) and spans[2] == (3, 7)
+
+
+def test_text_lsh_scale_guard_config_selection(monkeypatch):
+    """r12: the text MinHash family's banding is a pure function of
+    corpus size — fixed 6x5 at oracle scales, the sharper ladder above
+    the cutoff (env-overridable like the embedding family's)."""
+    import os
+
+    from synthetic_datagen_spark.operators import text_queries as TQ
+
+    assert TQ._text_lsh_fixed_max() == 10_000
+    assert TQ.scaled_text_lsh_params(50_000) == (14, 7)
+    assert TQ.scaled_text_lsh_params(100_000) == (14, 7)
+    assert TQ.scaled_text_lsh_params(500_000) == (18, 8)
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_TEXT_LSH_FIXED_MAX", "100")
+    assert TQ._text_lsh_fixed_max() == 100
+    # recall dominance at the verify thresholds, closed form:
+    # scaled recall >= fixed recall at s in {0.8, 0.9}
+    def recall(s, b, r):
+        return 1 - (1 - s**r) ** b
+
+    for s in (0.8, 0.9):
+        assert recall(s, 14, 7) >= recall(s, 6, 5)
+        assert recall(s, 18, 8) >= recall(s, 6, 5)
+
+
+def test_text_lsh_scaled_config_verified_output_parity(spark, monkeypatch):
+    """Forcing the scaled path on the sf0.01 gate corpus: the VERIFIED
+    output (exact shingle-Jaccard >= 0.8 over candidates) under the
+    scaled 14x7 config must retain >= 98% of the fixed config's
+    verified pairs — candidates are probabilistic, the verify stage is
+    exact, and the scaled curve dominates at the verify thresholds so
+    losses can only come from the S-curve's low tail."""
+    import os
+
+    from synthetic_datagen_spark.operators import text_queries as TQ
+    from synthetic_datagen_spark.operators.base import REGISTRY
+
+    def pairs():
+        # fresh candidate lineage each time (no cross-config memo: the
+        # verify query builds candidates inline, not via the pair memo)
+        pdf = (
+            REGISTRY["dedup_shingle_jaccard"]
+            .build(spark, "/root/testdata/sf0.01")
+            .toPandas()
+        )
+        return {(int(a), int(b)) for a, b in zip(pdf.id_a, pdf.id_b)}
+
+    fixed = pairs()
+    # force the scaled ladder on the 500-doc fixture
+    monkeypatch.setitem(os.environ, "SPARK_GRAFT_TEXT_LSH_FIXED_MAX", "10")
+    TQ._NDOCS_CACHE.clear()
+    scaled = pairs()
+    assert len(fixed) > 0
+    retained = len(fixed & scaled) / len(fixed)
+    assert retained >= 0.98, (retained, len(fixed), len(scaled))
