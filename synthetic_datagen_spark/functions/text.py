@@ -84,29 +84,59 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    higher-order-function lambda variable.
+
+    A plain Column reference used inside a per-element lambda is
+    re-INLINED into every element's expression tree — transform over a
+    doc's n tokens that references the tokenization Column re-runs the
+    whole split per element, O(n²) per row. This is the third sighting
+    of the class (r11 streaming span twin: 59 s → 7 s; r12 PII filter
+    pushdown; r12 word-ngram gram build: 390 s of a 487 s query at
+    500 k docs). Lambda VARIABLES, by contrast, are materialized
+    values, so wrapping the expensive expr in a single-element array
+    and binding it through one outer transform makes every inner
+    reference O(1)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingle array via sequence+transform — JVM-side, no UDF.
     Returns empty array for texts shorter than k (guarded: Spark's
     sequence(1, 0) auto-steps DESCENDING, which would yield two garbage
-    shingles for short texts)."""
-    t = F.lower(text)
-    n = F.length(t)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.substring(t, i, k),
+    shingles for short texts). The lowered text is bound once per row
+    (bind_once) — referenced per element it would re-lower the whole
+    doc per shingle, O(len²)/row."""
+
+    def build(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.substring(t, i, k),
+            )
         )
-    )
+
+    return bind_once(F.lower(text), build)
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram array (for n-gram Jaccard dedup)."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(-1)))
-    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    """Word n-gram array (for n-gram Jaccard dedup). The token array is
+    bound once per row (bind_once): referenced per element it would
+    re-run the whole regex split per gram — O(tokens²)/row, measured
+    as 390 s of the 487 s word-ngram verify at 500 k docs (r12)."""
+
+    def build(toks: Column) -> Column:
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(-1)))
+        return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        )
+
+    return bind_once(F.split(F.lower(F.trim(text)), r"\s+"), build)
 
 
 def minhash_implied_threshold(bands: int, rows: int) -> float:
