@@ -71,39 +71,37 @@ def cached_min_label_components(
     """
     import os
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, cache_key)
-    hit = _CC_CACHE.get(key)
-    if hit is not None:
-        return hit
-    # evict entries from other (stopped) applications so a long-lived
-    # process cycling sessions can't pin dead DataFrames forever
-    for k in [k for k in _CC_CACHE if k[0] != app_id]:
-        del _CC_CACHE[k]
-    algo = algorithm or os.environ.get("SPARK_GRAFT_CC_ALGO", "largestar")
-    if algo == "largestar":
-        labels = large_small_star_components(pairs_factory(), id_a, id_b, max_rounds)
-    elif algo == "minlabel":
-        labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
-    else:
-        raise ValueError(f"unknown CC algorithm {algo!r}")
-    # durability (same policy as functions/vectors.cached_lsh_pairs):
-    # with a configured checkpoint dir the memoized frame re-anchors on
-    # RELIABLE storage so executor loss can't orphan the session memo;
-    # local[*] keeps the cheap localCheckpoint blocks. Checkpoint files
-    # are reclaimed by ContextCleaner on memo eviction (the dict drop
-    # releases the last reference; spark.cleaner.referenceTracking.
-    # cleanCheckpoints=true is set by session.get_spark).
-    if spark.sparkContext.getCheckpointDir() is not None:
-        # persist around checkpoint(): the write job re-runs lineage
-        # after the materializing action; the cache makes that re-run
-        # a block read instead of a second CC convergence
-        labels = labels.persist()
-        ck = labels.checkpoint(eager=True)
-        labels.unpersist()
-        labels = ck
-    _CC_CACHE[key] = labels
-    return labels
+    from .memo import app_scoped_memo
+
+    def build() -> DataFrame:
+        algo = algorithm or os.environ.get("SPARK_GRAFT_CC_ALGO", "largestar")
+        if algo == "largestar":
+            labels = large_small_star_components(
+                pairs_factory(), id_a, id_b, max_rounds
+            )
+        elif algo == "minlabel":
+            labels = min_label_components(pairs_factory(), id_a, id_b, max_rounds)
+        else:
+            raise ValueError(f"unknown CC algorithm {algo!r}")
+        # durability (same policy as functions/vectors.cached_lsh_pairs):
+        # with a configured checkpoint dir the memoized frame re-anchors
+        # on RELIABLE storage so executor loss can't orphan the session
+        # memo; local[*] keeps the cheap localCheckpoint blocks.
+        # Checkpoint files are reclaimed by ContextCleaner on memo
+        # eviction (the dict drop releases the last reference;
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true is set
+        # by session.get_spark).
+        if spark.sparkContext.getCheckpointDir() is not None:
+            # persist around checkpoint(): the write job re-runs lineage
+            # after the materializing action; the cache makes that
+            # re-run a block read instead of a second CC convergence
+            labels = labels.persist()
+            ck = labels.checkpoint(eager=True)
+            labels.unpersist()
+            labels = ck
+        return labels
+
+    return app_scoped_memo(_CC_CACHE, spark, cache_key, build)
 
 
 def min_label_components(

@@ -105,6 +105,18 @@ def pii_count(col: Column | str, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
 
 
+def pii_total(col: Column | str) -> Column:
+    """Total PII matches across all four classes — the Spark twin of
+    the oracle-side _PII_TOTAL_DUCK sum; one place to extend when a
+    fifth pattern joins PII_TYPES."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = None
+    for _, pattern, _ in PII_TYPES:
+        term = pii_count(c, pattern)
+        out = term if out is None else out + term
+    return out
+
+
 def pii_redact(col: Column | str) -> Column:
     """Redact every PII match with its typed placeholder, in the fixed
     PII_TYPES order (placeholders contain no digits or '@', so later

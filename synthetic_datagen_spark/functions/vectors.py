@@ -512,25 +512,22 @@ def cached_lsh_pairs(
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` is set
     by ``session.get_spark`` (without it, files live until the app's
     checkpoint dir is removed — the documented Spark default)."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, cache_key)
-    hit = _PAIRS_CACHE.get(key)
-    if hit is not None:
-        return hit
-    for k in [k for k in _PAIRS_CACHE if k[0] != app_id]:
-        del _PAIRS_CACHE[k]
-    built = builder()
-    if spark.sparkContext.getCheckpointDir() is not None:
-        # persist around checkpoint(): the reliable-checkpoint write
-        # job re-runs the RDD lineage after the materializing action —
-        # without the cache the whole pair build would compute TWICE
-        built = built.persist()
-        pairs = built.checkpoint(eager=True)
-        built.unpersist()
-    else:
-        pairs = built.localCheckpoint(eager=True)
-    _PAIRS_CACHE[key] = pairs
-    return pairs
+    from .memo import app_scoped_memo
+
+    def build() -> DataFrame:
+        built = builder()
+        if spark.sparkContext.getCheckpointDir() is not None:
+            # persist around checkpoint(): the reliable-checkpoint
+            # write job re-runs the RDD lineage after the materializing
+            # action — without the cache the whole pair build would
+            # compute TWICE
+            built2 = built.persist()
+            pairs = built2.checkpoint(eager=True)
+            built2.unpersist()
+            return pairs
+        return built.localCheckpoint(eager=True)
+
+    return app_scoped_memo(_PAIRS_CACHE, spark, cache_key, build)
 
 
 def scaled_lsh_params(

@@ -896,8 +896,9 @@ SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end,
 FROM grp GROUP BY doc_id, gid
 """,
     doc="STREAMING twin of dedup_repeated_ngram_spans, sharing its "
-    "batch SQL oracle: documents arrive as 8 hash-shuffled files, 2 "
-    "per micro-batch, so hot grams routinely straddle batches. Gram "
+    "batch SQL oracle: documents arrive as 6 hash-shuffled files, 2 "
+    "per micro-batch (3 triggers — r12 trimmed the replay to the "
+    "multi-batch minimum), so hot grams routinely straddle batches. Gram "
     "extraction is STATELESS array algebra (zip_with positions + "
     "try_element_at slices — window functions are not stream-legal), "
     "then applyInPandasWithState keyed by gram buffers each first "
@@ -1054,12 +1055,7 @@ def stream_pii_scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", PII.pii_text().alias("ptext")
     ).select(
         "doc_id",
-        (
-            PII.pii_count("ptext", PII.EMAIL_RE)
-            + PII.pii_count("ptext", PII.SSN_RE)
-            + PII.pii_count("ptext", PII.PHONE_RE)
-            + PII.pii_count("ptext", PII.IP_RE)
-        ).alias("n_redactions"),
+        PII.pii_total("ptext").alias("n_redactions"),
         F.md5(PII.pii_redact("ptext")).alias("redacted_fp"),
     )
 

@@ -289,13 +289,9 @@ def _corpus_size(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
     """Per-session memo of the (length-filtered) doc count — the cheap
     column-pruned scan that sizes both the bulk guard and the LSH
     config chooser, paid once per corpus per session."""
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    if key not in _NDOCS_CACHE:
-        for k in [k for k in _NDOCS_CACHE if k[0] != app_id]:
-            del _NDOCS_CACHE[k]
-        _NDOCS_CACHE[key] = docs.count()
-    return _NDOCS_CACHE[key]
+    from ..functions.memo import app_scoped_memo
+
+    return app_scoped_memo(_NDOCS_CACHE, spark, sf_dir, docs.count)
 
 
 def _minhash_bulk_guard(
@@ -313,20 +309,20 @@ def _minhash_bulk_guard(
     production user must be warned about."""
     import warnings
 
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, _bulk_guard_min_docs())
-    if key not in _BULK_CACHE:
-        for k in [k for k in _BULK_CACHE if k[0] != app_id]:
-            del _BULK_CACHE[k]
-        # n comes from the CHEAP docs lineage (column-pruned parquet
-        # count, memoized in _corpus_size) — materializing the
-        # tokenize+shingle+array_distinct chain just to read a row
-        # count would pre-pay the query's most expensive stage even
-        # when the corpus is far below the guard's cutoff
-        _BULK_CACHE[key] = (
-            TX.jaccard_bulk_floor(shingled) if n > key[2] else None
-        )
-    floor = _BULK_CACHE[key]
+    from ..functions.memo import app_scoped_memo
+
+    cutoff = _bulk_guard_min_docs()
+    # n comes from the CHEAP docs lineage (column-pruned parquet count,
+    # memoized in _corpus_size) — materializing the tokenize+shingle+
+    # array_distinct chain just to read a row count would pre-pay the
+    # query's most expensive stage even when the corpus is far below
+    # the guard's cutoff. None (below-cutoff) is a cached value too.
+    floor = app_scoped_memo(
+        _BULK_CACHE,
+        spark,
+        (sf_dir, cutoff),
+        lambda: TX.jaccard_bulk_floor(shingled) if n > cutoff else None,
+    )
     implied = TX.minhash_implied_threshold(n_bands, n_rows)
     if floor is not None and floor >= implied:
         warnings.warn(
@@ -2798,18 +2794,8 @@ FROM r
 )
 def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _pii_docs(spark, sf_dir).withColumn("red", PII.pii_redact("ptext"))
-    total = (
-        PII.pii_count("ptext", PII.EMAIL_RE)
-        + PII.pii_count("ptext", PII.PHONE_RE)
-        + PII.pii_count("ptext", PII.IP_RE)
-        + PII.pii_count("ptext", PII.SSN_RE)
-    )
-    residual = (
-        PII.pii_count("red", PII.EMAIL_RE)
-        + PII.pii_count("red", PII.PHONE_RE)
-        + PII.pii_count("red", PII.IP_RE)
-        + PII.pii_count("red", PII.SSN_RE)
-    )
+    total = PII.pii_total("ptext")
+    residual = PII.pii_total("red")
     return d.select(
         "doc_id",
         total.alias("n_redactions"),
@@ -2871,12 +2857,7 @@ GROUP BY d.lang ORDER BY d.lang
 def corpus_curation_pii_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _pii_docs(spark, sf_dir)
     q = (F.length("ptext") >= 50) & (TX.punct_ratio(F.col("ptext")) <= 0.2)
-    n_pii = (
-        PII.pii_count("ptext", PII.EMAIL_RE)
-        + PII.pii_count("ptext", PII.PHONE_RE)
-        + PII.pii_count("ptext", PII.IP_RE)
-        + PII.pii_count("ptext", PII.SSN_RE)
-    )
+    n_pii = PII.pii_total("ptext")
     red = PII.pii_redact("ptext")
     # rank within (quality, redacted-fingerprint) so failing docs can't
     # shadow a passing duplicate — v1's exact-dedup semantics, applied
