@@ -40,13 +40,20 @@ from pyspark.sql import Column, functions as F
 # between the preceding space and '(' does not exist and \b would
 # reject every parenthesized number. The trailing \b stops partial
 # matches into longer digit runs.
+# CC covers dashed/spaced 4x4 groups and contiguous 15-16 digit PANs;
+# its disjointness: phone needs a 3-digit middle group (card groups
+# are 4), SSN/IP digit runs are <= 4 resp. <= 3, a contiguous PAN
+# inside an email local part has no word boundary before it, and card
+# text contains no '@'/'.'-separated octets.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+CC_RE = r"\b(?:(?:\d{4}[- ]){3}\d{4}|\d{15,16})\b"
 
 PII_TYPES: list[tuple[str, str, str]] = [
     ("email", EMAIL_RE, "<EMAIL>"),
+    ("cc", CC_RE, "<CC>"),
     ("ssn", SSN_RE, "<SSN>"),
     ("phone", PHONE_RE, "<PHONE>"),
     ("ip", IP_RE, "<IP>"),
@@ -86,6 +93,14 @@ ELSE text END
      || lpad(CAST(100 + doc_id % 899 AS {S}), 3, '0') || '-'
      || lpad(CAST(10 + doc_id % 89 AS {S}), 2, '0') || '-'
      || lpad(CAST(doc_id % 10000 AS {S}), 4, '0')
+   ELSE '' END
+|| CASE WHEN doc_id % 19 = 0 THEN ' card ' ||
+     CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN '4111-1111-1111-1111'
+       WHEN 1 THEN '5555 5555 5555 4444'
+       WHEN 2 THEN '378282246310005'
+       ELSE '6011111111111117'
+     END
    ELSE '' END"""
 
 PII_TEXT_SPARK_SQL = _PII_TEXT_TEMPLATE.format(S="STRING")
@@ -115,6 +130,56 @@ def pii_total(col: Column | str) -> Column:
         term = pii_count(c, pattern)
         out = term if out is None else out + term
     return out
+
+
+def luhn_valid(num: Column | str) -> Column:
+    """Luhn checksum validity of a DIGITS-ONLY string column, as a pure
+    higher-order-function expression (no UDF): from the rightmost
+    digit, every second digit doubles (minus 9 past 9), and the sum
+    must divide by 10. The digit string is bound once per row
+    (functions/text.bind_once — per-element references to an outer
+    expression re-inline it, the O(n²) trap; trivial at PAN length but
+    the rule is the rule)."""
+    from .text import bind_once
+
+    c = F.col(num) if isinstance(num, str) else num
+
+    def build(n: Column) -> Column:
+        ln = F.length(n)
+
+        def term(i: Column) -> Column:
+            d = F.substring(n, i, 1).cast("int")
+            dbl = d * 2
+            return F.when(
+                ((ln - i) % 2) == 0, d  # odd position from the right
+            ).otherwise(F.when(dbl > 9, dbl - 9).otherwise(dbl))
+
+        total = F.aggregate(
+            F.transform(F.sequence(F.lit(1), ln), term),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        return (ln >= 12) & (total % 10 == 0)
+
+    return bind_once(c, build)
+
+
+def duck_luhn_sql(expr: str) -> str:
+    """The DuckDB twin of luhn_valid over a digits-only SQL expression.
+    DuckDB list lambdas don't capture a bind-once variable the way the
+    Spark side does, so ``expr`` repeats — callers should pass a cheap
+    expression (a list element / stripped match, never a whole-doc
+    derivation)."""
+    body = (
+        "(length({n}) >= 12 AND list_sum(list_transform("
+        "generate_series(1, CAST(length({n}) AS INT)), i -> "
+        "CASE WHEN (length({n}) - i) % 2 = 0 "
+        "THEN CAST(substr({n}, i, 1) AS INT) "
+        "ELSE CASE WHEN CAST(substr({n}, i, 1) AS INT) * 2 > 9 "
+        "THEN CAST(substr({n}, i, 1) AS INT) * 2 - 9 "
+        "ELSE CAST(substr({n}, i, 1) AS INT) * 2 END END)) % 10 = 0)"
+    )
+    return body.replace("{n}", f"({expr})")
 
 
 def pii_redact(col: Column | str) -> Column:

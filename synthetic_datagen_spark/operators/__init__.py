@@ -178,23 +178,32 @@ _ROUND10_WINDOW = [
 ]
 
 
-# Round 12 window (60 names, asserted below; the driver samples the
-# first ~50 by position). Priority: the 8 changed-code queries first
-# (token_budget_pack after the engine-neutral ordering-key fix, the 5
+# Round 12 window (65 names, asserted below; the driver samples the
+# first ~50 by position). Priority: the 13 changed-code queries first
+# (token_budget_pack after the engine-neutral ordering-key fix, the 6
 # NEW pii/audio-gate queries, the refactored audio-v2 builder, the
-# vectorized+re-harnessed span stream), then the ENTIRE r6-stale batch
-# (22 queries that sat in r11's window TAIL, positions 51-72, so the
-# ~50-sample never reached them), then r8-stale backfill to 60.
+# vectorized+re-harnessed span stream, and the minhash-family heads
+# after the scaled-banding + bind_once fixes touched their shared
+# path), then the ENTIRE r6-stale batch (22 queries that sat in r11's
+# window TAIL, positions 51-72, so the ~50-sample never reached them),
+# then r8-stale backfill to 65.
 _ROUND12_WINDOW = [
     # -- code changed / new this round
     "token_budget_pack",
     "pii_extract_panel",
+    "pii_luhn_cc_panel",
     "corpus_pii_scrub",
     "corpus_curation_pii_v2",
     "stream_pii_scrub_parity",
     "multimodal_audio_fingerprint_v2_gated",
     "multimodal_audio_fingerprint_v2",
     "stream_repeated_span_parity",
+    # -- the r12-late text-LSH scale guard + bind_once touched the
+    # whole minhash family's shared code path; sample its heads
+    "dedup_minhash_lsh",
+    "dedup_shingle_jaccard",
+    "dedup_word_ngram_jaccard",
+    "boilerplate_ngram_coverage",
     # -- full r6-stale batch (never actually sampled from r11's tail)
     "s2_csv_union_dedup",
     "s8_sql_view_summary",
@@ -257,7 +266,7 @@ _ROUND12_WINDOW = [
 # comment can't silently drift from the list (r11 advisor finding).
 assert len(_ROUND11_WINDOW) == 72, len(_ROUND11_WINDOW)
 assert len(set(_ROUND11_WINDOW)) == len(_ROUND11_WINDOW)
-assert len(_ROUND12_WINDOW) == 60, len(_ROUND12_WINDOW)
+assert len(_ROUND12_WINDOW) == 65, len(_ROUND12_WINDOW)
 assert len(set(_ROUND12_WINDOW)) == len(_ROUND12_WINDOW)
 
 

@@ -1011,6 +1011,12 @@ def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..functions import pii as _PII  # noqa: E402  (shared with the batch family)
 
+# derived from PII_TYPES so a new pattern class (e.g. r12's cc) can
+# never drift this oracle from the Spark side's pii_total
+_PII_STREAM_TOTAL = " + ".join(
+    f"len(regexp_extract_all(ptext, '{pat}'))" for _, pat, _ in _PII.PII_TYPES
+)
+
 
 @register(
     "stream_pii_scrub_parity",
@@ -1019,10 +1025,7 @@ WITH p AS (
   SELECT doc_id, {_PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(ptext, '{_PII.EMAIL_RE}'))
-         + len(regexp_extract_all(ptext, '{_PII.SSN_RE}'))
-         + len(regexp_extract_all(ptext, '{_PII.PHONE_RE}'))
-         + len(regexp_extract_all(ptext, '{_PII.IP_RE}')) AS n_redactions,
+       {_PII_STREAM_TOTAL} AS n_redactions,
        md5({_PII.duck_redact_sql('ptext')}) AS redacted_fp
 FROM p ORDER BY doc_id
 """,

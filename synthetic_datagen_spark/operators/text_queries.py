@@ -2713,11 +2713,12 @@ WITH p AS (
          {_PII_COUNT_DUCK['phone']} AS n_phone,
          {_PII_COUNT_DUCK['ip']} AS n_ip,
          {_PII_COUNT_DUCK['ssn']} AS n_ssn,
+         {_PII_COUNT_DUCK['cc']} AS n_cc,
          (regexp_extract_all(ptext, '{PII.EMAIL_RE}'))[1] AS sample_email
   FROM p
 )
-SELECT doc_id, lang, n_email, n_phone, n_ip, n_ssn,
-       n_email + n_phone + n_ip + n_ssn AS n_pii, sample_email
+SELECT doc_id, lang, n_email, n_phone, n_ip, n_ssn, n_cc,
+       n_email + n_phone + n_ip + n_ssn + n_cc AS n_pii, sample_email
 FROM c
 """,
     doc="PII DETECTION panel — per-document match counts for the four "
@@ -2747,15 +2748,17 @@ def pii_extract_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         PII.pii_count("ptext", PII.PHONE_RE).alias("n_phone"),
         PII.pii_count("ptext", PII.IP_RE).alias("n_ip"),
         PII.pii_count("ptext", PII.SSN_RE).alias("n_ssn"),
+        PII.pii_count("ptext", PII.CC_RE).alias("n_cc"),
         F.get(
             F.regexp_extract_all("ptext", F.lit(PII.EMAIL_RE), F.lit(0)), 0
         ).alias("sample_email"),
     ).withColumn(
         "n_pii",
-        F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_ssn"),
+        F.col("n_email") + F.col("n_phone") + F.col("n_ip")
+        + F.col("n_ssn") + F.col("n_cc"),
     )
     return c.select(
-        "doc_id", "lang", "n_email", "n_phone", "n_ip", "n_ssn",
+        "doc_id", "lang", "n_email", "n_phone", "n_ip", "n_ssn", "n_cc",
         "n_pii", "sample_email",
     )
 
@@ -2882,4 +2885,52 @@ def corpus_curation_pii_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("_kept").cast("long")).alias("exact_kept"),
         )
         .orderBy("lang")
+    )
+
+
+_DUCK_LUHN_N = PII.duck_luhn_sql("n")
+
+
+@register(
+    "pii_luhn_cc_panel",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, {PII.PII_TEXT_DUCK_SQL} AS ptext FROM documents
+), c AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(ptext, '{PII.CC_RE}'),
+                        m -> regexp_replace(m, '[- ]', '', 'g')) AS pans
+  FROM p
+)
+SELECT doc_id,
+       len(pans) AS n_cc,
+       len(list_filter(pans, n -> {_DUCK_LUHN_N})) AS n_luhn_valid,
+       right(pans[1], 4) AS cc_last4
+FROM c
+""",
+    doc="Credit-card PII VALIDATION panel — detection plus the Luhn "
+    "checksum as a pure relational kernel (functions/pii.luhn_valid: "
+    "per-digit doubling fold via transform+aggregate, no UDF, "
+    "bind_once-bound so the digit string never re-inlines per "
+    "element). The injected cards are the public network test "
+    "numbers (Visa/MC/Amex/Discover docs) in dashed, spaced, and "
+    "contiguous formats, so every detected card is Luhn-valid by "
+    "construction and the oracle pins n_luhn_valid == n_cc per doc; "
+    "a real corpus uses the validity flag to drop OCR noise and "
+    "pseudo-PANs before redaction. Emits every doc (map-only "
+    "filterless panel, same plan discipline as pii_extract_panel) "
+    "with match count, Luhn-valid count, and the first card's last4 "
+    "(the audit-safe identifier production logs keep).",
+)
+def pii_luhn_cc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pii_docs(spark, sf_dir)
+    matches = F.regexp_extract_all("ptext", F.lit(PII.CC_RE), F.lit(0))
+    pans = F.transform(matches, lambda m: F.regexp_replace(m, "[- ]", ""))
+    staged = d.select("doc_id", pans.alias("pans"))
+    valid = F.filter("pans", lambda n: PII.luhn_valid(n))
+    return staged.select(
+        "doc_id",
+        F.size("pans").alias("n_cc"),
+        F.size(valid).alias("n_luhn_valid"),
+        F.substring(F.get("pans", 0), -4, 4).alias("cc_last4"),
     )

@@ -31,22 +31,29 @@ def _counts(spark, text: str) -> dict[str, int]:
 
 def test_each_pattern_matches_its_own_class(spark):
     assert _counts(spark, "mail me at a.b+tag@mail-3.example.co.uk ok") == {
-        "email": 1, "ssn": 0, "phone": 0, "ip": 0,
+        "email": 1, "cc": 0, "ssn": 0, "phone": 0, "ip": 0,
     }
     # parenthesized phone: the deliberate ABSENCE of a leading \b is
     # what lets this match ('(' is a non-word char — a leading \b
     # would reject every parenthesized number)
     assert _counts(spark, "call (555) 123 4567 now") == {
-        "email": 0, "ssn": 0, "phone": 1, "ip": 0,
+        "email": 0, "cc": 0, "ssn": 0, "phone": 1, "ip": 0,
     }
     assert _counts(spark, "call 555-123-4567 or 555.123.4567") == {
-        "email": 0, "ssn": 0, "phone": 2, "ip": 0,
+        "email": 0, "cc": 0, "ssn": 0, "phone": 2, "ip": 0,
     }
     assert _counts(spark, "host 10.255.0.13 down") == {
-        "email": 0, "ssn": 0, "phone": 0, "ip": 1,
+        "email": 0, "cc": 0, "ssn": 0, "phone": 0, "ip": 1,
     }
     assert _counts(spark, "ssn 123-45-6789 on file") == {
-        "email": 0, "ssn": 1, "phone": 0, "ip": 0,
+        "email": 0, "cc": 0, "ssn": 1, "phone": 0, "ip": 0,
+    }
+    # r12 fifth class: cards in dashed, spaced, and contiguous formats
+    assert _counts(spark, "card 4111-1111-1111-1111 on file") == {
+        "email": 0, "cc": 1, "ssn": 0, "phone": 0, "ip": 0,
+    }
+    assert _counts(spark, "pay 5555 5555 5555 4444 or 378282246310005") == {
+        "email": 0, "cc": 2, "ssn": 0, "phone": 0, "ip": 0,
     }
 
 
@@ -63,22 +70,31 @@ def test_pattern_disjointness(spark):
     assert _counts(spark, "10.255.200.113")["phone"] == 0
     # digits+dots inside an email local part match nothing else
     c = _counts(spark, "u.12345.x+tag@mail-3.example.co.uk")
-    assert c == {"email": 1, "ssn": 0, "phone": 0, "ip": 0}
+    assert c == {"email": 1, "cc": 0, "ssn": 0, "phone": 0, "ip": 0}
     # trailing \b: longer digit runs are NOT phones/SSNs/IPs
     assert _counts(spark, "order 555-123-45678 ref") == {
-        "email": 0, "ssn": 0, "phone": 0, "ip": 0,
+        "email": 0, "cc": 0, "ssn": 0, "phone": 0, "ip": 0,
     }
     assert _counts(spark, "v 10.2.3.4567 x")["ip"] == 0
+    # cards never cross-match: 4-digit groups fail phone's 3-digit
+    # middle, no SSN shape, no 4-octet dots; and a contiguous PAN
+    # inside a longer digit run or an email local part has no boundary
+    for card in ("4111-1111-1111-1111", "5555 5555 5555 4444",
+                 "378282246310005"):
+        c = _counts(spark, f"x {card} y")
+        assert c == {"email": 0, "cc": 1, "ssn": 0, "phone": 0, "ip": 0}, card
+    assert _counts(spark, "ref 94111111111111111119 x")["cc"] == 0  # 20 digits
+    assert _counts(spark, "m 378282246310005x@example.com")["cc"] == 0
 
 
 def test_redaction_is_complete_and_ordered(spark):
     txt = (
         "u 123-45-6789 then (555) 123 4567 then 10.0.0.1 "
-        "then bob@example.com done"
+        "then bob@example.com pays 4111-1111-1111-1111 done"
     )
     df = spark.createDataFrame([(txt,)], ["t"])
     red = df.select(pii.pii_redact("t").alias("r")).first()["r"]
-    assert red == "u <SSN> then <PHONE> then <IP> then <EMAIL> done"
+    assert red == "u <SSN> then <PHONE> then <IP> then <EMAIL> pays <CC> done"
     # idempotent: placeholders contain no digits or '@'
     red2 = (
         spark.createDataFrame([(red,)], ["t"])
@@ -97,6 +113,7 @@ def test_planted_counts_closed_form(spark, sf_smoke):
         F.sum("n_phone").alias("p"),
         F.sum("n_ip").alias("i"),
         F.sum("n_ssn").alias("s"),
+        F.sum("n_cc").alias("c"),
     ).first()
     ids = [
         r["doc_id"]
@@ -108,12 +125,13 @@ def test_planted_counts_closed_form(spark, sf_smoke):
     assert got["p"] == sum(1 for d in ids if d % 7 == 0)
     assert got["i"] == sum(1 for d in ids if d % 11 == 0)
     assert got["s"] == sum(1 for d in ids if d % 13 == 0)
+    assert got["c"] == sum(1 for d in ids if d % 19 == 0)
     assert panel.count() == len(ids)  # filterless: one row per doc
-    # doc 0 carries all four classes at once
+    # doc 0 carries all five classes at once
     d0 = panel.filter(F.col("doc_id") == 0).first()
-    assert (d0["n_email"], d0["n_phone"], d0["n_ip"], d0["n_ssn"]) == (
-        1, 1, 1, 1,
-    )
+    assert (
+        d0["n_email"], d0["n_phone"], d0["n_ip"], d0["n_ssn"], d0["n_cc"]
+    ) == (1, 1, 1, 1, 1)
     assert d0["sample_email"] == "u.0.x+tag@mail-0.example.co.uk"
 
 
@@ -184,3 +202,43 @@ def test_stream_scrub_is_stateless(spark, sf_smoke):
     n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
     assert out.count() == n_docs
     assert out.select("doc_id").distinct().count() == n_docs
+
+
+def test_luhn_kernel(spark):
+    """functions/pii.luhn_valid: the public network test numbers are
+    valid; any single-digit mutation flips the checksum; sub-12-digit
+    strings are rejected regardless of checksum."""
+    cases = [
+        ("4111111111111111", True),
+        ("5555555555554444", True),
+        ("378282246310005", True),
+        ("6011111111111117", True),
+        ("4111111111111112", False),  # mutated check digit
+        ("5555555555554434", False),  # mutated middle digit
+        ("00000000000", False),       # 11 digits: below min length
+        ("0", False),
+    ]
+    df = spark.createDataFrame([(s0,) for s0, _ in cases], ["n"])
+    got_map = {
+        r["n"]: r["v"]
+        for r in df.select("n", pii.luhn_valid("n").alias("v")).collect()
+    }
+    for s0, want in cases:
+        assert got_map[s0] is want, (s0, got_map[s0])
+
+
+def test_luhn_panel_pins_validity(spark, sf_smoke):
+    """Every injected card is a public test number, so the panel must
+    report n_luhn_valid == n_cc on every doc, and last4 must match the
+    injected format class."""
+    pdf = (
+        REGISTRY["pii_luhn_cc_panel"].build(spark, sf_smoke).toPandas()
+    )
+    assert (pdf["n_luhn_valid"] == pdf["n_cc"]).all()
+    with_cc = pdf[pdf["n_cc"] > 0]
+    assert len(with_cc) == sum(
+        1 for d in pdf["doc_id"] if d % 19 == 0
+    )
+    last4_by_mod = {0: "1111", 1: "4444", 2: "0005", 3: "1117"}
+    for _, r in with_cc.iterrows():
+        assert r["cc_last4"] == last4_by_mod[int(r["doc_id"]) % 4], r
