@@ -24,12 +24,15 @@ ids appended — is bit-identical on both sides and the detector runs
 against realistic in-context matches rather than a toy fixture.
 
 Pattern-disjointness (load-bearing for count parity, pinned in
-tests/test_pii.py): on any text the four patterns can never overlap —
+tests/test_pii.py): on any text the five patterns can never overlap —
 SSN's ``\\d{2}`` middle group rejects phone's ``\\d{3}``; IPv4 needs
 four dot-separated octets where dotted phones have three groups and the
 last phone group has four digits (> an octet's max three); emails
-require ``@``. So per-type extraction counts sum to the redaction count
-regardless of scrub order (fixed anyway: email, ssn, phone, ip).
+require ``@``; credit cards need 4-digit groups (vs phone's 3-digit
+middle) or contiguous 15-16 digit runs no other class can produce. So
+per-type extraction counts sum to the redaction count regardless of
+scrub order (fixed anyway: email, cc, ssn, phone, ip — PII_TYPES
+order).
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ PII_TYPES: list[tuple[str, str, str]] = [
 # shared dialect (||, CASE, substr, lpad, %). Emails go MID-text (after
 # char 64 — substr is total-length-safe in both engines), the rest are
 # appended with word context, so detectors must match in running text.
-# doc 0 carries all four types at once (0 ≡ 0 mod everything).
+# doc 0 carries all five types at once (0 ≡ 0 mod everything).
 _PII_TEXT_TEMPLATE = """\
 CASE WHEN doc_id % 5 = 0 THEN
   substr(text, 1, 64) || ' ' ||
@@ -121,9 +124,9 @@ def pii_count(col: Column | str, pattern: str) -> Column:
 
 
 def pii_total(col: Column | str) -> Column:
-    """Total PII matches across all four classes — the Spark twin of
-    the oracle-side _PII_TOTAL_DUCK sum; one place to extend when a
-    fifth pattern joins PII_TYPES."""
+    """Total PII matches across all PII_TYPES classes (five today) —
+    the Spark twin of the oracle-side _PII_TOTAL_DUCK sum; extending
+    PII_TYPES extends this automatically."""
     c = F.col(col) if isinstance(col, str) else col
     out = None
     for _, pattern, _ in PII_TYPES:

@@ -285,13 +285,24 @@ _BULK_CACHE: dict = {}
 _NDOCS_CACHE: dict = {}
 
 
-def _corpus_size(spark: SparkSession, sf_dir: str, docs: DataFrame) -> int:
-    """Per-session memo of the (length-filtered) doc count — the cheap
-    column-pruned scan that sizes both the bulk guard and the LSH
-    config chooser, paid once per corpus per session."""
+def _corpus_size(
+    spark: SparkSession, sf_dir: str, docs: DataFrame,
+    lineage: str = "len_ge_5",
+) -> int:
+    """Per-session memo of the doc count — the cheap column-pruned
+    scan that sizes both the bulk guard and the LSH config chooser,
+    paid once per corpus per session. The count depends on the DOCS
+    LINEAGE, not just sf_dir, so ``lineage`` names the filter applied
+    upstream and is part of the memo key (default: the family-standard
+    length>=5 filter of _docs_shingled) — a caller passing a
+    differently filtered frame must pass a distinct lineage tag or it
+    would silently reuse the wrong cached count and pick the wrong
+    LSH config."""
     from ..functions.memo import app_scoped_memo
 
-    return app_scoped_memo(_NDOCS_CACHE, spark, sf_dir, docs.count)
+    return app_scoped_memo(
+        _NDOCS_CACHE, spark, (sf_dir, lineage), docs.count
+    )
 
 
 def _minhash_bulk_guard(
@@ -2700,6 +2711,14 @@ _PII_COUNT_DUCK = {
     for name, pat, _ in PII.PII_TYPES
 }
 _PII_TOTAL_DUCK = " + ".join(_PII_COUNT_DUCK.values())
+# Residual sum over the scrubbed text MUST be generated from PII_TYPES
+# (like _PII_STREAM_TOTAL in source_queries.py), never hand-listed: a
+# hand-listed subset passes while all classes scrub clean but would
+# surface a future residual of an unlisted class as a confusing
+# cross-engine hash mismatch instead of a nonzero n_residual.
+_PII_RESIDUAL_DUCK = " + ".join(
+    f"len(regexp_extract_all(red, '{pat}'))" for _, pat, _ in PII.PII_TYPES
+)
 
 
 @register(
@@ -2721,15 +2740,16 @@ SELECT doc_id, lang, n_email, n_phone, n_ip, n_ssn, n_cc,
        n_email + n_phone + n_ip + n_ssn + n_cc AS n_pii, sample_email
 FROM c
 """,
-    doc="PII DETECTION panel — per-document match counts for the four "
+    doc="PII DETECTION panel — per-document match counts for the five "
     "standard PII classes (email, phone in dashed/parenthesized/dotted "
-    "formats, IPv4, SSN-shaped ids) plus the first extracted email as "
+    "formats, IPv4, SSN-shaped ids, credit cards) plus the first "
+    "extracted email as "
     "an audit sample, for EVERY document (zero rows included: the "
     "detector report a curation run reviews before scrubbing; a "
     "consumer's WHERE n_pii>0 is a trivial residual filter). "
     "Deliberately filterless: a `n_pii > 0` filter here gets "
     "predicate-pushed below the projection and re-derives the entire "
-    "4-pattern regex chain a second time inside the filter condition "
+    "5-pattern regex chain a second time inside the filter condition "
     "(observed in the plan — the same expression-inlining trap the "
     "r11 streaming span twin hit), whereas the filterless panel is "
     "one regex pass per row: Scan → Project, map-only, NO shuffle "
@@ -2776,16 +2796,13 @@ SELECT doc_id,
        length(ptext) AS n_chars_before,
        length(red) AS n_chars_after,
        md5(red) AS redacted_fp,
-       len(regexp_extract_all(red, '{PII.EMAIL_RE}'))
-         + len(regexp_extract_all(red, '{PII.PHONE_RE}'))
-         + len(regexp_extract_all(red, '{PII.IP_RE}'))
-         + len(regexp_extract_all(red, '{PII.SSN_RE}')) AS n_residual
+       {_PII_RESIDUAL_DUCK} AS n_residual
 FROM r
 """,
     doc="PII REDACTION apply step (the detect→scrub pair with "
     "pii_extract_panel, mirroring corpus_span_scrub's shape): every "
     "match replaced by its typed placeholder in a fixed order "
-    "(email, ssn, phone, ip — placeholders are digit/@-free so later "
+    "(email, cc, ssn, phone, ip — placeholders are digit/@-free so later "
     "patterns can't match inside earlier replacements), emitting "
     "per-doc redaction counts, before/after char lengths, an md5 "
     "fingerprint of the redacted text (the downstream-dedup input), "
