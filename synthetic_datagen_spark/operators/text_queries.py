@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..functions import text as TX
 from ..sources import Catalog
-from .base import register
+from .base import pinned_parquet_oracle, register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2950,4 +2950,132 @@ def pii_luhn_cc_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pans").alias("n_cc"),
         F.size(valid).alias("n_luhn_valid"),
         F.substring(F.get("pans", 0), -4, 4).alias("cc_last4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring — the FineWeb-Edu/DCLM-style learned
+# classifier filter (kernel + training/determinism contract in
+# functions/quality_clf.py). The one curation stage the catalog
+# previously expressed only as hand rules (gopher_quality_rules,
+# doc_lm_perplexity); production pipelines distill those signals into a
+# linear scorer and filter on the learned score.
+
+from ..functions import quality_clf as QC  # noqa: E402
+
+
+def _qclf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, weak_label, score, pred): the corpus
+    with its weak label and the trained NB classifier's score.
+
+    Training (one exploded hash agg + a 65-value driver fit) is
+    memoized per session; the returned frame's own plan is Scan →
+    Project — the weights ride as literals, no join, no shuffle."""
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    # stage _toks, then _fids in a SEPARATE projection: features()
+    # references the token array several times (size / length-sum /
+    # distinct), and cross-operator staging is the rule that keeps a
+    # repeated non-trivial expression evaluated once per row
+    base = (
+        d.select(
+            "doc_id", "lang",
+            QC.tokens(F.col("text")).alias("_toks"),
+        )
+        .withColumn("_weak", QC.weak_label(F.col("_toks")))
+        .withColumn("_fids", QC.features(F.col("_toks")))
+    )
+    prior, weights = QC.cached_fit(spark, sf_dir, base)
+    staged = base.withColumn(
+        "_w", F.array(*[F.lit(float(w)) for w in weights])
+    )
+    sc = QC.score(F.col("_fids"), F.col("_w"), prior)
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").alias("n_tokens"),
+        F.col("_weak").alias("weak_label"),
+        F.round(sc, 9).alias("score"),
+        (sc > 0).cast("int").alias("pred"),
+    )
+
+
+@register(
+    "quality_classifier_score",
+    # r13 parquet-captured pin at sf0.01 (tools/pin_oracles.py
+    # --parquet): scores are layout-deterministic by construction
+    # (integer training counts → driver math.log → within-row double
+    # fold), verified bit-equal across repartition layouts and a
+    # plain driver-simulation session
+    oracle=pinned_parquet_oracle("quality_classifier_score"),
+    pinned_sf="0.01",
+    doc="MODEL-BASED quality scoring (FineWeb-Edu/DCLM pattern): a "
+    "multinomial Naive Bayes classifier over md5-hashed token buckets "
+    "(64), trained on the corpus's own weak labels (the Gopher "
+    "all-rules pass — distilling the hand rules of "
+    "gopher_quality_rules into a learned scorer, exactly the "
+    "teacher→student shape FineWeb-Edu uses with LLM labels), then "
+    "every document scored in ONE map-only pass: the fit is "
+    "closed-form from exact integer bucket×label counts "
+    "(Spark-prep → driver-fit → broadcast-literals, the M10/M11 "
+    "pattern), inference folds per-token weights within the row via "
+    "a staged weights-array column (bind-once discipline — a literal "
+    "array referenced inside the lambda would re-inline per token). "
+    "Emits per-doc token count, weak label, NB log-odds score, and "
+    "the thresholded prediction. Layout-deterministic end to end: "
+    "integer training counts, driver-side math.log, within-row "
+    "double fold (pinned across layouts in tests). At 100 TB "
+    "inference fuses into the curation scan; training shuffles only "
+    "~128 combined rows per task.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qclf_scored(spark, sf_dir)
+
+
+@register(
+    "quality_classifier_funnel",
+    # r13 pinned VALUES at sf0.01: integer-only output over the
+    # deterministic scores
+    oracle="""SELECT * FROM (VALUES
+  ('de', CAST(70 AS BIGINT), CAST(36 AS BIGINT), CAST(36 AS BIGINT), CAST(64 AS BIGINT), CAST(33 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(32 AS BIGINT), CAST(36 AS BIGINT), CAST(0 AS BIGINT)),
+  ('en', CAST(218 AS BIGINT), CAST(79 AS BIGINT), CAST(92 AS BIGINT), CAST(199 AS BIGINT), CAST(76 AS BIGINT), CAST(16 AS BIGINT), CAST(8 AS BIGINT), CAST(118 AS BIGINT), CAST(92 AS BIGINT), CAST(0 AS BIGINT)),
+  ('es', CAST(73 AS BIGINT), CAST(30 AS BIGINT), CAST(32 AS BIGINT), CAST(61 AS BIGINT), CAST(25 AS BIGINT), CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(39 AS BIGINT), CAST(32 AS BIGINT), CAST(0 AS BIGINT)),
+  ('fr', CAST(64 AS BIGINT), CAST(27 AS BIGINT), CAST(27 AS BIGINT), CAST(58 AS BIGINT), CAST(24 AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(33 AS BIGINT), CAST(27 AS BIGINT), CAST(0 AS BIGINT)),
+  ('zh', CAST(75 AS BIGINT), CAST(34 AS BIGINT), CAST(33 AS BIGINT), CAST(68 AS BIGINT), CAST(30 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(39 AS BIGINT), CAST(33 AS BIGINT), CAST(0 AS BIGINT))
+) AS t("lang", "total", "weak_pos", "pred_pos", "n_agree", "tp", "fp", "h_lo", "h_neg", "h_pos", "h_hi")""",
+    pinned_sf="0.01",
+    doc="Threshold funnel + score histogram for the learned quality "
+    "classifier (the twin a curation run reviews before picking the "
+    "keep threshold): per language — doc count, weak-label positives, "
+    "classifier positives, weak/pred agreement, confusion counts "
+    "(tp/fp), and a 4-band score histogram (<-5, [-5,0), [0,5), >=5). "
+    "Integer-only output on top of quality_classifier_score's "
+    "deterministic scores: one additional hash agg on lang.",
+)
+def quality_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _qclf_scored(spark, sf_dir)
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum("weak_label").cast("long").alias("weak_pos"),
+            F.sum("pred").cast("long").alias("pred_pos"),
+            F.sum(
+                (F.col("weak_label") == F.col("pred")).cast("long")
+            ).alias("n_agree"),
+            F.sum(
+                ((F.col("weak_label") == 1) & (F.col("pred") == 1)).cast("long")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("weak_label") == 0) & (F.col("pred") == 1)).cast("long")
+            ).alias("fp"),
+            F.sum((F.col("score") < -5).cast("long")).alias("h_lo"),
+            F.sum(
+                ((F.col("score") >= -5) & (F.col("score") < 0)).cast("long")
+            ).alias("h_neg"),
+            F.sum(
+                ((F.col("score") >= 0) & (F.col("score") < 5)).cast("long")
+            ).alias("h_pos"),
+            F.sum((F.col("score") >= 5).cast("long")).alias("h_hi"),
+        )
+        .orderBy("lang")
     )

@@ -1165,3 +1165,311 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in panels[1:]:
         out = out.unionByName(p)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-dedup semantic deduplication (Abbas et al.
+# 2023, arXiv:2303.09540), the production alternative to pair-graph
+# LSH: k-means partitions the corpus, near-dup pruning runs WITHIN
+# clusters only, so candidate work is Σ n_c² ≈ n²/K flops inside
+# per-cluster kernels instead of an LSH table build — and nothing
+# pairwise is ever materialized as rows. Composes the two kernels the
+# repo already trusts: deterministic_kmeans (set-deterministic — the
+# pinned-oracle path) below the scale cutoff, the IVF coarse quantizer
+# (train-once-persist determinism, same contract as FAISS) above it.
+
+_SEMDEDUP_TH = 0.9
+# Cluster on a 16-dim PREFIX of the unit vectors: assignment cost (and
+# the set-deterministic k-means' literal-centroid expression size) is
+# k×dims, and the corpus's own truncation-fidelity panel
+# (embedding_truncation_fidelity) shows prefix cosine ranks track the
+# full vector closely — only the cluster ASSIGNMENT is approximate
+# (SemDeDup's inherent approximation); the dedup similarity inside the
+# kernel always uses all 64 dims. 8 Lloyd iterations: cluster quality
+# plateaus well before centroid bit-convergence and each iteration
+# compiles a fresh k×16-term plan.
+_SEMDEDUP_CLUSTER_DIMS = 16
+_SEMDEDUP_MAX_ITER = 8
+_SEMDEDUP_CACHE: dict = {}
+_SEMDEDUP_SCHEMA = (
+    "cluster_id long, n_members long, n_planted_coloc long, "
+    "n_planted_sim long, n_dup_pairs long, n_dropped long, n_kept long"
+)
+
+
+def _semdedup_kernel(threshold: float):
+    """Per-cluster dedup kernel for applyInPandas: rank members by
+    (similarity to centroid DESC, vec_id) — keep-centroid-nearest —
+    then drop any member whose cosine to an EARLIER-ranked member
+    reaches the threshold (relational dominance, not greedy chaining:
+    a member is dropped even if its dominator was itself dropped —
+    deterministic and order-free, and at ≥0.9 the two sets differ only
+    on near-transitive chains the paper also prunes). O(c²) flops per
+    cluster via one gemm; members stay columnar, no pair rows."""
+    import numpy as np
+    import pandas as pd
+
+    def dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cent_cos", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        S = X @ X.T
+        M = S >= threshold
+        c = len(pdf)
+        # dominated[j] = any earlier-ranked i with sim(i,j) >= th
+        upper = np.triu(M, k=1)
+        dominated = upper.any(axis=0)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        coloc = sim_ok = 0
+        for v, i in pos.items():
+            j = pos.get(v + 1_000_000)
+            if v < 1_000_000 and j is not None:
+                coloc += 1
+                if S[i, j] >= threshold:
+                    sim_ok += 1
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(ids.min())],
+                "n_members": [c],
+                "n_planted_coloc": [coloc],
+                "n_planted_sim": [sim_ok],
+                "n_dup_pairs": [int(upper.sum())],
+                "n_dropped": [int(dominated.sum())],
+                "n_kept": [int(c - dominated.sum())],
+            }
+        )
+
+    return dedup
+
+
+def _semdedup_cents_path(sf_dir: str, k: int, pdims: int) -> str:
+    """Cross-session artifact home for one (corpus, config) SemDeDup
+    fit — keyed on the embeddings file's identity (mtime+size) so
+    regenerated testdata can never serve stale centroids (the
+    regime-family artifact discipline)."""
+    import hashlib
+    import os
+
+    base = os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR", "/tmp/spark_graft_artifacts"
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "na"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|semdedup|{k}|{pdims}|"
+        f"{_SEMDEDUP_MAX_ITER}|{fp}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(base, f"semdedup_{key}.json")
+
+
+def _semdedup_load_cents(sf_dir: str, k: int, pdims: int):
+    import json
+    import os
+
+    path = _semdedup_cents_path(sf_dir, k, pdims)
+    if os.path.exists(path):
+        with open(path) as f:
+            return [tuple(c) for c in json.load(f)]
+    return None
+
+
+def _semdedup_save_cents(sf_dir: str, k: int, pdims: int, cents) -> None:
+    import json
+    import os
+
+    path = _semdedup_cents_path(sf_dir, k, pdims)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump([list(c) for c in cents], f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # artifact write is an optimization, never a failure
+
+
+def _semdedup_labeled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, nv, _cluster, cent_cos) for the planted corpus.
+
+    Below the fixed-config cutoff: deterministic_kmeans on the 64
+    unit-vector coordinates with K = ⌊√n⌋ (cluster size ≈ √n ⇒ total
+    candidate flops ≈ n^1.5), centroids re-derived as decimal-exact
+    per-cluster means so cent_cos is layout-deterministic (the pinned
+    oracle depends on it). Above the cutoff: the IVF coarse quantizer
+    (MLlib k-means, n_lists = n/512) whose determinism contract is
+    per-layout / train-once-persist — the FAISS posture, identical to
+    knn_ivf's."""
+    import math as _math
+
+    from ..functions.stats import dsum
+
+    corpus = _planted_corpus(spark, sf_dir)
+    n = _corpus_count(spark, sf_dir, "_planted_corpus", corpus)
+    dim = 64
+
+    if n > _fixed_config_max_rows():
+        idx = V.IvfIndex.build(
+            corpus, n_lists=max(64, n // 512), seed=42
+        )
+        labeled = idx.lists.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.zip_with(
+                "cv",
+                F.array_repeat("cn", dim),
+                lambda x, nrm: x / nrm,
+            ).alias("nv"),
+            F.col("list_id").alias("_cluster"),
+        )
+        cent_rows = [
+            (ci, [float(x) for x in ctr])
+            for ci, ctr in enumerate(idx.centroids)
+        ]
+        cent = spark.createDataFrame(
+            cent_rows, "_cluster int, carr array<double>"
+        )
+    else:
+        k = max(4, _math.isqrt(n))
+        pdims = _SEMDEDUP_CLUSTER_DIMS
+        fcols = [f"_f{i}" for i in range(pdims)]
+        unit = (
+            corpus.select(
+                "vec_id", V._as_double(F.col("embedding")).alias("_e")
+            )
+            .withColumn("_nrm", V.l2_norm(F.col("_e")))
+            .select(
+                "vec_id",
+                F.zip_with(
+                    "_e",
+                    F.array_repeat("_nrm", dim),
+                    lambda x, nrm: x / nrm,
+                ).alias("nv"),
+            )
+        )
+        feats = unit.select(
+            "vec_id", "nv", *[F.get("nv", i).alias(c) for i, c in enumerate(fcols)]
+        )
+        from ..regime.segmentation import deterministic_kmeans, kmeans_assign
+
+        # train-once-persist: the Lloyd loop is a per-corpus artifact
+        # (deterministic in the input SET, so a cached fit is
+        # interchangeable with a fresh one — the regime-model
+        # contract); warm sessions pay one assignment pass
+        cents = _semdedup_load_cents(sf_dir, k, pdims)
+        if cents is not None:
+            labeled = kmeans_assign(feats.localCheckpoint(eager=True), fcols, cents)
+        else:
+            labeled, cents = deterministic_kmeans(
+                feats, fcols, k, max_iter=_SEMDEDUP_MAX_ITER,
+                return_centroids=True,
+            )
+            _semdedup_save_cents(sf_dir, k, pdims, cents)
+        # ranking centroid = decimal-exact FULL-dim mean of members
+        # (the prefix is only for assignment); one agg, paid once
+        cagg = (
+            labeled.select(
+                "_cluster",
+                *[F.get("nv", i).alias(f"_v{i}") for i in range(dim)],
+            )
+            .groupBy("_cluster")
+            .agg(
+                F.count("*").alias("_n"),
+                *[dsum(F.col(f"_v{i}")).alias(f"_s{i}") for i in range(dim)],
+            )
+        )
+        cent = cagg.select(
+            "_cluster",
+            F.array(
+                *[
+                    (F.col(f"_s{i}").cast("double") / F.col("_n"))
+                    for i in range(dim)
+                ]
+            ).alias("carr"),
+        )
+        labeled = labeled.select("vec_id", "nv", "_cluster")
+
+    joined = labeled.join(F.broadcast(cent), "_cluster")
+    # nv is unit, so cos(v, c) = dot(nv, carr)/|carr|; carr/cnrm are
+    # attribute refs by the time the folds see them (staged select)
+    staged = joined.withColumn("_cnrm", V.l2_norm(F.col("carr")))
+    return staged.select(
+        "vec_id",
+        "nv",
+        "_cluster",
+        (V.dot(F.col("nv"), F.col("carr")) / F.col("_cnrm")).alias("cent_cos"),
+    )
+
+
+_PIN_SEMDEDUP = """SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(38 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(35 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(44 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(42 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(42 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(38 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(59 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(56 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(24 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(21 AS BIGINT)),
+  (CAST(10 AS BIGINT), CAST(41 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(6 AS BIGINT), CAST(35 AS BIGINT)),
+  (CAST(11 AS BIGINT), CAST(23 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(23 AS BIGINT)),
+  (CAST(12 AS BIGINT), CAST(31 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(29 AS BIGINT)),
+  (CAST(15 AS BIGINT), CAST(16 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(14 AS BIGINT)),
+  (CAST(18 AS BIGINT), CAST(27 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(27 AS BIGINT)),
+  (CAST(20 AS BIGINT), CAST(51 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(7 AS BIGINT), CAST(44 AS BIGINT)),
+  (CAST(24 AS BIGINT), CAST(52 AS BIGINT), CAST(6 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(47 AS BIGINT)),
+  (CAST(29 AS BIGINT), CAST(33 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(29 AS BIGINT)),
+  (CAST(57 AS BIGINT), CAST(38 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(35 AS BIGINT)),
+  (CAST(92 AS BIGINT), CAST(29 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(27 AS BIGINT)),
+  (CAST(284 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(459 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+) AS t("cluster_id", "n_members", "n_planted_coloc", "n_planted_sim", "n_dup_pairs", "n_dropped", "n_kept")"""
+
+
+@register(
+    "embedding_semdedup_clusters",
+    # r13 pinned VALUES at sf0.01: integer-only panel, layout-
+    # deterministic below the scale cutoff (set-deterministic k-means,
+    # decimal centroid means, within-row folds, rank-sorted kernel);
+    # a persisted-centroid warm start is bit-interchangeable with a
+    # fresh Lloyd fit (verified, and pinned in tests/test_vectors.py)
+    oracle=_PIN_SEMDEDUP,
+    pinned_sf="0.01",
+    doc="SemDeDup cluster-then-dedup semantic deduplication (Abbas et "
+    "al. 2023): deterministic k-means (K=⌊√n⌋ below the scale cutoff; "
+    "the IVF coarse quantizer with n/512 lists above it) partitions "
+    "the planted near-dup corpus, then near-dup pruning runs WITHIN "
+    "each cluster — members ranked by similarity-to-centroid "
+    "(keep-centroid-nearest), any member at cos ≥ 0.9 to an "
+    "earlier-ranked member is dropped — inside one applyInPandas gemm "
+    "per cluster: candidate work is K·(n/K)² flops with NOTHING "
+    "pairwise materialized as rows, the 100 TB alternative to LSH "
+    "table tuning (embedding_dedup_clusters_scaled is the same corpus "
+    "through the LSH path). Emits the per-cluster audit panel: "
+    "members, co-located planted pairs, planted pairs above "
+    "threshold, dup pairs, dropped, kept. Layout-deterministic below "
+    "the cutoff by construction (set-deterministic k-means, "
+    "decimal-exact centroid means, within-row cosine folds, "
+    "rank-sorted kernel) — the pinned oracle checks exact values; "
+    "recall-vs-LSH and dominance invariants in tests/test_vectors.py.",
+)
+def embedding_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.memo import app_scoped_memo
+
+    # the clustering (iterative k-means or IVF build) is the corpus
+    # artifact; memoize the labeled frame per session so warm runs pay
+    # only the per-cluster kernel (bench steady-state discipline)
+    labeled = app_scoped_memo(
+        _SEMDEDUP_CACHE,
+        spark,
+        ("semdedup_labeled", sf_dir),
+        lambda: _semdedup_labeled(spark, sf_dir).localCheckpoint(eager=True),
+    )
+    return (
+        labeled.groupBy("_cluster")
+        .applyInPandas(_semdedup_kernel(_SEMDEDUP_TH), _SEMDEDUP_SCHEMA)
+        .drop("_cluster")
+        .orderBy("cluster_id")
+    )

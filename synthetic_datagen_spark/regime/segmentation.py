@@ -343,12 +343,36 @@ def cluster_segments(
     return labels.withColumnRenamed("_cluster", "cluster")
 
 
+def kmeans_assign(
+    df: DataFrame,
+    feature_cols: list[str],
+    cents: list[tuple],
+) -> DataFrame:
+    """Label ``df`` with ``_cluster`` = argmin squared distance to the
+    given centroids, ties broken by lowest centroid id — the (pure,
+    deterministic) assignment step of deterministic_kmeans, exposed so
+    a caller holding persisted centroids (the train-once-persist
+    lifecycle) can label without re-running Lloyd."""
+    choices = [
+        F.struct(
+            sum(
+                (F.col(c) - F.lit(cc)) * (F.col(c) - F.lit(cc))
+                for c, cc in zip(feature_cols, cent)
+            ).alias("d"),
+            F.lit(ci).alias("cid"),
+        )
+        for ci, cent in enumerate(cents)
+    ]
+    return df.withColumn("_cluster", F.least(*choices)["cid"])
+
+
 def deterministic_kmeans(
     feats: DataFrame,
     feature_cols: list[str],
     k: int,
     max_iter: int = 25,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Distributed Lloyd k-means whose labels are a pure function of
     the input SET — independent of partition layout, task order, and
     shuffle fetch order. Contrast MLlib KMeans, which is
@@ -383,26 +407,13 @@ def deterministic_kmeans(
         ]
     ).first()
     if qrow[feature_cols[0]] is None:  # empty input: no percentiles
-        return feats.withColumn("_cluster", F.lit(0))
+        out = feats.withColumn("_cluster", F.lit(0))
+        return (out, []) if return_centroids else out
     cents = [tuple(float(qrow[c][i]) for c in feature_cols) for i in range(k)]
-
-    def assign(df: DataFrame) -> DataFrame:
-        # struct(dist, cid) min — deterministic tie-break on cid
-        choices = [
-            F.struct(
-                sum(
-                    (F.col(c) - F.lit(cc)) * (F.col(c) - F.lit(cc))
-                    for c, cc in zip(feature_cols, cent)
-                ).alias("d"),
-                F.lit(ci).alias("cid"),
-            )
-            for ci, cent in enumerate(cents)
-        ]
-        return df.withColumn("_cluster", F.least(*choices)["cid"])
 
     for _ in range(max_iter):
         agg = (
-            assign(feats)
+            kmeans_assign(feats, feature_cols, cents)
             .groupBy("_cluster")
             .agg(
                 F.count("*").alias("_n"),
@@ -423,4 +434,5 @@ def deterministic_kmeans(
         if new_cents == cents:
             break
         cents = new_cents
-    return assign(feats)
+    out = kmeans_assign(feats, feature_cols, cents)
+    return (out, cents) if return_centroids else out

@@ -498,3 +498,48 @@ def test_threshold_floor_separates_clustered_from_diffuse(spark):
     assert fc > 0.9, fc       # clustered: 0.9 is INSIDE the bulk
     assert 0.2 < fd < 0.7, fd  # diffuse: tail of N(0, 1/sqrt(64))
     assert fd < 0.9            # 0.9 is safe on diffuse geometry
+
+
+def test_semdedup_panel_invariants(spark, sf_smoke):
+    """SemDeDup accounting must close: members partition into
+    kept/dropped, every planted pair above threshold inside a cluster
+    forces ≥1 drop (the dominance rule's guarantee), and the corpus
+    total matches the planted corpus size."""
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    rows = REGISTRY["embedding_semdedup_clusters"].build(spark, sf_smoke).collect()
+    n_corpus = VQ._planted_corpus(spark, sf_smoke).count()
+    assert sum(r["n_members"] for r in rows) == n_corpus
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_members"]
+        assert r["n_planted_sim"] <= r["n_planted_coloc"]
+        assert r["n_dup_pairs"] >= r["n_planted_sim"]
+        assert r["n_dropped"] >= min(r["n_planted_sim"], 1) if r["n_planted_sim"] else True
+        assert r["n_dropped"] <= r["n_dup_pairs"]  # each drop needs a dominating pair
+
+
+def test_semdedup_warm_start_interchangeable(spark, sf_smoke):
+    """A persisted-centroid warm start must produce the bit-identical
+    panel a fresh Lloyd fit produces (the regime-model artifact
+    contract, applied to SemDeDup's k-means)."""
+    import os
+
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators import vector_queries as VQ
+
+    n = VQ._corpus_count(
+        spark, sf_smoke, "_planted_corpus", VQ._planted_corpus(spark, sf_smoke)
+    )
+    import math
+
+    k = max(4, math.isqrt(n))
+    path = VQ._semdedup_cents_path(sf_smoke, k, VQ._SEMDEDUP_CLUSTER_DIMS)
+    if os.path.exists(path):
+        os.remove(path)
+    VQ._SEMDEDUP_CACHE.clear()
+    fresh = REGISTRY["embedding_semdedup_clusters"].build(spark, sf_smoke).collect()
+    assert os.path.exists(path)  # the fit persisted its centroids
+    VQ._SEMDEDUP_CACHE.clear()  # force the artifact-load path
+    warm = REGISTRY["embedding_semdedup_clusters"].build(spark, sf_smoke).collect()
+    assert fresh == warm
