@@ -269,6 +269,93 @@ assert len(set(_ROUND11_WINDOW)) == len(_ROUND11_WINDOW)
 assert len(_ROUND12_WINDOW) == 65, len(_ROUND12_WINDOW)
 assert len(set(_ROUND12_WINDOW)) == len(_ROUND12_WINDOW)
 
+# Round 13 window (65 names, asserted below; the driver samples the
+# first ~50 by position). Priority (r12 VERDICT item 1): the 7 queries
+# whose value oracles landed in r11's pinning sweep but have NEVER
+# been hash-checked by the driver (last sampled while still no_oracle,
+# r10 or earlier) — the driver's hash check is the contract's ground
+# truth and it has never seen these oracles; then the 3 NEW r13
+# queries (quality classifier pair, SemDeDup), the 4 whose code or
+# oracle changed this round (PII-scrub residual oracle, audio-v2
+# octet gate ×2, the corpus-size memo-key change on the minhash
+# family's shared path), then the ENTIRE r8-stale batch (31 queries
+# that sat in r12's window tail, positions 51-65, plus earlier
+# rotation leftovers) and r9-stale backfill to 65.
+_ROUND13_WINDOW = [
+    # -- never driver-hash-checked with their current oracles
+    "stream_regime_generate_parity",
+    "d5_spectral_distance",
+    "d9_tolerance_panel",
+    "m13_external_predictor_eval",
+    "m14_ga_block_search",
+    "m15_staged_optimizer",
+    "m16_random_sweep",
+    # -- new this round
+    "quality_classifier_score",
+    "quality_classifier_funnel",
+    "embedding_semdedup_clusters",
+    # -- code/oracle changed this round
+    "corpus_pii_scrub",
+    "multimodal_audio_fingerprint_v2_gated",
+    "multimodal_audio_fingerprint_v2",
+    "dedup_minhash_lsh",
+    # -- full r8-stale batch
+    "intersect_except_users",
+    "interval_join_lineitem_orderdate",
+    "json_props_extract",
+    "label_balanced_resample",
+    "minmax_scaling",
+    "multimodal_audio_codec_roundtrip",
+    "ntile_rank_panel",
+    "p_filters_panel",
+    "q14_promo_revenue_share",
+    "q15_top_supplier_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_brand_filter",
+    "q22_idle_customer_balance",
+    "q4_priority_late_ship",
+    "q7_nation_volume_shipping",
+    "range_window_trailing_1h",
+    "s11_orc_roundtrip_summary",
+    "s12_small_file_compaction",
+    "s13_jsonl_roundtrip_summary",
+    "sequence_packing_bins",
+    "sql_udtf_chunk_stats",
+    "stream_corpus_curation_parity",
+    "stream_decontamination_parity",
+    "stream_dedup_parity",
+    "stream_session_parity",
+    "string_functions_panel",
+    "training_mix_resample",
+    "variant_json_props_panel",
+    "zipf_rank_frequency_panel",
+    "zscore_normalization",
+    # -- r9-stale backfill
+    "a12_generator_summary",
+    "a13_metric_map_mean",
+    "a14_distinct_states",
+    "a1_moment_panel",
+    "a3_histogram_100",
+    "a4_quantile_edges",
+    "a5_state_frequency",
+    "a7_transition_matrix",
+    "a8_per_regime_stats",
+    "a9_price_quantity_correlation",
+    "anti_join_customers_without_orders",
+    "asof_join_purchase_click",
+    "bpe_tokenize_stats",
+    "bpe_train_merges",
+    "corpus_curation_pipeline",
+    "d1_js_divergence",
+    "d2_wasserstein",
+    "d3_ks_statistic",
+    "d7_moment_ratio_panel",
+    "dedup_first_event_per_user",
+]
+assert len(_ROUND13_WINDOW) == 65, len(_ROUND13_WINDOW)
+assert len(set(_ROUND13_WINDOW)) == len(_ROUND13_WINDOW)
+
 
 def _rotate(window: list[str]) -> None:
     """Reorder REGISTRY in place: ``window`` first, the rest unchanged."""
@@ -282,6 +369,6 @@ def _rotate(window: list[str]) -> None:
         REGISTRY[n] = snapshot[n]
 
 
-_rotate(_ROUND12_WINDOW)
+_rotate(_ROUND13_WINDOW)
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
