@@ -401,30 +401,44 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     stats = model.stats
     n_series, n_ticks = 3, 120
 
-    # tick requests staged as several files → several micro-batches
+    # tick requests staged as several files → several micro-batches.
+    # 3 files, 1 per trigger: parity must stay a multi-batch replay
+    # (every series' recursion crosses batch boundaries), but each
+    # trigger is a full state-store commit cycle — the harness floor
+    # (the r12 span-twin lesson, applied here in r13: 6→3 triggers).
     base = _scratch(spark, "stream_ticks", sf_dir)
     ticks = spark.createDataFrame(
         [(int(s), int(t)) for s in range(n_series) for t in range(n_ticks)],
         "series_id LONG, tick LONG",
     )
-    ticks.repartition(6).write.mode("overwrite").parquet(base)
+    ticks.repartition(3).write.mode("overwrite").parquet(base)
     stream = (
         spark.readStream.schema("series_id LONG, tick LONG")
         .option("maxFilesPerTrigger", 1)
         .parquet(base)
     )
     name = f"gen_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_online_generator(
-            stream, trans_cum, start_cum, stats, garch, seed=42, p0=p0
+    # 3 series keys need nowhere near the session's 32-200 state
+    # partitions; 8 bounds the per-trigger state-store commit fan-out.
+    # Scoped to the stream start only (captured in the checkpoint);
+    # the tick values are batch- and partition-invariant by
+    # construction (counter RNG), so the pinned panel is unchanged.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_online_generator(
+                stream, trans_cum, start_cum, stats, garch, seed=42, p0=p0
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     streamed = spark.table(name).select(
         "series_id", "step", F.col("regime").alias("regime_s"),
         F.col("price").alias("price_s"),
@@ -775,18 +789,30 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(base)
     name = f"funnel_{uuid.uuid4().hex[:8]}"
-    stream = read_events_stream(spark, base, max_files_per_trigger=2).select(
+    # 8 files, 3 per trigger → 3 micro-batches (r13, the span-twin
+    # trigger trim): cross-batch late arrivals are still exercised
+    # (every file spans the full time range), but each avoided trigger
+    # is a full state-store commit cycle. 8 state partitions bound the
+    # commit fan-out; the funnel kernel is ORDER-INDEPENDENT and the
+    # oracle aggregates global counts, so neither change can move the
+    # checked answer.
+    stream = read_events_stream(spark, base, max_files_per_trigger=3).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    q = (
-        stream_funnel_stages(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_funnel_stages(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = spark.table(name).groupBy("user_id").agg(
         F.max_by(
             F.struct("first_view", "first_click", "first_purchase"), "emit_seq"

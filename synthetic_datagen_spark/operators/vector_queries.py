@@ -1215,19 +1215,41 @@ def _semdedup_kernel(threshold: float):
         ).reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy()
         X = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
-        S = X @ X.T
-        M = S >= threshold
         c = len(pdf)
-        # dominated[j] = any earlier-ranked i with sim(i,j) >= th
-        upper = np.triu(M, k=1)
-        dominated = upper.any(axis=0)
+        block = 2048
+        dominated = np.zeros(c, dtype=bool)
+        n_dup_pairs = 0
+        if c <= block:
+            S = X @ X.T
+            M = S >= threshold
+            upper = np.triu(M, k=1)
+            dominated = upper.any(axis=0)
+            n_dup_pairs = int(upper.sum())
+            sim = lambda i, j: S[i, j]  # noqa: E731
+        else:
+            # blockwise gemm: a skewed cluster (e.g. the IVF path's
+            # largest list at 100×) must not allocate a c×c similarity
+            # matrix — O(c·block) memory, same O(c²) flops, identical
+            # dominance semantics (rows are rank-sorted, so column j is
+            # dominated iff any i<j reaches the threshold)
+            for j0 in range(0, c, block):
+                j1 = min(j0 + block, c)
+                Sb = X @ X[j0:j1].T  # (c, j1-j0)
+                for off in range(j1 - j0):
+                    j = j0 + off
+                    col = Sb[:j, off]
+                    hits = int((col >= threshold).sum())
+                    n_dup_pairs += hits
+                    if hits:
+                        dominated[j] = True
+            sim = lambda i, j: float(X[i] @ X[j])  # noqa: E731
         pos = {int(v): i for i, v in enumerate(ids)}
         coloc = sim_ok = 0
         for v, i in pos.items():
             j = pos.get(v + 1_000_000)
             if v < 1_000_000 and j is not None:
                 coloc += 1
-                if S[i, j] >= threshold:
+                if sim(i, j) >= threshold:
                     sim_ok += 1
         return pd.DataFrame(
             {
@@ -1235,7 +1257,7 @@ def _semdedup_kernel(threshold: float):
                 "n_members": [c],
                 "n_planted_coloc": [coloc],
                 "n_planted_sim": [sim_ok],
-                "n_dup_pairs": [int(upper.sum())],
+                "n_dup_pairs": [int(n_dup_pairs)],
                 "n_dropped": [int(dominated.sum())],
                 "n_kept": [int(c - dominated.sum())],
             }

@@ -41,7 +41,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     flagged: dict[str, list[str]] = {}
+    audited = 0
     for name, spec in sorted(REGISTRY.items()):
+        audited += 1
         try:
             plan = spec.build(spark, sf)._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001
@@ -50,10 +52,16 @@ def main() -> int:
         hits = [s for s in SMELLS if s in plan]
         if hits:
             flagged[name] = hits
+    # catalog-count cross-check (r12 VERDICT item 5): a query landing
+    # after the sweep ran must not be able to read as "audited" — the
+    # output pins the catalog size the sweep actually covered, and the
+    # assert fails loudly if the loop ever skips entries
+    assert audited == len(REGISTRY), (audited, len(REGISTRY))
     print(
         json.dumps(
             {
-                "audited": len(REGISTRY),
+                "audited": audited,
+                "catalog": len(REGISTRY),
                 "seconds": round(time.time() - t0, 1),
                 "flagged": flagged,
             }
