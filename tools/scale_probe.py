@@ -79,10 +79,21 @@ PAIR_ATTRIBUTION = {
 
 
 def main() -> None:
-    dirs = sys.argv[1:3]
-    names = sys.argv[3:] or HEAVY
+    args = sys.argv[1:]
+    # --hash: force FULL evaluation by summing a row hash over every
+    # output column instead of count(). A map-only panel (the PII
+    # family, classifier scoring) collapses under count() — Spark
+    # prunes the projected columns and the probe times a parquet
+    # rowcount, not the operator (r13 finding: corpus_pii_scrub "ran"
+    # 500k docs in 0.84 s because the regex chain never executed).
+    force_hash = "--hash" in args
+    args = [a for a in args if a != "--hash"]
+    dirs = args[:2]
+    names = args[2:] or HEAVY
     if len(dirs) < 2:
-        raise SystemExit("usage: scale_probe.py SMALL_DIR BIG_DIR [query ... | --all]")
+        raise SystemExit(
+            "usage: scale_probe.py SMALL_DIR BIG_DIR [--hash] [query ... | --all]"
+        )
     sys.path.insert(0, ".")
     import __spark_entry__ as entry
     from synthetic_datagen_spark.session import get_spark
@@ -102,7 +113,20 @@ def main() -> None:
             # storage bleed between measurements (checkpoint blocks of
             # earlier queries otherwise crowd the local-mode heap)
             t0 = time.time()
-            n = qs[name](spark, d).count()
+            df = qs[name](spark, d)
+            if force_hash:
+                from pyspark.sql import functions as F
+
+                row = df.agg(
+                    F.count("*").alias("n"),
+                    # bit_xor: order-independent forcing aggregate with
+                    # no ANSI long-overflow hazard (sum of 500k xxhash64
+                    # values overflows BIGINT)
+                    F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
+                ).first()
+                n = row["n"]
+            else:
+                n = df.count()
             rec[tag] = round(time.time() - t0, 2)
             rec[f"{tag}_rows"] = n
             counter = PAIR_ATTRIBUTION.get(name)
