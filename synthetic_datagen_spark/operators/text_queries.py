@@ -2527,8 +2527,16 @@ def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = SPAN_GRAM_K
     tok = _span_tokens(spark, sf_dir)
     spans = _repeated_spans(tok, k).drop("n_grams")
+    # merge-hint: the span frame is O(corpus) on a templated corpus
+    # (every doc holding a repeated 5-gram contributes rows), and the
+    # planner's post-aggregate estimate reads it as broadcastable — at
+    # 500k docs the hashed-relation build is a ~2 GB allocation, twice
+    # (the scr branch recomputes this lineage). Equi-SMJ on doc_id with
+    # the range condition as a residual filter is the shape that
+    # survives 100 TB; "spans per doc are few" bounds the JOIN OUTPUT,
+    # not the span frame's size.
     span_txt = (
-        spans.join(tok, "doc_id")
+        spans.hint("merge").join(tok, "doc_id")
         .filter(F.col("pos").between(F.col("span_start"), F.col("span_end")))
         .groupBy("doc_id", "span_start", "span_end")
         .agg(
@@ -2570,9 +2578,19 @@ def corpus_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("ns"))
     )
+    # merge-hint the assembly joins: pre/post are O(corpus)-row per-doc
+    # aggregates — the planner's post-aggregate size estimate reads
+    # small enough to broadcast, and at 500k docs building the hashed
+    # relation for the md5-bearing side is a ~2 GB single allocation
+    # (the r13 forced-eval probe found the r12 row had been measuring a
+    # column-pruned plan that never built it). All three frames hash
+    # the same doc_id key; SMJ co-partitions them — the only join shape
+    # that survives 100 TB. scr IS bounded (repeated spans only), so
+    # its broadcast would be fine — but it arrives pre-partitioned on
+    # doc_id from the same shuffle, so the merge join is free anyway.
     return (
-        pre.join(post, "doc_id", "left")
-        .join(scr, "doc_id", "left")
+        pre.join(post.hint("merge"), "doc_id", "left")
+        .join(scr.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens_before",
