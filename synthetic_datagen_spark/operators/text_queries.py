@@ -3097,3 +3097,75 @@ def quality_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "corpus_curation_quality_v3",
+    # r13 pinned VALUES at sf0.01: integer-only funnel over the
+    # layout-deterministic classifier scores + PII counts
+    oracle="""SELECT * FROM (VALUES
+  ('de', CAST(70 AS BIGINT), CAST(37 AS BIGINT), CAST(21 AS BIGINT), CAST(24 AS BIGINT), CAST(37 AS BIGINT)),
+  ('en', CAST(218 AS BIGINT), CAST(101 AS BIGINT), CAST(52 AS BIGINT), CAST(70 AS BIGINT), CAST(101 AS BIGINT)),
+  ('es', CAST(73 AS BIGINT), CAST(32 AS BIGINT), CAST(16 AS BIGINT), CAST(19 AS BIGINT), CAST(32 AS BIGINT)),
+  ('fr', CAST(64 AS BIGINT), CAST(29 AS BIGINT), CAST(16 AS BIGINT), CAST(18 AS BIGINT), CAST(29 AS BIGINT)),
+  ('zh', CAST(75 AS BIGINT), CAST(35 AS BIGINT), CAST(16 AS BIGINT), CAST(18 AS BIGINT), CAST(35 AS BIGINT))
+) AS t("lang", "total", "clf_pass", "pii_docs", "total_redactions", "exact_kept")""",
+    pinned_sf="0.01",
+    doc="Curation funnel v3 — the MODERN production ordering "
+    "(FineWeb/DCLM): learned quality gate → PII scrub → exact dedup "
+    "on the REDACTED text. v1 gated on hand heuristics, v2 swapped "
+    "the scrub into the production slot; v3 replaces the hand rules "
+    "with the trained NB classifier (weights shared with "
+    "quality_classifier_score via the session fit memo — trained once "
+    "on the raw corpus, applied here to the scrub-input text as "
+    "broadcast plan literals). Same fused one-scan shape as v1/v2: "
+    "per-row token/feature/score columns → one fingerprint window → "
+    "one hash agg of conditional sums; NO join against a second "
+    "corpus derivation (the score computes in-row on the same scan — "
+    "the r13 span-scrub lesson: two O(corpus) derivations of one scan "
+    "joined back together invite a planner broadcast of corpus-sized "
+    "aggregates). Emits per-language funnel counts: total → clf_pass "
+    "→ pii_docs/total_redactions → exact_kept.",
+)
+def corpus_curation_quality_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train on the SAME standard corpus as quality_classifier_score so
+    # the fit memo is shared; score the PII-injected curation input
+    train_base = (
+        _docs_wide(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", QC.tokens(F.col("text")).alias("_toks"))
+        .withColumn("_weak", QC.weak_label(F.col("_toks")))
+        .withColumn("_fids", QC.features(F.col("_toks")))
+    )
+    prior, weights = QC.cached_fit(spark, sf_dir, train_base)
+
+    d = _pii_docs(spark, sf_dir)
+    staged = (
+        d.withColumn("_toks", QC.tokens(F.col("ptext")))
+        .withColumn("_fids", QC.features(F.col("_toks")))
+        .withColumn("_w", F.array(*[F.lit(float(w)) for w in weights]))
+    )
+    q = QC.score(F.col("_fids"), F.col("_w"), prior) > 0
+    n_pii = PII.pii_total("ptext")
+    red = PII.pii_redact("ptext")
+    wfp = Window.partitionBy(q, TX.fingerprint(red)).orderBy("doc_id")
+    flagged = (
+        staged.withColumn("_q", q)
+        .withColumn("_npii", n_pii)
+        .withColumn("_kept", F.col("_q") & (F.row_number().over(wfp) == 1))
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("_q").cast("long")).alias("clf_pass"),
+            F.sum(
+                (F.col("_q") & (F.col("_npii") > 0)).cast("long")
+            ).alias("pii_docs"),
+            F.sum(
+                F.when(F.col("_q"), F.col("_npii")).otherwise(0).cast("long")
+            ).alias("total_redactions"),
+            F.sum(F.col("_kept").cast("long")).alias("exact_kept"),
+        )
+        .orderBy("lang")
+    )
