@@ -10,7 +10,7 @@ from pyspark.sql import types as T
 
 from ..sources import Catalog
 from ..sources.csv_io import load_multiple_csv, save_csv
-from .base import register
+from .base import pinned_parquet_oracle, register
 
 _EVENTS_CSV = T.StructType(
     [
@@ -1091,6 +1091,77 @@ def stream_pii_scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"piiscrub_{uuid.uuid4().hex[:8]}"
     q = (
         scrubbed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("doc_id")
+
+
+@register(
+    "stream_quality_score_parity",
+    # oracle = the BATCH quality_classifier_score's parquet-captured
+    # pin, shared verbatim: the stream twin must reproduce the batch
+    # scorer's per-doc panel bit-for-bit (stateless map, so batch
+    # splits cannot move any value) — one pin, two engines' worth of
+    # parity in the gate
+    oracle=pinned_parquet_oracle("quality_classifier_score"),
+    pinned_sf="0.01",
+    doc="STREAMING twin of quality_classifier_score (SURVEY §2.13 × "
+    "the r13 classifier family): the NB weights fit ONCE offline on "
+    "the static corpus (the shared session fit memo — same artifact "
+    "the batch scorer and the v3 funnel use), then documents arrive "
+    "as a 4-file stream and every micro-batch is scored STATELESSLY "
+    "— weights ride as broadcast plan literals, per-row within-array "
+    "fold, ZERO state, no watermark: the right shape for scoring a "
+    "100 TB continuous ingest (the FineWeb/DCLM filters run exactly "
+    "this way — train offline, score the crawl as it lands). Output "
+    "is the batch scorer's per-doc panel verbatim and the oracle IS "
+    "the batch pin, so stream == batch is checked bit-exactly per "
+    "document including the double scores.",
+)
+def stream_quality_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..functions import quality_clf as QC
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    train_base = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", QC.tokens(F.col("text")).alias("_toks"))
+        .withColumn("_weak", QC.weak_label(F.col("_toks")))
+        .withColumn("_fids", QC.features(F.col("_toks")))
+    )
+    prior, weights = QC.cached_fit(spark, sf_dir, train_base)
+
+    base = _scratch(spark, "stream_qscore", sf_dir)
+    docs.repartition(4).write.mode("overwrite").parquet(base)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+
+    staged = (
+        stream.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "lang", QC.tokens(F.col("text")).alias("_toks"))
+        .withColumn("_weak", QC.weak_label(F.col("_toks")))
+        .withColumn("_fids", QC.features(F.col("_toks")))
+        .withColumn("_w", F.array(*[F.lit(float(w)) for w in weights]))
+    )
+    sc = QC.score(F.col("_fids"), F.col("_w"), prior)
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        F.size("_toks").alias("n_tokens"),
+        F.col("_weak").alias("weak_label"),
+        F.round(sc, 9).alias("score"),
+        (sc > 0).cast("int").alias("pred"),
+    )
+
+    name = f"qscore_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
