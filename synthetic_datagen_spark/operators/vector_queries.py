@@ -1338,8 +1338,13 @@ def _semdedup_labeled(
     dim = 64
 
     if n > _fixed_config_max_rows():
+        # spread the single-row-group parquet before the fit: an
+        # un-spread corpus hands MLlib k-means ONE partition — every
+        # iteration runs single-threaded (the _docs_wide discipline,
+        # applied to embeddings). Layout changes are inside the IVF
+        # path's per-layout determinism contract.
         idx = V.IvfIndex.build(
-            corpus, n_lists=max(64, n // 512), seed=42
+            corpus.repartition(32), n_lists=max(64, n // 512), seed=42
         )
         labeled = idx.lists.select(
             F.col("neighbor_id").alias("vec_id"),

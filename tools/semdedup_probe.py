@@ -33,7 +33,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from synthetic_datagen_spark.functions.vectors import (
-        _with_sign_buckets,
+        _with_sign_buckets_arrow,
         scaled_lsh_params,
     )
     from synthetic_datagen_spark.operators import REGISTRY
@@ -63,9 +63,14 @@ def main() -> None:
         # config embedding_dedup_clusters_scaled would derive
         b, L = scaled_lsh_params(n, 0.9)
         rec["lsh_config"] = f"{L}x{b}"
-        buckets = _with_sign_buckets(
-            corpus, "vid", "v", "vec_id", "embedding", 64, L, b, 42,
-            with_vectors=False,
+        # arrow bucket kernel + a repartition off the single-row-group
+        # parquet: the JVM nested-HOF fold falls back to interpreted
+        # eval at the scaled plane counts and the un-spread scan puts
+        # ALL rows in one task — measured as a 30+ min single-thread
+        # straggler before this probe used the production kernel
+        buckets = _with_sign_buckets_arrow(
+            corpus.repartition(32), "vid", "v", "vec_id", "embedding",
+            64, L, b, 42, with_vectors=False,
         )
         cand = (
             buckets.groupBy("tbl", "bucket")
