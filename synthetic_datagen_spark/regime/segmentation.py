@@ -352,18 +352,37 @@ def kmeans_assign(
     given centroids, ties broken by lowest centroid id — the (pure,
     deterministic) assignment step of deterministic_kmeans, exposed so
     a caller holding persisted centroids (the train-once-persist
-    lifecycle) can label without re-running Lloyd."""
-    choices = [
-        F.struct(
-            sum(
-                (F.col(c) - F.lit(cc)) * (F.col(c) - F.lit(cc))
-                for c, cc in zip(feature_cols, cent)
-            ).alias("d"),
-            F.lit(ci).alias("cid"),
-        )
-        for ci, cent in enumerate(cents)
-    ]
-    return df.withColumn("_cluster", F.least(*choices)["cid"])
+    lifecycle) can label without re-running Lloyd.
+
+    Centroids ride as ONE nested-array LITERAL folded by constant-size
+    higher-order functions, NOT as k per-centroid struct expressions:
+    the expression tree stays O(1) however large k×d gets (the
+    per-centroid least-of-structs form cost ~9 s PER LLOYD ITERATION
+    at k=46, d=16 on a 2.2 k-row frame — tree-size-bound, the same
+    plan-scaling class the sign-bucket kernel hit; this form runs the
+    identical arithmetic in ~1 s). Bit-equal to the struct form by
+    construction: per-dim terms (x-c)² fold left-to-right over dims
+    (0.0+t0 == t0 for non-negative t0), array_min + first
+    array_position reproduces least(struct(d, cid))'s min-distance /
+    lowest-cid tie-break — verified per-row identical, ties included.
+    """
+    carr = F.lit([[float(x) for x in cent] for cent in cents])
+    staged = df.withColumn(
+        "_fv", F.array(*[F.col(c).cast("double") for c in feature_cols])
+    ).withColumn("_ca", carr)
+    d2 = F.transform(
+        F.col("_ca"),
+        lambda cent: F.aggregate(
+            F.zip_with(F.col("_fv"), cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    staged = staged.withColumn("_d2", d2)
+    return staged.withColumn(
+        "_cluster",
+        (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1).cast("int"),
+    ).drop("_fv", "_ca", "_d2")
 
 
 def deterministic_kmeans(
