@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import vectors as V
 from ..sources import Catalog
-from .base import register
+from .base import pinned_parquet_oracle, register
 
 _K = 5
 _NQ = 10  # vec_id < 10 are the query vectors
@@ -1499,4 +1499,78 @@ def embedding_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_semdedup_kernel(_SEMDEDUP_TH), _SEMDEDUP_SCHEMA)
         .drop("_cluster")
         .orderBy("cluster_id")
+    )
+
+
+def _semdedup_keep_kernel(threshold: float):
+    """Per-member twin of _semdedup_kernel: same rank order, same
+    dominance rule, but emits the per-vector decision rows (the apply
+    step users feed into the training-set join) instead of the
+    cluster audit panel."""
+    import numpy as np
+    import pandas as pd
+
+    def keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cent_cos", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        c = len(pdf)
+        block = 2048
+        dominated = np.zeros(c, dtype=bool)
+        if c <= block:
+            M = np.triu(X @ X.T >= threshold, k=1)
+            dominated = M.any(axis=0)
+        else:
+            for j0 in range(0, c, block):
+                j1 = min(j0 + block, c)
+                Sb = X @ X[j0:j1].T
+                for off in range(j1 - j0):
+                    j = j0 + off
+                    if (Sb[:j, off] >= threshold).any():
+                        dominated[j] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": np.full(c, int(ids.min()), dtype=np.int64),
+                "rnk": np.arange(1, c + 1, dtype=np.int64),
+                "keep": ~dominated,
+            }
+        )
+
+    return keep
+
+
+@register(
+    "embedding_semdedup_keep",
+    oracle=pinned_parquet_oracle("embedding_semdedup_keep"),
+    pinned_sf="0.01",
+    doc="SemDeDup APPLY step — the per-vector keep list the panel "
+    "audits (the detect→apply pair, mirroring "
+    "dedup_repeated_ngram_spans → corpus_span_scrub): every vector "
+    "with its cluster (labeled by the cluster's min vec_id), its "
+    "centroid-similarity rank (1 = keep-centroid-nearest anchor), "
+    "and the keep/drop decision under the same cos ≥ 0.9 dominance "
+    "rule as embedding_semdedup_clusters — the frame a training-mix "
+    "assembly semi-joins against. Shares the memoized labeled frame "
+    "(clustering paid once per session across both queries); one "
+    "applyInPandas gemm per cluster, blockwise past 2048 members. "
+    "Layout-deterministic below the scale cutoff, pinned as a "
+    "parquet capture.",
+)
+def embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.memo import app_scoped_memo
+
+    labeled = app_scoped_memo(
+        _SEMDEDUP_CACHE,
+        spark,
+        ("semdedup_labeled", sf_dir),
+        lambda: _semdedup_labeled(spark, sf_dir).localCheckpoint(eager=True),
+    )
+    schema = "vec_id long, cluster_id long, rnk long, keep boolean"
+    return (
+        labeled.groupBy("_cluster")
+        .applyInPandas(_semdedup_keep_kernel(_SEMDEDUP_TH), schema)
+        .orderBy("vec_id")
     )

@@ -819,3 +819,38 @@ def test_hot_gram_ttl_eviction_is_safe_but_lossy(spark, tmp_path, monkeypatch):
     assert len(ttl) == len(set(ttl))
     # the specific losses: "gap" fully missed; "res" loses only occ 1
     assert set(ttl) == {(5, 13), (6, 17)}
+
+
+def test_rocksdb_state_store_parity(spark, sf_smoke):
+    """The production state backend: every stateful parity kernel must
+    produce identical results under RocksDBStateStoreProvider (the
+    backend a 100 TB cluster runs — state spills to local SSD instead
+    of executor heap) and the default HDFS-backed provider. Scoped to
+    the stream start like the state-partition conf; the dedup parity
+    harness exercises watermarked dropDuplicates state end to end."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    def run():
+        df = REGISTRY["stream_dedup_parity"].build(spark, sf_smoke)
+        return sorted(tuple(r) for r in df.collect())
+
+    baseline = run()
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert rocks == baseline
+    assert len(baseline) > 0

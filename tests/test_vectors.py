@@ -543,3 +543,28 @@ def test_semdedup_warm_start_interchangeable(spark, sf_smoke):
     VQ._SEMDEDUP_CACHE.clear()  # force the artifact-load path
     warm = REGISTRY["embedding_semdedup_clusters"].build(spark, sf_smoke).collect()
     assert fresh == warm
+
+
+def test_semdedup_keep_list_consistent_with_panel(spark, sf_smoke):
+    """The apply step and the audit panel must tell one story: keep
+    counts per cluster match, rank 1 is always kept (the
+    centroid-nearest anchor cannot be dominated), and the keep list
+    covers the corpus exactly once."""
+    from synthetic_datagen_spark.operators import REGISTRY
+
+    panel = {
+        r["cluster_id"]: r
+        for r in REGISTRY["embedding_semdedup_clusters"].build(spark, sf_smoke).collect()
+    }
+    keep = REGISTRY["embedding_semdedup_keep"].build(spark, sf_smoke).collect()
+    assert len(keep) == sum(r["n_members"] for r in panel.values())
+    assert len({r["vec_id"] for r in keep}) == len(keep)
+    from collections import defaultdict
+
+    kept = defaultdict(int)
+    for r in keep:
+        if r["keep"]:
+            kept[r["cluster_id"]] += 1
+        if r["rnk"] == 1:
+            assert r["keep"]  # the anchor is never dominated
+    assert kept == {c: r["n_kept"] for c, r in panel.items() if r["n_kept"]}
