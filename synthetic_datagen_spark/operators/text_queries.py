@@ -3169,3 +3169,198 @@ def corpus_curation_quality_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Bloom config for the SQL-oracled ingest query: FIXED so the oracle
+# can mirror it (the scaled sibling is probe-measured — a fixed-m
+# bloom saturates when the store outgrows it, exactly like a fixed
+# LSH banding; tools/scale_probe --hash records the fp-rate blowup and
+# the m-from-count remediation). 4096 bits / 5 hashes over a ~375-fp
+# store ≈ 0.37 fill → ~0.7% fp-rate: small enough to exercise the
+# false-positive accounting at oracle scale.
+_BLOOM_M = 1024
+_BLOOM_K = 5
+
+
+def _bloom_hash_sql(fp_expr: str, j: str) -> str:
+    """Engine-portable j-th bloom hash: top-60-bits(md5(fp#j)) mod m —
+    the same md5-prefix trick as global_shuffle_shards, so DuckDB and
+    Spark compute bit-identical indexes."""
+    return (
+        f"('0x' || substr(md5({fp_expr} || '#' || {j}), 1, 15))::BIGINT"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_hash_col(fp: Column, j: Column) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(fp, F.lit("#"), j.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_BLOOM_M),
+    )
+
+
+@register(
+    "incremental_ingest_bloom",
+    oracle=rf"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id < 400
+), bits AS (
+  SELECT idx // 32 AS bucket,
+         bit_or(1::BIGINT << CAST(idx % 32 AS INT)) AS word
+  FROM (
+    SELECT {_bloom_hash_sql('e.fp', 'r.j')} AS idx
+    FROM existing e CROSS JOIN range({_BLOOM_K}) r(j)
+  ) GROUP BY 1
+), inc AS (
+  SELECT doc_id, lang, fp FROM fp WHERE doc_id >= 400
+), probes AS (
+  SELECT i.doc_id, i.lang, i.fp, {_bloom_hash_sql('i.fp', 'r.j')} AS idx
+  FROM inc i CROSS JOIN range({_BLOOM_K}) r(j)
+), hits AS (
+  SELECT p.doc_id, p.lang, p.fp,
+         SUM(CASE WHEN b.word IS NOT NULL
+                   AND (b.word & (1::BIGINT << CAST(p.idx % 32 AS INT))) != 0
+                  THEN 1 ELSE 0 END) AS n_hit
+  FROM probes p LEFT JOIN bits b ON p.idx // 32 = b.bucket
+  GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT h.lang,
+         CASE WHEN h.n_hit = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_dup,
+         CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END AS true_dup
+  FROM hits h LEFT JOIN existing e ON h.fp = e.fp
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(SUM(bloom_dup) AS BIGINT) AS n_bloom_flagged,
+       CAST(SUM(true_dup) AS BIGINT) AS n_true_dupes,
+       CAST(SUM(CASE WHEN bloom_dup = 1 AND true_dup = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       ROUND(SUM(CASE WHEN bloom_dup = 1 AND true_dup = 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) - SUM(true_dup) AS DOUBLE), 6) AS fp_rate
+FROM flagged GROUP BY lang ORDER BY lang
+""",
+    doc="BLOOM-FILTER ingest dedup — the approximate-membership twin "
+    "of incremental_ingest_dedup and the third sketch family in the "
+    "catalog (HLL distinct, approx quantiles, now Bloom membership): "
+    "the existing store's fingerprints build a 4096-bit / 5-hash "
+    "Bloom filter as 32 bit_or-aggregated 32-bit words (32-bit so the shift never reaches a checked sign bit in either engine) (one hash agg, "
+    "mergeable across partitions — at 100 TB every executor builds "
+    "partial words map-side and the merged filter is tiny BY DESIGN, "
+    "independent of corpus size), incoming docs probe it via a "
+    "BROADCAST join on word bucket (no shuffle of the corpus, no "
+    "join against the store — the production reason blooms exist: "
+    "ingest filtering without touching the fingerprint table), and "
+    "the panel scores the sketch against the exact join: per-lang "
+    "incoming / bloom-flagged / true-dupe / false-positive counts "
+    "and the measured fp-rate. Fully relational and bit-identical in "
+    "both engines (md5-prefix hashes, bit_or words — a REAL SQL "
+    "oracle for an approximate data structure: the approximation is "
+    "deterministic, only its ERROR is probabilistic). Bloom inserts "
+    "commute (bit OR), so the filter is layout-independent by "
+    "construction. A fixed m saturates when the store outgrows it "
+    "(kn/m → fill → fp_rate → 1) — the scale probe measures exactly "
+    "that and the m-from-count sizing that fixes it.",
+)
+def incremental_ingest_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bloom_panel(spark, sf_dir, _BLOOM_M, _BLOOM_K)
+
+
+def _bloom_panel(
+    spark: SparkSession, sf_dir: str, m: int, k: int
+) -> DataFrame:
+    fp = _docs_wide(spark, sf_dir).select(
+        "doc_id", "lang", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    existing = fp.filter(F.col("doc_id") < 400).select("fp").distinct()
+    js = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+
+    def hash_idx(fp_col: Column, j: Column) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(fp_col, F.lit("#"), j.cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(m),
+        )
+
+    bits = (
+        existing.select("fp", js)
+        .select(hash_idx(F.col("fp"), F.col("j")).alias("idx"))
+        .select(
+            (F.col("idx") / 32).cast("long").alias("bucket"),
+            F.expr("shiftleft(1L, CAST(idx % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("bucket")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    probes = fp.filter(F.col("doc_id") >= 400).select("doc_id", "lang", "fp", js)
+    probes = probes.select(
+        "doc_id", "lang", "fp", hash_idx(F.col("fp"), F.col("j")).alias("idx")
+    )
+    hit = (
+        probes.join(
+            F.broadcast(bits), (F.col("idx") / 32).cast("long") == F.col("bucket"), "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "fp",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(
+                        F.expr("shiftleft(1L, CAST(idx % 32 AS INT))")
+                    )
+                    != 0
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("h"),
+        )
+        .groupBy("doc_id", "lang", "fp")
+        .agg(F.sum("h").alias("n_hit"))
+    )
+    flagged = hit.join(
+        existing.withColumn("_seen", F.lit(True)), "fp", "left"
+    ).select(
+        "lang",
+        (F.col("n_hit") == k).cast("long").alias("bloom_dup"),
+        F.col("_seen").isNotNull().cast("long").alias("true_dup"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum("bloom_dup").alias("n_bloom_flagged"),
+            F.sum("true_dup").alias("n_true_dupes"),
+            F.sum(
+                ((F.col("bloom_dup") == 1) & (F.col("true_dup") == 0)).cast("long")
+            ).alias("n_false_pos"),
+            F.round(
+                F.sum(
+                    ((F.col("bloom_dup") == 1) & (F.col("true_dup") == 0)).cast(
+                        "long"
+                    )
+                )
+                / (F.count("*") - F.sum("true_dup")).cast("double"),
+                6,
+            ).alias("fp_rate"),
+        )
+        .orderBy("lang")
+    )
