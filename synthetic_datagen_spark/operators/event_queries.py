@@ -238,3 +238,140 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_CEP_WINDOW_US = 86_400_000_000  # view->purchase completion deadline (24 h)
+
+# DuckDB 1.0.0's list_reduce is NONDETERMINISTIC with struct
+# accumulators (same connection, same SQL, different answers run to
+# run — even at SET threads=1; found when the mirrored-fold oracle
+# disagreed with both Spark and a hand-rolled Python NFA, which agree
+# exactly). The oracle therefore spells the NFA as a RECURSIVE CTE —
+# one step per per-user event index — which is deterministic AND a
+# more independent formulation than mirroring Spark's fold.
+
+
+@register(
+    "event_pattern_match",
+    oracle=f"""
+WITH RECURSIVE idx AS (
+  SELECT user_id, epoch_us(ts) AS ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 ELSE 0 END AS code,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+              CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                   WHEN 'purchase' THEN 3 WHEN 'error' THEN 4 ELSE 0 END) AS rn
+  FROM events
+), counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+), st AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS phase,
+         CAST(0 AS BIGINT) AS tv, CAST(0 AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS x
+  FROM counts
+  UNION ALL
+  SELECT s.user_id, s.i + 1,
+    CASE WHEN e.code = 4 THEN 0
+         WHEN s.phase = 0 AND e.code = 1 THEN 1
+         WHEN s.phase = 1 AND e.code = 2 THEN 2
+         WHEN s.phase = 2 AND e.code = 3 THEN 0
+         ELSE s.phase END,
+    CASE WHEN s.phase = 0 AND e.code = 1 THEN e.ts ELSE s.tv END,
+    s.n + CASE WHEN s.phase = 2 AND e.code = 3
+               AND e.ts - s.tv <= {_CEP_WINDOW_US} THEN 1 ELSE 0 END,
+    s.k + CASE WHEN e.code = 4 AND s.phase > 0 THEN 1 ELSE 0 END,
+    s.x + CASE WHEN s.phase = 2 AND e.code = 3
+               AND e.ts - s.tv > {_CEP_WINDOW_US} THEN 1 ELSE 0 END
+  FROM st s JOIN idx e ON e.user_id = s.user_id AND e.rn = s.i + 1
+)
+SELECT s.user_id, s.n AS n_matches, s.k AS n_error_kills, s.x AS n_expired
+FROM st s JOIN counts c ON c.user_id = s.user_id AND s.i = c.cnt
+ORDER BY s.user_id
+""",
+    doc="CEP sequential pattern match (MATCH_RECOGNIZE-style, the "
+    "operator class Flink CEP / SQL MATCH_RECOGNIZE provide and "
+    "Spark SQL lacks): per user, count non-overlapping "
+    "view -> click -> purchase completions where the purchase lands "
+    "within 24 h of the opening view and NO error event interrupts "
+    "(negation: any error aborts the in-progress attempt; skip-past-"
+    "last-row after every completion or expired purchase; first-view-"
+    "wins while an attempt is open). Also surfaces the dropout "
+    "accounting CEP engines report: attempts killed by an error and "
+    "purchases that arrived past the deadline. Both engines run the "
+    "IDENTICAL 3-state NFA: Spark as a pure F.aggregate fold over the "
+    "user's time-ordered event list — every event packs to "
+    "ts_us*8+code (one BIGINT, so the sort order is total and "
+    "engine-independent; decode is shiftright/mask, never float "
+    "division, since ts_us*8 exceeds the 53-bit double mantissa) — "
+    "and DuckDB as a recursive CTE advancing every user one event "
+    "per step (see the module comment: DuckDB 1.0.0 list_reduce is "
+    "nondeterministic with struct accumulators, and the recursive "
+    "form is the more independent oracle anyway). "
+    "Plan: one hash-partition exchange on user_id (collect_list "
+    "partial-merges map-side), fold runs post-shuffle inside "
+    "codegen; per-user state is 5 BIGINTs. The per-user event array "
+    "is the batch convenience only — the NFA state is O(1), which is "
+    "what a streaming deployment of the same fold would carry.",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "error", 4)
+        .otherwise(0)
+        .cast("long")
+    )
+    seq = (
+        e.select("user_id", (F.unix_micros("ts") * 8 + code).alias("ev"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("phase"),
+        F.lit(0).cast("long").alias("tv"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("k"),
+        F.lit(0).cast("long").alias("x"),
+    )
+
+    def _step(a, ev):
+        ts = F.shiftright(ev, 3)
+        c = ev % 8
+        is_err = c == 4
+        start = (a.phase == 0) & (c == 1)
+        adv = (a.phase == 1) & (c == 2)
+        fin = (a.phase == 2) & (c == 3)
+        in_win = (ts - a.tv) <= F.lit(_CEP_WINDOW_US)
+        return F.struct(
+            F.when(is_err, F.lit(0))
+            .when(start, F.lit(1))
+            .when(adv, F.lit(2))
+            .when(fin, F.lit(0))
+            .otherwise(a.phase)
+            .cast("long")
+            .alias("phase"),
+            F.when(start, ts).otherwise(a.tv).alias("tv"),
+            (a.n + F.when(fin & in_win, 1).otherwise(0)).alias("n"),
+            (a.k + F.when(is_err & (a.phase > 0), 1).otherwise(0)).alias("k"),
+            (a.x + F.when(fin & ~in_win, 1).otherwise(0)).alias("x"),
+        )
+
+    st = F.aggregate("evs", zero, _step)
+    # inline(array(st)) materializes the fold ONCE per user via a
+    # Generate node — three plain .getField selects re-inline the whole
+    # aggregate expression per output column (the plan showed the fold
+    # three times in one Project; the bind_once / expression-tree class
+    # again, and Spark's subexpression elimination does not merge them
+    # because each copy carries fresh lambda-variable exprIds).
+    return (
+        seq.select("user_id", F.inline(F.array(st)))
+        .select(
+            "user_id",
+            F.col("n").alias("n_matches"),
+            F.col("k").alias("n_error_kills"),
+            F.col("x").alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )

@@ -361,3 +361,52 @@ def test_ward_row_cache_matches_naive_full_scan(seed):
         f[rng.integers(0, s)] = f[rng.integers(0, s)]  # duplicate rows
     k = int(rng.integers(1, 5))
     assert np.array_equal(_ward(f.copy(), k), naive_ward(f.copy(), k))
+
+
+def test_event_pattern_match_equals_reference_nfa(spark, sf_smoke):
+    """The CEP fold must agree with a hand-rolled per-user NFA run in
+    plain Python over the same (ts, code)-ordered events — a THIRD
+    implementation, independent of both Spark's F.aggregate fold and
+    the recursive-CTE oracle (which this test also guards against the
+    DuckDB 1.0.0 list_reduce nondeterminism class: any engine-side
+    fold corruption shows up as a counter mismatch here)."""
+    import duckdb
+
+    from synthetic_datagen_spark.operators.base import REGISTRY
+    from synthetic_datagen_spark.operators.event_queries import _CEP_WINDOW_US
+
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, epoch_us(ts) AS ts,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 3 WHEN 'error' THEN 4
+                    ELSE 0 END AS code
+        FROM '{sf_smoke}/events.parquet'
+        ORDER BY user_id, ts, code
+        """
+    ).fetchall()
+    state: dict[int, tuple[int, int, int, int, int]] = {}
+    for u, ts, c in rows:
+        ph, tv, n, k, x = state.get(u, (0, 0, 0, 0, 0))
+        if c == 4:
+            if ph > 0:
+                k += 1
+            ph = 0
+        elif ph == 0 and c == 1:
+            ph, tv = 1, ts
+        elif ph == 1 and c == 2:
+            ph = 2
+        elif ph == 2 and c == 3:
+            if ts - tv <= _CEP_WINDOW_US:
+                n += 1
+            else:
+                x += 1
+            ph = 0
+        state[u] = (ph, tv, n, k, x)
+
+    got = {
+        r.user_id: (r.n_matches, r.n_error_kills, r.n_expired)
+        for r in REGISTRY["event_pattern_match"].build(spark, sf_smoke).collect()
+    }
+    want = {u: (v[2], v[3], v[4]) for u, v in state.items()}
+    assert got == want
