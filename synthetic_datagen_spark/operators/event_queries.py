@@ -251,9 +251,7 @@ _CEP_WINDOW_US = 86_400_000_000  # view->purchase completion deadline (24 h)
 # more independent formulation than mirroring Spark's fold.
 
 
-@register(
-    "event_pattern_match",
-    oracle=f"""
+_CEP_ORACLE = f"""
 WITH RECURSIVE idx AS (
   SELECT user_id, epoch_us(ts) AS ts,
          CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
@@ -287,7 +285,12 @@ WITH RECURSIVE idx AS (
 SELECT s.user_id, s.n AS n_matches, s.k AS n_error_kills, s.x AS n_expired
 FROM st s JOIN counts c ON c.user_id = s.user_id AND s.i = c.cnt
 ORDER BY s.user_id
-""",
+"""
+
+
+@register(
+    "event_pattern_match",
+    oracle=_CEP_ORACLE,
     doc="CEP sequential pattern match (MATCH_RECOGNIZE-style, the "
     "operator class Flink CEP / SQL MATCH_RECOGNIZE provide and "
     "Spark SQL lacks): per user, count non-overlapping "
@@ -372,6 +375,105 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_matches"),
             F.col("k").alias("n_error_kills"),
             F.col("x").alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_event_pattern_parity",
+    oracle=_CEP_ORACLE,
+    doc="Streaming twin of event_pattern_match — the shape that "
+    "actually deploys at 100 TB: the CEP NFA as "
+    "applyInPandasWithState with SIX BIGINTs of state per user, vs "
+    "the batch form's per-user event array. CEP is ORDER-DEFINED, so "
+    "unlike the order-independent funnel/session twins this parity "
+    "asserts the per-key-in-order-delivery contract every production "
+    "CEP engine assumes (Kafka partitions by key): the feed is three "
+    "sequential time-range slices (mtime-stamped so the file source "
+    "triggers them in order), while WITHIN each trigger rows arrive "
+    "hash-shuffled across 2 files and the kernel sorts on the packed "
+    "ts*8+code key — intra-trigger disorder is exercised, cross-"
+    "trigger order is the documented contract. Consumers reduce "
+    "per-user emissions with max_by(emit_seq). The oracle is the "
+    "SAME recursive-CTE NFA as the batch query: stream == batch == "
+    "oracle, exact.",
+)
+def stream_event_pattern_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time
+    import uuid
+
+    from ..streaming import read_events_stream, stream_cep_pattern
+    from .source_queries import _scratch
+
+    base = _scratch(spark, "stream_cep", sf_dir)
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    slices = [
+        F.col("ts_us") < cut1,
+        (F.col("ts_us") >= cut1) & (F.col("ts_us") < cut2),
+        F.col("ts_us") >= cut2,
+    ]
+    now = time.time()
+    stamped: set[str] = set()
+    for i, cond in enumerate(slices):
+        ev.where(cond).drop("ts_us").repartition(2).write.mode(
+            "append"
+        ).parquet(base)
+        for f in os.listdir(base):
+            path = os.path.join(base, f)
+            if f.endswith(".parquet") and path not in stamped:
+                # slice i's files get a strictly earlier mtime than
+                # slice i+1's: FileStreamSource orders by (mtime, path),
+                # so availableNow triggers replay the slices in event-
+                # time order — the per-key ordering contract.
+                os.utime(path, (now - 3 + i, now - 3 + i))
+                stamped.add(path)
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "error", 4)
+        .otherwise(0)
+        .cast("long")
+    )
+    stream = read_events_stream(spark, base, max_files_per_trigger=2).select(
+        "user_id", (F.unix_micros("ts") * 8 + code).alias("ev")
+    )
+    name = f"cep_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_cep_pattern(stream, _CEP_WINDOW_US)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_matches", "n_error_kills", "n_expired"), "emit_seq"
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_matches").alias("n_matches"),
+            F.col("s.n_error_kills").alias("n_error_kills"),
+            F.col("s.n_expired").alias("n_expired"),
         )
         .orderBy("user_id")
     )

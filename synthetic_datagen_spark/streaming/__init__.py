@@ -4,7 +4,12 @@ from .events_stream import (
     stream_dedup_keep_first,
     stream_session_stats,
 )
-from .stateful import funnel_merge, funnel_prune, stream_funnel_stages
+from .stateful import (
+    funnel_merge,
+    funnel_prune,
+    stream_cep_pattern,
+    stream_funnel_stages,
+)
 
 __all__ = [
     "read_events_stream",
@@ -14,4 +19,5 @@ __all__ = [
     "stream_funnel_stages",
     "funnel_merge",
     "funnel_prune",
+    "stream_cep_pattern",
 ]

@@ -553,3 +553,97 @@ def stream_hot_gram_positions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming CEP pattern match (event_pattern_match's twin) ----
+
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("phase", T.LongType()),
+        T.StructField("tv", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("n_error_kills", T.LongType()),
+        T.StructField("n_expired", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+
+def stream_cep_pattern(events: DataFrame, window_us: int) -> DataFrame:
+    """groupBy(user_id).applyInPandasWithState CEP NFA — the streaming
+    twin of ``event_pattern_match`` and the shape that actually scales:
+    per-user state is SIX BIGINTs regardless of history length, where
+    the batch form materializes each user's full event array.
+
+    Unlike the funnel/session twins, a CEP NFA is ORDER-DEFINED — its
+    transitions consume the per-key event sequence in event-time
+    order, so exactness requires per-key in-order delivery ACROSS
+    triggers (the Kafka-partition-per-key ordering contract every
+    production CEP engine assumes; Flink CEP buffers until the
+    watermark for the same reason). Within a trigger no order is
+    assumed: each micro-batch's rows sort on the packed ts*8+code key
+    before the fold, so intra-trigger disorder is exercised by the
+    parity harness while cross-trigger order is provided by its
+    time-ranged feed files.
+
+    ``events`` needs columns (user_id, ev) with ev = ts_us*8+code
+    packed exactly as the batch query packs them."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ph, tv, n, k, x, seq = (int(v) for v in state.get)
+        else:
+            ph = tv = n = k = x = seq = 0
+        evs: list[int] = []
+        for pdf in pdfs:
+            evs.extend(int(v) for v in pdf["ev"])
+        evs.sort()
+        seq += len(evs)
+        for ev in evs:
+            ts, c = ev >> 3, ev & 7
+            if c == 4:
+                if ph > 0:
+                    k += 1
+                ph = 0
+            elif ph == 0 and c == 1:
+                ph, tv = 1, ts
+            elif ph == 1 and c == 2:
+                ph = 2
+            elif ph == 2 and c == 3:
+                if ts - tv <= window_us:
+                    n += 1
+                else:
+                    x += 1
+                ph = 0
+        state.update((ph, tv, n, k, x, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_matches": [n],
+                "n_error_kills": [k],
+                "n_expired": [x],
+                "emit_seq": [seq],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -854,3 +854,60 @@ def test_rocksdb_state_store_parity(spark, sf_smoke):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert rocks == baseline
     assert len(baseline) > 0
+
+
+def test_cep_state_carries_across_any_inorder_split():
+    """The CEP NFA state (6 ints) must make micro-batch boundaries
+    invisible: folding a user's event sequence in ANY number of
+    in-order slices, threading state between slices, must equal the
+    one-shot fold. This is the property that lets the streaming twin
+    claim exactness under the per-key-ordered-delivery contract with
+    O(1) state, no matter how the trigger planner slices the feed."""
+    import itertools
+    import random
+
+    W = 1000
+
+    def fold(evs, st=(0, 0, 0, 0, 0)):
+        ph, tv, n, k, x = st
+        for ev in evs:
+            ts, c = ev >> 3, ev & 7
+            if c == 4:
+                if ph > 0:
+                    k += 1
+                ph = 0
+            elif ph == 0 and c == 1:
+                ph, tv = 1, ts
+            elif ph == 1 and c == 2:
+                ph = 2
+            elif ph == 2 and c == 3:
+                if ts - tv <= W:
+                    n += 1
+                else:
+                    x += 1
+                ph = 0
+        return ph, tv, n, k, x
+
+    rng = random.Random(7)
+    for trial in range(50):
+        evs = sorted(
+            (rng.randrange(0, 4000) << 3) | rng.choice([0, 1, 2, 3, 4])
+            for _ in range(rng.randrange(0, 40))
+        )
+        want = fold(evs)
+        # every 2-cut split plus a few random k-way splits
+        cuts = [
+            sorted(
+                rng.sample(
+                    range(len(evs) + 1),
+                    k=min(rng.randrange(0, 4), len(evs)),
+                )
+            )
+            for _ in range(5)
+        ]
+        cuts += [[i] for i in range(len(evs) + 1)]
+        for cut in cuts:
+            st = (0, 0, 0, 0, 0)
+            for a, b in itertools.pairwise([0, *cut, len(evs)]):
+                st = fold(evs[a:b], st)
+            assert st == want, (trial, cut)
