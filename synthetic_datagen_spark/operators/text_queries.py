@@ -3364,3 +3364,123 @@ def _bloom_panel(
         )
         .orderBy("lang")
     )
+
+
+# ---- count-min sketch heavy hitters (fourth sketch family) ----
+
+_CMS_D = 4  # hash rows
+_CMS_W = 128  # counters per row (vs 916 distinct bigrams at sf0.01 —
+#               deliberately undersized so collision mass is nonzero and
+#               the overestimate column actually exercises the CMS
+#               err <= eps*N accounting, like the bloom fixed-m probe)
+_CMS_TOPK = 25
+
+
+def _cms_hash_sql(g: str, j: str) -> str:
+    """Engine-portable j-th CMS row hash: top-60-bits(md5(g#j)) mod w
+    (same md5-prefix trick as the bloom/shard hashes)."""
+    return f"('0x' || substr(md5({g} || '#' || {j}), 1, 15))::BIGINT % {_CMS_W}"
+
+
+def _cms_hash_col(g: Column, j: Column) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(g, F.lit("#"), j.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_CMS_W),
+    )
+
+
+# Non-distinct word bigrams (counting needs multiplicities — the
+# 3-gram _WG_SQL above is list_distinct for Jaccard; this one is not).
+_BG_SQL = (
+    "CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 2 "
+    "THEN CAST([] AS VARCHAR[]) ELSE list_transform("
+    "generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 1), "
+    "i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+1], ' ')) END"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=rf"""
+WITH grams AS (
+  SELECT u.g AS g
+  FROM (SELECT {_BG_SQL} AS bg FROM documents WHERE length(trim(text)) > 0) d,
+       UNNEST(bg) AS u(g)
+), counts AS (
+  SELECT g, COUNT(*) AS tf FROM grams GROUP BY g
+), cells AS (
+  SELECT r.j AS row_id, {_cms_hash_sql('c.g', 'r.j')} AS col_id,
+         SUM(c.tf) AS cell
+  FROM counts c CROSS JOIN range({_CMS_D}) r(j)
+  GROUP BY 1, 2
+), cand AS (
+  SELECT g, tf FROM counts ORDER BY tf DESC, g LIMIT {_CMS_TOPK}
+), probe AS (
+  SELECT c.g, c.tf, r.j AS row_id, {_cms_hash_sql('c.g', 'r.j')} AS col_id
+  FROM cand c CROSS JOIN range({_CMS_D}) r(j)
+)
+SELECT p.g AS gram, CAST(p.tf AS BIGINT) AS exact_tf,
+       CAST(MIN(ce.cell) AS BIGINT) AS cms_est,
+       CAST(MIN(ce.cell) - p.tf AS BIGINT) AS overest
+FROM probe p JOIN cells ce ON ce.row_id = p.row_id AND ce.col_id = p.col_id
+GROUP BY p.g, p.tf
+ORDER BY exact_tf DESC, gram
+""",
+    doc="COUNT-MIN SKETCH heavy hitters — the fourth sketch family "
+    "(HLL distinct, approx quantiles, Bloom membership, now CMS "
+    "frequency): word-bigram frequencies summarized into a d=4 x "
+    "w=128 counter matrix (cell = SUM of counts hashing there — built "
+    "from the PARTIAL-AGGREGATED gram counts, so the sketch add is "
+    "mergeable map-side combine, the property that lets 1000 "
+    "executors each sketch their shard and bit-add, which is why CMS "
+    "exists at 100 TB), then the top-25 exact heavy hitters probed "
+    "back: estimate = MIN over the d cells, overest = est - exact. "
+    "CMS guarantees est >= exact ALWAYS (every occurrence lands in "
+    "every row) and w is deliberately undersized (128 vs 916 distinct "
+    "bigrams) so collision mass is visibly nonzero. Hashes are the "
+    "engine-portable md5-prefix family, so DuckDB builds the "
+    "bit-identical sketch: REAL SQL oracle, no approximation "
+    "mismatch — like the bloom panel, the construction is "
+    "deterministic, only its ERROR is probabilistic. Plan: explode -> "
+    "hash-agg gram counts (the only corpus shuffle), 4096-cell "
+    "broadcast to the probe side.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    grams = d.select(F.explode(TX.word_ngrams(F.col("text"), 2)).alias("g"))
+    counts = grams.groupBy("g").agg(F.count("*").alias("tf"))
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    cells = (
+        counts.select("g", "tf", js)
+        .select(
+            F.col("j").alias("row_id"),
+            _cms_hash_col(F.col("g"), F.col("j")).alias("col_id"),
+            "tf",
+        )
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("tf").alias("cell"))
+    )
+    cand = counts.orderBy(F.desc("tf"), F.asc("g")).limit(_CMS_TOPK)
+    probe = cand.select("g", "tf", js).select(
+        "g",
+        "tf",
+        F.col("j").alias("row_id"),
+        _cms_hash_col(F.col("g"), F.col("j")).alias("col_id"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("g", "tf")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        F.col("g").alias("gram"),
+        F.col("tf").alias("exact_tf"),
+        "cms_est",
+        (F.col("cms_est") - F.col("tf")).alias("overest"),
+    ).orderBy(F.desc("exact_tf"), F.asc("gram"))

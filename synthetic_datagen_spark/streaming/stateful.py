@@ -559,12 +559,14 @@ def stream_hot_gram_positions(
 
 CEP_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("phase", T.LongType()),
-        T.StructField("tv", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("k", T.LongType()),
-        T.StructField("x", T.LongType()),
-        T.StructField("seq", T.LongType()),
+        # one state row per BUCKET of users: pickled
+        # {user_id: (phase, tv, n, k, x, seq)} — six ints per user.
+        # Keying by raw user_id costs O(distinct users) python calls
+        # per trigger (the hot-gram lesson: measured 150k users x 3
+        # triggers = 450k interpreter round-trips at the 100x events
+        # fixture); 256 buckets cut that to O(256) calls with
+        # identical semantics.
+        T.StructField("blob", T.BinaryType()),
     ]
 )
 
@@ -578,12 +580,43 @@ CEP_OUT_SCHEMA = T.StructType(
     ]
 )
 
+CEP_BUCKETS = 256
+
+
+def cep_fold(
+    evs, st: tuple[int, int, int, int, int], window_us: int
+) -> tuple[int, int, int, int, int]:
+    """The 3-state NFA transition fold — identical to the batch
+    query's F.aggregate lambda (operators/event_queries.py) and the
+    recursive-CTE oracle; evs are packed ts_us*8+code BIGINTs in
+    event-time order."""
+    ph, tv, n, k, x = st
+    for ev in evs:
+        ts, c = ev >> 3, ev & 7
+        if c == 4:
+            if ph > 0:
+                k += 1
+            ph = 0
+        elif ph == 0 and c == 1:
+            ph, tv = 1, ts
+        elif ph == 1 and c == 2:
+            ph = 2
+        elif ph == 2 and c == 3:
+            if ts - tv <= window_us:
+                n += 1
+            else:
+                x += 1
+            ph = 0
+    return ph, tv, n, k, x
+
 
 def stream_cep_pattern(events: DataFrame, window_us: int) -> DataFrame:
-    """groupBy(user_id).applyInPandasWithState CEP NFA — the streaming
-    twin of ``event_pattern_match`` and the shape that actually scales:
-    per-user state is SIX BIGINTs regardless of history length, where
-    the batch form materializes each user's full event array.
+    """Bucketed applyInPandasWithState CEP NFA — the streaming twin of
+    ``event_pattern_match`` and the shape that actually scales: state
+    is six ints per user regardless of history length (the batch form
+    materializes each user's full event array), and state rows are
+    keyed by 256 hash BUCKETS of users, not raw user_id, so a trigger
+    costs O(256) python invocations however many users it touches.
 
     Unlike the funnel/session twins, a CEP NFA is ORDER-DEFINED — its
     transitions consume the per-key event sequence in event-time
@@ -591,56 +624,61 @@ def stream_cep_pattern(events: DataFrame, window_us: int) -> DataFrame:
     triggers (the Kafka-partition-per-key ordering contract every
     production CEP engine assumes; Flink CEP buffers until the
     watermark for the same reason). Within a trigger no order is
-    assumed: each micro-batch's rows sort on the packed ts*8+code key
-    before the fold, so intra-trigger disorder is exercised by the
-    parity harness while cross-trigger order is provided by its
+    assumed: each micro-batch's rows lexsort on (user_id, packed
+    ts*8+code) before the fold, so intra-trigger disorder is exercised
+    by the parity harness while cross-trigger order is provided by its
     time-ranged feed files.
 
     ``events`` needs columns (user_id, ev) with ev = ts_us*8+code
     packed exactly as the batch query packs them."""
+    import pickle
+
+    import numpy as np
 
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ph, tv, n, k, x, seq = (int(v) for v in state.get)
-        else:
-            ph = tv = n = k = x = seq = 0
-        evs: list[int] = []
-        for pdf in pdfs:
-            evs.extend(int(v) for v in pdf["ev"])
-        evs.sort()
-        seq += len(evs)
-        for ev in evs:
-            ts, c = ev >> 3, ev & 7
-            if c == 4:
-                if ph > 0:
-                    k += 1
-                ph = 0
-            elif ph == 0 and c == 1:
-                ph, tv = 1, ts
-            elif ph == 1 and c == 2:
-                ph = 2
-            elif ph == 2 and c == 3:
-                if ts - tv <= window_us:
-                    n += 1
-                else:
-                    x += 1
-                ph = 0
-        state.update((ph, tv, n, k, x, seq))
-        yield pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_matches": [n],
-                "n_error_kills": [k],
-                "n_expired": [x],
-                "emit_seq": [seq],
-            }
+        states: dict[int, tuple[int, int, int, int, int, int]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
         )
+        uids_l: list = []
+        evs_l: list = []
+        for pdf in pdfs:
+            uids_l.append(pdf["user_id"].to_numpy(dtype=np.int64))
+            evs_l.append(pdf["ev"].to_numpy(dtype=np.int64))
+        uid = np.concatenate(uids_l) if uids_l else np.empty(0, np.int64)
+        ev = np.concatenate(evs_l) if evs_l else np.empty(0, np.int64)
+        order = np.lexsort((ev, uid))
+        uid, ev = uid[order], ev[order]
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        out: dict[str, list[int]] = {
+            "user_id": [], "n_matches": [], "n_error_kills": [],
+            "n_expired": [], "emit_seq": [],
+        }
+        for a, b in zip(bounds, np.r_[bounds[1:], len(uid)]):
+            u = int(uid[a])
+            ph, tv, n, k, x, seq = states.get(u, (0, 0, 0, 0, 0, 0))
+            ph, tv, n, k, x = cep_fold(
+                (int(v) for v in ev[a:b]), (ph, tv, n, k, x), window_us
+            )
+            seq += int(b - a)
+            states[u] = (ph, tv, n, k, x, seq)
+            out["user_id"].append(u)
+            out["n_matches"].append(n)
+            out["n_error_kills"].append(k)
+            out["n_expired"].append(x)
+            out["emit_seq"].append(seq)
+        state.update((pickle.dumps(states, protocol=4),))
+        yield pd.DataFrame(out)
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    from pyspark.sql import functions as F
+
+    bucketed = events.withColumn(
+        "_bkt", F.pmod(F.xxhash64("user_id"), F.lit(CEP_BUCKETS))
+    )
+    return bucketed.groupBy("_bkt").applyInPandasWithState(
         update,
         outputStructType=CEP_OUT_SCHEMA,
         stateStructType=CEP_STATE_SCHEMA,
