@@ -749,3 +749,58 @@ def test_text_lsh_scaled_config_verified_output_parity(spark, monkeypatch):
     assert len(fixed) > 0
     retained = len(fixed & scaled) / len(fixed)
     assert retained >= 0.98, (retained, len(fixed), len(scaled))
+
+
+def test_cms_estimate_dominates_exact_for_full_vocab(spark, sf_smoke):
+    """The count-min guarantee est >= exact must hold for EVERY gram,
+    not only the top-25 the catalog query reports (the oracle gate
+    checks parity of the 25-row panel; this pins the sketch property
+    itself across the whole vocabulary, where a hashing bug on either
+    side of the min would hide in unsampled grams). Also pins that the
+    min actually bites: at w=128 vs ~900 bigrams, at least one gram's
+    row estimates must DISAGREE (else the min-over-rows is decorative
+    and the sketch is effectively exact-count sized)."""
+    from pyspark.sql import functions as F
+
+    from synthetic_datagen_spark.functions import text as TX
+    from synthetic_datagen_spark.operators.text_queries import (
+        _CMS_D,
+        _cms_hash_col,
+        _docs_wide,
+    )
+
+    d = _docs_wide(spark, sf_smoke).filter(F.length(F.trim("text")) > 0)
+    counts = (
+        d.select(F.explode(TX.word_ngrams(F.col("text"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("tf"))
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    cells = (
+        counts.select("g", "tf", js)
+        .select(
+            F.col("j").alias("row_id"),
+            _cms_hash_col(F.col("g"), F.col("j")).alias("col_id"),
+            "tf",
+        )
+        .groupBy("row_id", "col_id")
+        .agg(F.sum("tf").alias("cell"))
+    )
+    probe = counts.select("g", "tf", js).select(
+        "g",
+        "tf",
+        F.col("j").alias("row_id"),
+        _cms_hash_col(F.col("g"), F.col("j")).alias("col_id"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("g", "tf")
+        .agg(
+            F.min("cell").alias("cms_est"),
+            F.max("cell").alias("row_max"),
+        )
+        .toPandas()
+    )
+    assert len(est) > 500
+    assert (est.cms_est >= est.tf).all()
+    assert (est.row_max > est.cms_est).any()
