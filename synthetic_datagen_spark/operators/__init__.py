@@ -269,7 +269,7 @@ assert len(set(_ROUND11_WINDOW)) == len(_ROUND11_WINDOW)
 assert len(_ROUND12_WINDOW) == 65, len(_ROUND12_WINDOW)
 assert len(set(_ROUND12_WINDOW)) == len(_ROUND12_WINDOW)
 
-# Round 13 window (72 names, asserted below; the driver samples the
+# Round 13 window (73 names, asserted below; the driver samples the
 # first ~50 by position). Priority (r12 VERDICT item 1): the 7 queries
 # whose value oracles landed in r11's pinning sweep but have NEVER
 # been hash-checked by the driver (last sampled while still no_oracle,
@@ -301,6 +301,7 @@ _ROUND13_WINDOW = [
     "event_pattern_match",
     "stream_event_pattern_parity",
     "cms_heavy_hitters",
+    "stream_stream_interval_join_parity",
     # -- code/oracle changed this round
     "corpus_pii_scrub",
     "multimodal_audio_fingerprint_v2_gated",
@@ -360,7 +361,7 @@ _ROUND13_WINDOW = [
     "d7_moment_ratio_panel",
     "dedup_first_event_per_user",
 ]
-assert len(_ROUND13_WINDOW) == 72, len(_ROUND13_WINDOW)
+assert len(_ROUND13_WINDOW) == 73, len(_ROUND13_WINDOW)
 assert len(set(_ROUND13_WINDOW)) == len(_ROUND13_WINDOW)
 
 

@@ -380,6 +380,50 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _time_sliced_feed(
+    spark: SparkSession, sf_dir: str, kind: str, n_slices: int = 3
+) -> str:
+    """Write the events table into ``n_slices`` contiguous event-time
+    range slices (2 hash-shuffled files each) under a scratch dir,
+    mtime-stamping slice i strictly earlier than slice i+1:
+    FileStreamSource orders by (mtime, path), so an availableNow
+    replay with max_files_per_trigger=2 triggers the slices in
+    event-time order — the per-key ordering contract order-sensitive
+    streaming consumers (the CEP NFA) and watermark-trailed
+    stream-stream joins both rely on, while WITHIN a trigger rows
+    still arrive hash-shuffled across the slice's files."""
+    import os
+    import time
+
+    from .source_queries import _scratch
+
+    base = _scratch(spark, kind, sf_dir)
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cuts = [lo + (hi - lo) * i // n_slices for i in range(1, n_slices)]
+    bounds = [None, *cuts, None]
+    now = time.time()
+    stamped: set[str] = set()
+    for i in range(n_slices):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (F.col("ts_us") >= bounds[i])
+        if bounds[i + 1] is not None:
+            cond = cond & (F.col("ts_us") < bounds[i + 1])
+        ev.where(cond).drop("ts_us").repartition(2).write.mode(
+            "append"
+        ).parquet(base)
+        for f in os.listdir(base):
+            path = os.path.join(base, f)
+            if f.endswith(".parquet") and path not in stamped:
+                os.utime(path, (now - n_slices + i, now - n_slices + i))
+                stamped.add(path)
+    return base
+
+
 @register(
     "stream_event_pattern_parity",
     oracle=_CEP_ORACLE,
@@ -400,41 +444,11 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle, exact.",
 )
 def stream_event_pattern_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import time
     import uuid
 
     from ..streaming import read_events_stream, stream_cep_pattern
-    from .source_queries import _scratch
 
-    base = _scratch(spark, "stream_cep", sf_dir)
-    ev = _events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props",
-        F.unix_micros("ts").alias("ts_us"),
-    )
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
-    cut1 = lo + (hi - lo) // 3
-    cut2 = lo + 2 * (hi - lo) // 3
-    slices = [
-        F.col("ts_us") < cut1,
-        (F.col("ts_us") >= cut1) & (F.col("ts_us") < cut2),
-        F.col("ts_us") >= cut2,
-    ]
-    now = time.time()
-    stamped: set[str] = set()
-    for i, cond in enumerate(slices):
-        ev.where(cond).drop("ts_us").repartition(2).write.mode(
-            "append"
-        ).parquet(base)
-        for f in os.listdir(base):
-            path = os.path.join(base, f)
-            if f.endswith(".parquet") and path not in stamped:
-                # slice i's files get a strictly earlier mtime than
-                # slice i+1's: FileStreamSource orders by (mtime, path),
-                # so availableNow triggers replay the slices in event-
-                # time order — the per-key ordering contract.
-                os.utime(path, (now - 3 + i, now - 3 + i))
-                stamped.add(path)
+    base = _time_sliced_feed(spark, sf_dir, "stream_cep")
     code = (
         F.when(F.col("event_type") == "view", 1)
         .when(F.col("event_type") == "click", 2)
@@ -474,6 +488,96 @@ def stream_event_pattern_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_matches").alias("n_matches"),
             F.col("s.n_error_kills").alias("n_error_kills"),
             F.col("s.n_expired").alias("n_expired"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_stream_interval_join_parity",
+    oracle="""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS c_ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(p.p_ts - c.c_ts) AS BIGINT) AS sum_delta_us,
+       CAST(MIN(p.p_ts - c.c_ts) AS BIGINT) AS min_delta_us
+FROM c JOIN p ON p.user_id = c.user_id
+ AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + 3600000000
+GROUP BY c.user_id ORDER BY c.user_id
+""",
+    doc="STREAM-STREAM event-time interval join (the Structured "
+    "Streaming capability §2.13 did not yet exercise — joining two "
+    "live streams, not stream-vs-static): clicks joined to purchases "
+    "of the same user landing within [click, click+1h], both sides "
+    "watermarked at 2h so the join STATE is bounded — Spark holds a "
+    "click only until the watermark passes click+1h+delay, which is "
+    "what makes an infinite two-stream join runnable at all (state "
+    "~= traffic of the last 3h per key, not the stream's history). "
+    "The feed replays the time-sliced harness (contiguous 10-day "
+    "slices, mtime-ordered triggers, intra-trigger disorder), so the "
+    "trailing watermark never drops an in-range pair: the 2h delay "
+    "dominates the 1h join range and slices arrive in event-time "
+    "order. Inner join in append mode emits each qualifying pair "
+    "exactly once regardless of arrival interleaving; the consumer "
+    "aggregates pairs per user. Oracle: the same interval join as "
+    "plain batch SQL on exact integer microseconds — stream == "
+    "batch == oracle.",
+)
+def stream_stream_interval_join_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid
+
+    from ..streaming import read_events_stream
+
+    base = _time_sliced_feed(spark, sf_dir, "stream_ssj")
+    clicks = (
+        read_events_stream(spark, base, max_files_per_trigger=2)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, base, max_files_per_trigger=2)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delta_us"),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("delta_us").alias("sum_delta_us"),
+            F.min("delta_us").alias("min_delta_us"),
         )
         .orderBy("user_id")
     )
