@@ -46,6 +46,24 @@ MEMO_BUILDERS = (
 
 
 def main() -> None:
+    # r13 optimization-round measurement fix: a handful of model-fit
+    # families (g7/g8/m9 regime fits, SemDeDup centroids) persist their
+    # deterministic fit artifacts across sessions under
+    # $SPARK_GRAFT_ARTIFACT_DIR (S5/S6 save->load flow). Correct for
+    # production, but it made BENCH numbers depend on whether a prior
+    # run had warmed /tmp: the r13 anchor recorded g7 at 0.56 s (warm)
+    # where a cold host pays ~15 s. The bench's contract is "every
+    # invocation computes from the parquet inputs", so point the
+    # artifact cache at a fresh per-invocation directory — every fit
+    # happens inside the timed run, every run is comparable.
+    import atexit
+    import shutil
+    import tempfile
+
+    adir = tempfile.mkdtemp(prefix="sdg-bench-artifacts-")
+    os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = adir
+    atexit.register(shutil.rmtree, adir, ignore_errors=True)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")

@@ -27,6 +27,7 @@ final labels frame stays checkpointed (callers consume it lazily).
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -43,6 +44,50 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # isolates sessions, and entries from other (stopped) applications are
 # evicted on the next cache miss.
 _CC_CACHE: dict = {}
+
+
+class _tiny_graph_confs:
+    """Scale-adaptive execution confs for the CC round loops (r13).
+
+    Every round materializes 2-4 shuffles of the CURRENT contracted
+    edge set. Under AQE each of those exchanges is submitted as its own
+    sub-job, so on a small graph (either a small corpus, or late rounds
+    after contraction has collapsed the components) the wall clock is
+    pure driver job-scheduling floor: ~90-130 driver jobs per kernel
+    run at sf0.1 where the converged graph is ~6k edges. When the
+    measured edge count is below ``SPARK_GRAFT_CC_TINY_EDGES`` (default
+    200k — at 32 B/edge that is a ~6 MB frame, far below any size AQE
+    re-planning could help), run the loop with AQE off and a small
+    static shuffle width instead: same plans, same results (the kernels
+    are min-aggregations — layout-independent by construction,
+    parity-pinned in tests/test_dedup.py), one job per materialization
+    instead of one per exchange. Restores the caller's confs on exit;
+    a big graph leaves everything untouched, so cluster runs keep AQE
+    skew/coalesce handling for the heavy early rounds."""
+
+    def __init__(self, spark: SparkSession, edge_count: int):
+        self.spark = spark
+        self.apply = edge_count <= int(
+            os.environ.get("SPARK_GRAFT_CC_TINY_EDGES", "200000")
+        )
+        self.saved: dict[str, str] = {}
+
+    def __enter__(self):
+        if self.apply:
+            conf = self.spark.conf
+            parts = os.environ.get("SPARK_GRAFT_CC_TINY_PARTS", "8")
+            for k, v in (
+                ("spark.sql.adaptive.enabled", "false"),
+                ("spark.sql.shuffle.partitions", parts),
+            ):
+                self.saved[k] = conf.get(k)
+                conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
+        return False
 
 
 def cached_min_label_components(
@@ -167,71 +212,80 @@ def min_label_components(
     retained.append(labels_cp)
     labels = labels_cp
     converged = False
-    for _ in range(max_rounds):
-        if edges.limit(1).count() == 0:
-            converged = True
-            break
-        # 1. one-hop min over the CURRENT supernode graph (edges are
-        # symmetric, so scanning in-neighbors of dst covers everyone)
-        m = (
-            edges.groupBy(F.col("dst").alias("v"))
-            .agg(F.min("src").alias("nl"))
-            .select("v", F.least(F.col("v"), F.col("nl")).alias("m1"))
-        )
-        # 2. pointer doubling ITERATED TO A FIXED POINT (bounded by
-        # max_rounds inner steps, so total reach per outer round is
-        # 2^max_rounds hops): the mapping frame holds one row per
-        # ACTIVE supernode — far smaller than the edge list — so
-        # compressing paths here is much cheaper than paying extra
-        # edge-join rounds. A chain of any diameter d collapses in ONE
-        # outer round (~log2 d inner self-joins).
-        m2 = m.select("v", F.col("m1").alias("mlab")).localCheckpoint()
-        retained.append(m2)
+    # carried edge count (r13): computed once here and re-computed only
+    # when the contracted edge list is rebuilt, so the top-of-round
+    # emptiness probe is a plain int test instead of a per-round job;
+    # the count also drives the tiny-graph conf switch (see
+    # _tiny_graph_confs — on a small or late-round contracted graph the
+    # wall is AQE sub-job scheduling, not compute).
+    edges_cnt = edges.count()
+    with _tiny_graph_confs(pairs.sparkSession, edges_cnt):
         for _ in range(max_rounds):
-            look = m2.select(F.col("v").alias("_lv"), F.col("mlab").alias("_lm"))
-            nxt = (
-                m2.join(look, m2.mlab == look._lv, "left")
+            if edges_cnt == 0:
+                converged = True
+                break
+            # 1. one-hop min over the CURRENT supernode graph (edges are
+            # symmetric, so scanning in-neighbors of dst covers everyone)
+            m = (
+                edges.groupBy(F.col("dst").alias("v"))
+                .agg(F.min("src").alias("nl"))
+                .select("v", F.least(F.col("v"), F.col("nl")).alias("m1"))
+            )
+            # 2. pointer doubling ITERATED TO A FIXED POINT (bounded by
+            # max_rounds inner steps, so total reach per outer round is
+            # 2^max_rounds hops): the mapping frame holds one row per
+            # ACTIVE supernode — far smaller than the edge list — so
+            # compressing paths here is much cheaper than paying extra
+            # edge-join rounds. A chain of any diameter d collapses in ONE
+            # outer round (~log2 d inner self-joins).
+            m2 = m.select("v", F.col("m1").alias("mlab")).localCheckpoint()
+            retained.append(m2)
+            for _ in range(max_rounds):
+                look = m2.select(F.col("v").alias("_lv"), F.col("mlab").alias("_lm"))
+                nxt = (
+                    m2.join(look, m2.mlab == look._lv, "left")
+                    .select(
+                        "v",
+                        F.least(F.col("mlab"), F.coalesce("_lm", "mlab")).alias("mlab"),
+                        (F.least(F.col("mlab"), F.coalesce("_lm", "mlab"))
+                         < F.col("mlab")).alias("_chg"),
+                    )
+                    .localCheckpoint()
+                )
+                retained.append(nxt)
+                changed = nxt.filter("_chg").limit(1).count()
+                m2 = nxt.drop("_chg")
+                if changed == 0:
+                    break
+            # 3a. compose into the full node->label map
+            new_labels = (
+                labels.join(m2, labels.label == m2.v, "left")
                 .select(
-                    "v",
-                    F.least(F.col("mlab"), F.coalesce("_lm", "mlab")).alias("mlab"),
-                    (F.least(F.col("mlab"), F.coalesce("_lm", "mlab"))
-                     < F.col("mlab")).alias("_chg"),
+                    "node_id",
+                    F.coalesce("mlab", "label").alias("label"),
                 )
                 .localCheckpoint()
             )
-            retained.append(nxt)
-            changed = nxt.filter("_chg").limit(1).count()
-            m2 = nxt.drop("_chg")
-            if changed == 0:
-                break
-        # 3a. compose into the full node->label map
-        new_labels = (
-            labels.join(m2, labels.label == m2.v, "left")
-            .select(
-                "node_id",
-                F.coalesce("mlab", "label").alias("label"),
+            retained.append(new_labels)
+            labels = new_labels
+            # 3b. contract the edge list through m, drop self-loops, dedupe
+            ms = m2.select(F.col("v").alias("_sv"), F.col("mlab").alias("_sm"))
+            md = m2.select(F.col("v").alias("_dv"), F.col("mlab").alias("_dm"))
+            new_edges = (
+                edges.join(ms, edges.src == ms._sv, "left")
+                .join(md, edges.dst == md._dv, "left")
+                .select(
+                    F.coalesce("_sm", "src").alias("src"),
+                    F.coalesce("_dm", "dst").alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates()
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        retained.append(new_labels)
-        labels = new_labels
-        # 3b. contract the edge list through m, drop self-loops, dedupe
-        ms = m2.select(F.col("v").alias("_sv"), F.col("mlab").alias("_sm"))
-        md = m2.select(F.col("v").alias("_dv"), F.col("mlab").alias("_dm"))
-        new_edges = (
-            edges.join(ms, edges.src == ms._sv, "left")
-            .join(md, edges.dst == md._dv, "left")
-            .select(
-                F.coalesce("_sm", "src").alias("src"),
-                F.coalesce("_dm", "dst").alias("dst"),
-            )
-            .filter(F.col("src") != F.col("dst"))
-            .dropDuplicates()
-            .localCheckpoint()
-        )
-        retained.append(new_edges)
-        edges = new_edges
-    if not converged and edges.limit(1).count() == 0:
+            retained.append(new_edges)
+            edges = new_edges
+            edges_cnt = edges.count()
+    if not converged and edges_cnt == 0:
         converged = True  # emptied exactly on the final allowed round
     final = labels.select("node_id", F.col("label").alias("cluster_id"))
     if converged:
@@ -281,13 +335,16 @@ def large_small_star_components(
     retained: list[DataFrame] = []
     p = pairs.localCheckpoint()
     retained.append(p)
+    # nodes are only consumed by the FINAL labels join — build the plan
+    # now but don't materialize it (r13: the eager checkpoint here was
+    # one whole extra job before the first round could start; p is
+    # already checkpointed, so this stays a two-scan plan of checkpoint
+    # blocks however late it runs)
     nodes = (
         p.select(F.col(id_a).alias("node_id"))
         .unionAll(p.select(F.col(id_b).alias("node_id")))
         .distinct()
-        .localCheckpoint()
     )
-    retained.append(nodes)
     # natural column types throughout — same contract as
     # min_label_components: greatest/least/min order ANY orderable id
     # type (string doc fingerprints included). A cast to long here
@@ -300,59 +357,81 @@ def large_small_star_components(
         .localCheckpoint()
     )
     retained.append(edges)
+    # |edges| is carried across rounds (each round's fused stats job
+    # returns the next round's count), so the set-equality convergence
+    # test never re-counts a frame it already measured
+    edges_cnt = edges.count()
     converged = False
     rounds = 0
-    for _ in range(max_rounds):
-        rounds += 1
-        # large-star over the symmetric view: for node x with closed-
-        # neighborhood min m, emit (w, m) for every neighbor w > x
-        sym = edges.unionAll(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates()
-            .localCheckpoint()
-        )
-        retained.append(large)
-        # small-star on the big->small orientation: node u with
-        # smaller-neighbor min m relinks those neighbors (and itself)
-        minsS = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(minsS, "u")
-        small = (
-            joined.filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionAll(joined.select("u", F.col("m").alias("v")))
-            .dropDuplicates()
-            .localCheckpoint()
-        )
-        retained.append(small)
-        # fixed point of (large ∘ small) == star forest. Both frames
-        # are deduped and localCheckpoint-materialized, so set equality
-        # is (equal counts) + (no row of small outside edges) — one
-        # cheap count and one anti-join probe, not two exceptAll scans
-        if (
-            small.count() == edges.count()
-            and small.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
-        ):
-            edges = small
-            converged = True
-            break
-        edges = small
-    if converged:
-        stars = edges.select(F.col("u").alias("node_id"), F.col("v").alias("label"))
-        final = (
-            nodes.join(stars, "node_id", "left")
-            .select(
-                "node_id",
-                F.coalesce("label", "node_id").alias("cluster_id"),
+    with _tiny_graph_confs(pairs.sparkSession, edges_cnt):
+        for _ in range(max_rounds):
+            rounds += 1
+            # large-star over the symmetric view: for node x with closed-
+            # neighborhood min m, emit (w, m) for every neighbor w > x.
+            # Eager localCheckpoint, NOT a lazy persist (r13 probe): the
+            # frame is referenced twice within small-star's plan, and
+            # under AQE a lazily-cached two-shuffle subtree gets
+            # recomputed by concurrently-scheduled sibling stages before
+            # the cache fills — measured 6x slower than paying the one
+            # materialization job.
+            sym = edges.unionAll(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .localCheckpoint()
-        )
+            mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .dropDuplicates()
+                .localCheckpoint()
+            )
+            retained.append(large)
+            # small-star on the big->small orientation: node u with
+            # smaller-neighbor min m relinks those neighbors (and itself)
+            minsS = large.groupBy("u").agg(F.min("v").alias("m"))
+            joined = large.join(minsS, "u")
+            small = (
+                joined.filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionAll(joined.select("u", F.col("m").alias("v")))
+                .dropDuplicates()
+                .localCheckpoint()
+            )
+            retained.append(small)
+            # fixed point of (large ∘ small) == star forest, i.e. the
+            # deduped `small` SET-EQUALS `edges`: |small| == |edges| and
+            # small ⊆ edges. r13: both facts come from ONE pass over the
+            # checkpointed frame (left-join against edges, count rows +
+            # count non-matches) instead of the former three jobs
+            # (count + count + anti-join probe) per round.
+            st = (
+                small.join(
+                    edges.select("u", "v", F.lit(1).alias("_in")), ["u", "v"], "left"
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(F.when(F.col("_in").isNull(), 1)).alias("outside"),
+                )
+                .first()
+            )
+            edges = small
+            if st["outside"] == 0 and st["n"] == edges_cnt:
+                converged = True
+                break
+            edges_cnt = st["n"]
+        if converged:
+            stars = edges.select(
+                F.col("u").alias("node_id"), F.col("v").alias("label")
+            )
+            final = (
+                nodes.join(stars, "node_id", "left")
+                .select(
+                    "node_id",
+                    F.coalesce("label", "node_id").alias("cluster_id"),
+                )
+                .localCheckpoint()
+            )
     for df in retained:
         df.unpersist()
     if not converged:
