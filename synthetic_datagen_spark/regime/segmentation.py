@@ -416,8 +416,16 @@ def deterministic_kmeans(
     # aggregates + the final labeled projection) — materialize the
     # upstream lineage (window join + grouped moments) exactly once;
     # localCheckpoint (not persist) so nothing leaks past the caller:
-    # the ContextCleaner reclaims the blocks when the frame is GC'd
-    feats = feats.localCheckpoint(eager=True)
+    # the ContextCleaner reclaims the blocks when the frame is GC'd.
+    # SPREAD before materializing (r13): a single-row-group parquet
+    # source (embeddings/documents) hands the whole loop ONE partition,
+    # so every Lloyd pass runs single-threaded (the _docs_wide /
+    # IvfIndex.build discipline). Unlike MLlib fits this kernel is
+    # layout-INDEPENDENT by construction (exact percentiles, decimal
+    # sums, literal-broadcast assignment), so respreading cannot change
+    # a label — measured 27 s -> ~6 s on the sf0.1 SemDeDup fit.
+    sc = feats.sparkSession.sparkContext
+    feats = feats.repartition(sc.defaultParallelism).localCheckpoint(eager=True)
     p = [(i + 0.5) / k for i in range(k)]
     qrow = feats.agg(
         *[
@@ -430,6 +438,130 @@ def deterministic_kmeans(
         return (out, []) if return_centroids else out
     cents = [tuple(float(qrow[c][i]) for c in feature_cols) for i in range(k)]
 
+    cents = _lloyd_iterate(feats, feature_cols, cents, k, max_iter)
+    out = kmeans_assign(feats, feature_cols, cents)
+    return (out, cents) if return_centroids else out
+
+
+def _lloyd_iterate(
+    feats: DataFrame,
+    feature_cols: list[str],
+    cents: list[tuple],
+    k: int,
+    max_iter: int,
+) -> list[tuple]:
+    """Run the Lloyd update loop and return the converged centroids.
+
+    r13 optimization: the distributed loop's per-iteration cost at
+    bench scale is NOT data (a few thousand rows) but driver-side plan
+    compilation — every iteration re-analyzes/codegens a fresh k×d
+    centroid-literal HOF plan (~1 s each even after the r13 nested-
+    literal rewrite; the SemDeDup fit burned ~25 s in ~25 such plans).
+    Both call sites are small-n by construction (the scaled embedding
+    path switches to MLlib IVF above the fixed-config cutoff), so when
+    the frame is ACTUALLY small — n·d below SPARK_GRAFT_KMEANS_DRIVER_MAX
+    values (default 2M ≈ 16 MB of doubles), no nulls, all finite — the
+    iterations run driver-side on one bounded collect with arithmetic
+    replicated BIT-FOR-BIT from the distributed plan:
+
+      * assignment — numpy elementwise ops in the exact fold order of
+        kmeans_assign's aggregate (acc starts 0.0, (x-c) then square,
+        accumulated left-to-right over dims; each elementwise op is one
+        IEEE-correctly-rounded double op, same as codegen), argmin with
+        first-position tie-break == array_position(array_min);
+      * update — per-term cast double→DECIMAL(38,12) (shortest-repr
+        parse + HALF_UP quantize, matching Spark's Cast), exact decimal
+        sum (associative, so python sum order is irrelevant), correctly
+        rounded back to double, divided by the member count in python —
+        the exact sequence the distributed dsum path executes;
+      * convergence / empty-cluster rules — unchanged.
+
+    Anything outside the guard falls back to the distributed loop
+    (identical results either way; tests pin driver-vs-distributed
+    centroid equality)."""
+    import os
+
+    n = feats.count()
+    guard = int(os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_MAX", "2000000"))
+    if n * len(feature_cols) <= guard:
+        done = _lloyd_driver(feats, feature_cols, cents, k, max_iter, n)
+        if done is not None:
+            return done
+    return _lloyd_distributed(feats, feature_cols, cents, k, max_iter)
+
+
+def _lloyd_driver(
+    feats: DataFrame,
+    feature_cols: list[str],
+    cents: list[tuple],
+    k: int,
+    max_iter: int,
+    n: int,
+) -> list[tuple] | None:
+    """Driver-side Lloyd iterations (see _lloyd_iterate). Returns None
+    when the data violates the bit-parity preconditions (nulls or
+    non-finite values, whose NULL-skip semantics belong to the SQL
+    engine) so the caller falls back to the distributed loop."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rows = feats.select(*feature_cols).collect()
+    d = len(feature_cols)
+    for r in rows:
+        for i in range(d):
+            if r[i] is None:
+                return None
+    x = np.array([[float(r[i]) for i in range(d)] for r in rows])
+    if not np.isfinite(x).all():
+        return None
+    # per-term decimal quantization is iteration-invariant: do it once.
+    # Decimal(repr(v)) parses the shortest round-trip representation —
+    # the same value Java's Double.toString hands Spark's Cast — and
+    # quantize(1e-12, HALF_UP) is Cast's setScale.
+    q = Decimal("1E-12")
+    dx = [
+        [Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP) for v in row]
+        for row in x
+    ]
+    nr = x.shape[0]
+    for _ in range(max_iter):
+        dist = np.empty((nr, k))
+        for j, cent in enumerate(cents):
+            acc = np.zeros(nr)
+            for i in range(d):
+                t = x[:, i] - cent[i]
+                acc = acc + t * t
+            dist[:, j] = acc
+        lab = np.argmin(dist, axis=1)
+        new_cents = []
+        for ci in range(k):
+            members = np.flatnonzero(lab == ci)
+            if members.size == 0:
+                new_cents.append(cents[ci])  # empty cluster keeps its centroid
+                continue
+            new_cents.append(
+                tuple(
+                    float(sum(dx[int(r)][i] for r in members)) / int(members.size)
+                    for i in range(d)
+                )
+            )
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def _lloyd_distributed(
+    feats: DataFrame,
+    feature_cols: list[str],
+    cents: list[tuple],
+    k: int,
+    max_iter: int,
+) -> list[tuple]:
+    """The original distributed Lloyd loop: one map-side-combined hash
+    aggregate per iteration, centroids as plan literals, decimal-exact
+    updates — the path every 100 TB-scale caller takes."""
     for _ in range(max_iter):
         agg = (
             kmeans_assign(feats, feature_cols, cents)
@@ -453,5 +585,4 @@ def deterministic_kmeans(
         if new_cents == cents:
             break
         cents = new_cents
-    out = kmeans_assign(feats, feature_cols, cents)
-    return (out, cents) if return_centroids else out
+    return cents

@@ -361,3 +361,38 @@ def test_deterministic_kmeans_empty_input(spark):
     out = deterministic_kmeans(df, ["mean_v", "std_v"], k=3)
     assert out.count() == 0
     assert "_cluster" in out.columns
+
+
+def test_lloyd_driver_matches_distributed_bit_for_bit(spark, monkeypatch):
+    """r13 optimization: deterministic_kmeans runs its Lloyd updates
+    driver-side when the frame is small (the per-iteration cost at
+    bench scale is plan compilation, not data). The driver loop
+    replicates the distributed plan's arithmetic bit-for-bit —
+    assignment fold order, DECIMAL(38,12) quantized sums, correctly
+    rounded double casts, python-side division — so converged
+    centroids and labels must be IDENTICAL on a fixture awkward enough
+    to exercise ties, empty clusters, and >1 iteration."""
+    from synthetic_datagen_spark.regime.segmentation import deterministic_kmeans
+
+    rows = []
+    for i in range(257):  # irregular blobs + duplicated points for ties
+        c = i % 5
+        rows.append(
+            (i, 3.1 * c + (i % 11) * 0.037, 1.7 * c + (i % 13) * 0.051)
+        )
+    rows += [(1000 + j, 3.1, 1.7) for j in range(7)]  # exact duplicates
+    df = spark.createDataFrame(rows, "seg INT, mean_v DOUBLE, std_v DOUBLE")
+
+    def run():
+        out, cents = deterministic_kmeans(
+            df, ["mean_v", "std_v"], k=9, return_centroids=True
+        )
+        labels = {r["seg"]: r["_cluster"] for r in out.collect()}
+        return labels, cents
+
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_DRIVER_MAX", "0")  # force distributed
+    lab_dist, cents_dist = run()
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_DRIVER_MAX", "2000000")  # driver path
+    lab_drv, cents_drv = run()
+    assert cents_drv == cents_dist, "converged centroids drifted"
+    assert lab_drv == lab_dist, "labels drifted"
