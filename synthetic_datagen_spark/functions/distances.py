@@ -196,6 +196,17 @@ def hurst_rs(
         )
         .select(*partition_cols, "_i", "_d", "_p")
     )
+    # spread before the ×|lags| explode (r13): the window pass leaves
+    # one populated partition per series, so the exploded frame's two
+    # aggregation passes — the query's entire heavy part, ~|lags|·n
+    # rows — ran on as many tasks as there are SERIES. A deterministic
+    # hash repartition on (series, _i) fans the per-row work across the
+    # cluster; per-segment aggregate merge order changes only in the
+    # last ulp, which the 6-significant-digit output rounding absorbs
+    # (the same absorption the 32- vs 200-partition gate layouts
+    # already exercise).
+    sc = indexed.sparkSession.sparkContext
+    indexed = indexed.repartition(sc.defaultParallelism, *partition_cols, "_i")
     lag_df = F.array(*[F.lit(int(x)) for x in lags])
     e = indexed.withColumn("lag", F.explode(lag_df)).withColumn(
         "seg", F.floor(F.col("_i") / F.col("lag"))
