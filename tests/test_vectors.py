@@ -568,3 +568,35 @@ def test_semdedup_keep_list_consistent_with_panel(spark, sf_smoke):
         if r["rnk"] == 1:
             assert r["keep"]  # the anchor is never dominated
     assert kept == {c: r["n_kept"] for c, r in panel.items() if r["n_kept"]}
+
+
+def test_knn_panel_memo_matches_fresh_build(spark, sf_smoke):
+    """The session-memoized kNN panels (truth / lsh_8x5 / ivf_16_4) must
+    be row-identical to a fresh un-memoized build — the contract that
+    lets knn_brute_force / knn_lsh_bucketed / knn_ivf / knn_recall_eval
+    share one checkpointed frame per panel."""
+    from synthetic_datagen_spark.operators.vector_queries import (
+        _K,
+        _NQ,
+        _knn_ivf_16_4,
+        _knn_lsh_8x5,
+        _knn_truth,
+    )
+
+    emb = Catalog(spark, sf_smoke).table("embeddings")
+    q = emb.filter(F.col("vec_id") < _NQ)
+    fresh = {
+        "truth": V.brute_force_knn(q, emb, _K),
+        "lsh": V.lsh_bucketed_knn(q, emb, _K, dim=64, n_tables=8, n_planes=5, seed=42),
+        "ivf": V.ivf_knn(q, emb, _K, n_lists=16, n_probe=4, seed=42),
+    }
+    memo = {
+        "truth": _knn_truth(spark, sf_smoke),
+        "lsh": _knn_lsh_8x5(spark, sf_smoke),
+        "ivf": _knn_ivf_16_4(spark, sf_smoke),
+    }
+    for name in fresh:
+        cols = ["query_id", "rank"]
+        a = sorted(map(tuple, fresh[name].orderBy(*cols).collect()))
+        b = sorted(map(tuple, memo[name].orderBy(*cols).collect()))
+        assert a == b, f"{name}: memoized panel differs from fresh build"
