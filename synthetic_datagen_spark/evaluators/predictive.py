@@ -265,16 +265,28 @@ class PredictiveEvaluator:
 
     def _evaluate_inner(self, xy_real, xy_val, xy_test, xy_aug) -> dict[str, float]:
         if self.predictor == "lstm":
-            m_base = self._fit_lstm(xy_real, xy_val)
-            m_aug = self._fit_lstm(xy_aug, xy_val)
-            maes = [
-                self._mae_lstm(xy_val, m_base),
-                self._mae_lstm(xy_test, m_base),
-                self._mae_lstm(xy_val, m_aug),
-                self._mae_lstm(xy_test, m_aug),
-                self._mae_lstm(xy_real, m_base),
-                self._mae_lstm(xy_aug, m_aug),
-            ]
+            from concurrent.futures import ThreadPoolExecutor
+
+            # same overlap the linear branch below has used since r11:
+            # the two fits (collect jobs + pure per-instance numpy
+            # training) and the six scoring scans are independent —
+            # driver threads overlap the Spark jobs; every fit consumes
+            # the same deterministically-ordered sample and every scan
+            # the same broadcast weights, so results are unchanged
+            with ThreadPoolExecutor(max_workers=6) as pool:
+                f_base = pool.submit(self._fit_lstm, xy_real, xy_val)
+                f_aug = pool.submit(self._fit_lstm, xy_aug, xy_val)
+                m_base, m_aug = f_base.result(), f_aug.result()
+                maes = list(
+                    pool.map(
+                        lambda p: self._mae_lstm(*p),
+                        [
+                            (xy_val, m_base), (xy_test, m_base),
+                            (xy_val, m_aug), (xy_test, m_aug),
+                            (xy_real, m_base), (xy_aug, m_aug),
+                        ],
+                    )
+                )
         else:
             from concurrent.futures import ThreadPoolExecutor
 

@@ -380,6 +380,9 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_SLICED_FEEDS: dict = {}
+
+
 def _time_sliced_feed(
     spark: SparkSession, sf_dir: str, kind: str, n_slices: int = 3
 ) -> str:
@@ -391,13 +394,25 @@ def _time_sliced_feed(
     event-time order — the per-key ordering contract order-sensitive
     streaming consumers (the CEP NFA) and watermark-trailed
     stream-stream joins both rely on, while WITHIN a trigger rows
-    still arrive hash-shuffled across the slice's files."""
+    still arrive hash-shuffled across the slice's files.
+
+    The feed's CONTENT is identical for every consumer (full events
+    table, same slicing), so one session builds it once per
+    (app, sf_dir, n_slices) and the CEP and interval-join harnesses
+    share the directory read-only — ``kind`` is kept for call-site
+    clarity only. The scratch root is applicationId-keyed, so the memo
+    can never serve a stale dir from another session."""
     import os
     import time
 
     from .source_queries import _scratch
 
-    base = _scratch(spark, kind, sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, n_slices)
+    hit = _TIME_SLICED_FEEDS.get(memo_key)
+    if hit is not None:
+        return hit
+
+    base = _scratch(spark, "time_sliced_feed", sf_dir)
     ev = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props",
         F.unix_micros("ts").alias("ts_us"),
@@ -421,6 +436,7 @@ def _time_sliced_feed(
             if f.endswith(".parquet") and path not in stamped:
                 os.utime(path, (now - n_slices + i, now - n_slices + i))
                 stamped.add(path)
+    _TIME_SLICED_FEEDS[memo_key] = base
     return base
 
 
