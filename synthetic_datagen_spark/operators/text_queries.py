@@ -2028,6 +2028,26 @@ def _bpe_word_freq(spark: SparkSession, sf_dir: str, cap: int = 65536) -> dict[s
     return {r.w: r.c for r in tok.collect()}
 
 
+_BPE_MERGES_MEMO: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 40,
+                cap: int = 65536) -> list:
+    """Session-memoized BPE merge table. Training is a pure function of
+    the corpus (deterministic count-desc/pair-asc tie-breaking, no RNG
+    — the contract the pinned oracles rely on), so bpe_train_merges and
+    bpe_tokenize_stats share one word-frequency pass + merge loop per
+    session instead of re-deriving it each."""
+    from ..functions.bpe import train_bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, cap)
+    hit = _BPE_MERGES_MEMO.get(key)
+    if hit is None:
+        hit = train_bpe(_bpe_word_freq(spark, sf_dir, cap), n_merges=n_merges)
+        _BPE_MERGES_MEMO[key] = hit
+    return hit
+
+
 # Pinned-value oracles (r9): BPE training/tokenization are not
 # SQL-expressible, but their outputs ARE pure functions of the sf0.01
 # corpus (deterministic count-desc/pair-asc tie-breaking, no RNG), so
@@ -2108,10 +2128,7 @@ _PIN_BPE_TOKENIZE = """SELECT * FROM (VALUES
     "ordered merge table.",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.bpe import train_bpe
-
-    freq = _bpe_word_freq(spark, sf_dir)
-    merges = train_bpe(freq, n_merges=40)
+    merges = _bpe_merges(spark, sf_dir)
     rows = [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "merge_step BIGINT, left STRING, right STRING, pair_count BIGINT"
@@ -2137,10 +2154,9 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ..functions.bpe import apply_bpe, train_bpe
+    from ..functions.bpe import apply_bpe
 
-    freq = _bpe_word_freq(spark, sf_dir)
-    merges = train_bpe(freq, n_merges=40)
+    merges = _bpe_merges(spark, sf_dir)
     sc = spark.sparkContext
     bc = sc.broadcast(merges)
 
