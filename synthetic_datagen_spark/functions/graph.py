@@ -32,6 +32,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .execution import narrow_build_confs
+
 # Session-scoped memo of converged label frames, keyed by
 # (applicationId, caller key). The converged frame is a localCheckpoint
 # (small: one row per node appearing in >=1 pair), and three catalog
@@ -46,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _CC_CACHE: dict = {}
 
 
-class _tiny_graph_confs:
+class _tiny_graph_confs(narrow_build_confs):
     """Scale-adaptive execution confs for the CC round loops (r13).
 
     Every round materializes 2-4 shuffles of the CURRENT contracted
@@ -63,31 +65,19 @@ class _tiny_graph_confs:
     parity-pinned in tests/test_dedup.py), one job per materialization
     instead of one per exchange. Restores the caller's confs on exit;
     a big graph leaves everything untouched, so cluster runs keep AQE
-    skew/coalesce handling for the heavy early rounds."""
+    skew/coalesce handling for the heavy early rounds.
+
+    (Shared mechanism in functions/execution.narrow_build_confs — the
+    LSH scaffold builds apply the same discipline with their own
+    threshold.)"""
 
     def __init__(self, spark: SparkSession, edge_count: int):
-        self.spark = spark
-        self.apply = edge_count <= int(
-            os.environ.get("SPARK_GRAFT_CC_TINY_EDGES", "200000")
+        super().__init__(
+            spark,
+            edge_count,
+            int(os.environ.get("SPARK_GRAFT_CC_TINY_EDGES", "200000")),
+            parts_env="SPARK_GRAFT_CC_TINY_PARTS",
         )
-        self.saved: dict[str, str] = {}
-
-    def __enter__(self):
-        if self.apply:
-            conf = self.spark.conf
-            parts = os.environ.get("SPARK_GRAFT_CC_TINY_PARTS", "8")
-            for k, v in (
-                ("spark.sql.adaptive.enabled", "false"),
-                ("spark.sql.shuffle.partitions", parts),
-            ):
-                self.saved[k] = conf.get(k)
-                conf.set(k, v)
-        return self
-
-    def __exit__(self, *exc):
-        for k, v in self.saved.items():
-            self.spark.conf.set(k, v)
-        return False
 
 
 def cached_min_label_components(
@@ -190,36 +180,39 @@ def min_label_components(
     retained: list[DataFrame] = []
     p = pairs.localCheckpoint()
     retained.append(p)
-    edges = (
-        p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-        .localCheckpoint()
-    )
-    retained.append(edges)
-    # node set from the ORIGINAL pairs, not the self-loop-filtered edge
-    # list: a node whose only pair is (a, a) still "appears in >=1 pair"
-    # per the contract and must come back labeled with itself (a raw
-    # similarity join naturally emits exact self-matches)
-    labels_cp = (
-        p.select(F.col(id_a).alias("node_id"))
-        .unionAll(p.select(F.col(id_b).alias("node_id")))
-        .distinct()
-        .withColumn("label", F.col("node_id"))
-        .localCheckpoint()
-    )
-    retained.append(labels_cp)
-    labels = labels_cp
-    converged = False
-    # carried edge count (r13): computed once here and re-computed only
-    # when the contracted edge list is rebuilt, so the top-of-round
-    # emptiness probe is a plain int test instead of a per-round job;
-    # the count also drives the tiny-graph conf switch (see
-    # _tiny_graph_confs — on a small or late-round contracted graph the
-    # wall is AQE sub-job scheduling, not compute).
-    edges_cnt = edges.count()
-    with _tiny_graph_confs(pairs.sparkSession, edges_cnt):
+    # r13 optimization-round extension: the pre-loop materializations
+    # (symmetric edge list, initial node->label map) pay the same AQE
+    # sub-job floor the round loop does, so the tiny-confs scope now
+    # opens BEFORE them, sized from the checkpointed pair count
+    # (edges <= 2*pairs, so the 2x estimate compares against the same
+    # edge threshold; counting checkpoint blocks is one cheap job).
+    with _tiny_graph_confs(pairs.sparkSession, 2 * p.count()):
+        edges = (
+            p.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .unionAll(p.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        retained.append(edges)
+        # node set from the ORIGINAL pairs, not the self-loop-filtered edge
+        # list: a node whose only pair is (a, a) still "appears in >=1 pair"
+        # per the contract and must come back labeled with itself (a raw
+        # similarity join naturally emits exact self-matches)
+        labels_cp = (
+            p.select(F.col(id_a).alias("node_id"))
+            .unionAll(p.select(F.col(id_b).alias("node_id")))
+            .distinct()
+            .withColumn("label", F.col("node_id"))
+            .localCheckpoint()
+        )
+        retained.append(labels_cp)
+        labels = labels_cp
+        converged = False
+        # carried edge count (r13): computed once here and re-computed only
+        # when the contracted edge list is rebuilt, so the top-of-round
+        # emptiness probe is a plain int test instead of a per-round job.
+        edges_cnt = edges.count()
         for _ in range(max_rounds):
             if edges_cnt == 0:
                 converged = True
@@ -350,20 +343,25 @@ def large_small_star_components(
     # type (string doc fingerprints included). A cast to long here
     # would NULL out non-numeric ids and silently return singletons.
     eu, ev = F.col(id_a), F.col(id_b)
-    edges = (
-        p.filter(eu != ev)
-        .select(F.greatest(eu, ev).alias("u"), F.least(eu, ev).alias("v"))
-        .dropDuplicates()
-        .localCheckpoint()
-    )
-    retained.append(edges)
-    # |edges| is carried across rounds (each round's fused stats job
-    # returns the next round's count), so the set-equality convergence
-    # test never re-counts a frame it already measured
-    edges_cnt = edges.count()
-    converged = False
-    rounds = 0
-    with _tiny_graph_confs(pairs.sparkSession, edges_cnt):
+    # r13 optimization-round extension: open the tiny-confs scope before
+    # the initial edge materialization too (it pays the same AQE sub-job
+    # floor as the rounds), sized from the checkpointed pair count —
+    # an upper bound on |edges|, so it compares against the same
+    # threshold the per-round counts did.
+    with _tiny_graph_confs(pairs.sparkSession, p.count()):
+        edges = (
+            p.filter(eu != ev)
+            .select(F.greatest(eu, ev).alias("u"), F.least(eu, ev).alias("v"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        retained.append(edges)
+        # |edges| is carried across rounds (each round's fused stats job
+        # returns the next round's count), so the set-equality convergence
+        # test never re-counts a frame it already measured
+        edges_cnt = edges.count()
+        converged = False
+        rounds = 0
         for _ in range(max_rounds):
             rounds += 1
             # large-star over the symmetric view: for node x with closed-

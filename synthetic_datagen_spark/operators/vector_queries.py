@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import vectors as V
+from ..functions import execution as X, vectors as V
 from ..sources import Catalog
 from .base import pinned_parquet_oracle, register
 
@@ -324,15 +324,25 @@ def _cached_pairs(
         # carry the big plane×table products where the vectorized
         # matmul beats the interpreted per-element JVM fold ~10×
         arrow = True
-    return V.cached_lsh_pairs(
-        spark,
-        ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind, arrow),
-        lambda: V.lsh_near_dup_pairs(
-            df, threshold, dim=64,
-            n_tables=n_tables, n_planes=n_planes, seed=42,
-            arrow_buckets=arrow,
-        ),
-    )
+    # r13 optimization: on a below-cutoff corpus the scaffold build's
+    # wall is AQE sub-job scheduling (measured: 12 driver jobs / 6.5 s
+    # for the 2 000-vector sf0.1 build; AQE off + 8 static partitions =
+    # 1 job / 3.0 s, pair set identical — the per-row fold arithmetic
+    # is layout-independent and the driver hash sorts rows). Same
+    # discipline as graph._tiny_graph_confs; a big corpus keeps AQE.
+    n = _corpus_count(spark, sf_dir, corpus_kind, df)
+    with X.narrow_build_confs(
+        spark, n, int(os.environ.get("SPARK_GRAFT_LSH_TINY_ROWS", "20000"))
+    ):
+        return V.cached_lsh_pairs(
+            spark,
+            ("lsh_pairs", sf_dir, threshold, n_tables, n_planes, corpus_kind, arrow),
+            lambda: V.lsh_near_dup_pairs(
+                df, threshold, dim=64,
+                n_tables=n_tables, n_planes=n_planes, seed=42,
+                arrow_buckets=arrow,
+            ),
+        )
 
 
 def _semantic_cluster_oracle_sql(
