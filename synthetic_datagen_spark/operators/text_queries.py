@@ -375,6 +375,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves them together; below the cutoff (every oracle-gate scale)
     the config — and thus every SQL oracle mirroring the fixed band
     structure — is unchanged."""
+    from ..functions.execution import narrow_build_confs
     from ..functions.vectors import cached_lsh_pairs
 
     def build() -> DataFrame:
@@ -386,7 +387,23 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_bulk_guard(spark, sf_dir, shingled, n, n_bands, n_rows)
         return _lsh_candidates_from(shingled, n_bands, n_rows)
 
-    return cached_lsh_pairs(spark, ("text_lsh_pairs", sf_dir), build)
+    # r13 optimization: below-cutoff corpora materialize the band-join
+    # scaffold under AQE-off narrow confs (same discipline and rationale
+    # as the embedding scaffold — see execution.narrow_build_confs;
+    # candidate set verified identical, 6 076 pairs at sf0.1). The
+    # map-side shingle/minhash parallelism is set by _docs_wide's
+    # spread, not the shuffle width, so only the tiny band-join
+    # exchanges narrow. The scope wraps the cached_lsh_pairs CALL so it
+    # covers the eager checkpoint that actually runs the build; on a
+    # memo hit the scope is a no-op pass-through.
+    n_docs = _corpus_size(
+        spark, sf_dir, _docs_wide(spark, sf_dir).filter(F.length("text") >= 5)
+    )
+    with narrow_build_confs(
+        spark, n_docs,
+        int(os.environ.get("SPARK_GRAFT_TEXT_LSH_TINY_DOCS", "20000")),
+    ):
+        return cached_lsh_pairs(spark, ("text_lsh_pairs", sf_dir), build)
 
 
 def _active_lsh_config(
