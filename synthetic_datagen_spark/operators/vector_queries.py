@@ -143,15 +143,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Catalog(spark, sf_dir).table("embeddings")
 
 
-def _knn_panel_memo(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+def _knn_panel_memo(
+    spark: SparkSession, sf_dir: str, name: str, builder, narrow: bool = True
+) -> DataFrame:
     """Session memo for the seeded kNN panels three catalog queries and
     knn_recall_eval share verbatim (truth / lsh 8x5 / ivf 16_4): each
     panel is deterministic in (embeddings, seed) — the same contract
     their pinned oracles rely on — so the checkpointed frame is
     interchangeable with a fresh build. Besides the cross-query
     sharing, the checkpoint anchor stops knn_recall_eval's union plan
-    recomputing the brute-force truth subtree once PER ANN branch."""
-    return V.cached_lsh_pairs(spark, ("knn_panel", name, sf_dir), builder)
+    recomputing the brute-force truth subtree once PER ANN branch.
+
+    ``narrow=True`` materializes a below-cutoff build under the narrow
+    static confs (execution.narrow_build_confs) — the truth and LSH
+    panels are pure relational per-row-fold + rank plans, verified
+    bit-identical across layouts; the IVF panel passes narrow=False
+    because its builder runs an MLlib KMeans fit whose determinism
+    contract is per-layout (the fit input is repartition-pinned, but
+    execution confs stay hands-off around MLlib on principle)."""
+    n = _corpus_count(spark, sf_dir, "_emb", _emb(spark, sf_dir))
+    cutoff = int(os.environ.get("SPARK_GRAFT_LSH_TINY_ROWS", "20000"))
+    with X.narrow_build_confs(spark, n, cutoff if narrow else -1):
+        return V.cached_lsh_pairs(spark, ("knn_panel", name, sf_dir), builder)
 
 
 def _knn_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +191,7 @@ def _knn_ivf_16_4(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = emb.filter(F.col("vec_id") < _NQ)
         return V.ivf_knn(q, emb, _K, n_lists=16, n_probe=4, seed=42)
 
-    return _knn_panel_memo(spark, sf_dir, "ivf_16_4", build)
+    return _knn_panel_memo(spark, sf_dir, "ivf_16_4", build, narrow=False)
 
 
 @register(
