@@ -391,7 +391,9 @@ class PredictiveEvaluator:
             w = fit(xy_real)
             return {"val_mae": mae(xy_val, w), "test_mae": mae(xy_test, w)}
 
-        if baseline_file:
+        def get_base() -> dict:
+            if not baseline_file:
+                return baseline_maes()
             import json
 
             from .memo import json_memo
@@ -417,29 +419,43 @@ class PredictiveEvaluator:
                     f"{fp['n']}:{fp['s']}:{fp['lo']}:{fp['hi']}",
                 ]
             )
-            base = json_memo(baseline_file, key, baseline_maes)
-        else:
-            base = baseline_maes()
+            return json_memo(baseline_file, key, baseline_maes)
 
-        def run_variant(item: tuple[str, DataFrame, dict]) -> dict:
-            label, syn, meta = item
+        def variant_maes(item: tuple[str, DataFrame, dict]) -> tuple[float, float]:
+            _, syn, _ = item
             xy_aug = mk(syn).unionByName(xy_real)  # J2 union
             w = fit(xy_aug)
+            return mae(xy_val, w), mae(xy_test, w)
+
+        def assemble(item, vm: tuple[float, float], base: dict) -> dict:
+            label, _, meta = item
             row = {"label": label, **meta}
             row.update(
-                augmentation_metrics(
-                    base["val_mae"], base["test_mae"], mae(xy_val, w), mae(xy_test, w)
-                )
+                augmentation_metrics(base["val_mae"], base["test_mae"], *vm)
             )
             return row
 
         if self.predictor == "lstm" or len(variants) <= 1:
-            results = [run_variant(v) for v in variants]
+            base = get_base()
+            results = [assemble(v, variant_maes(v), base) for v in variants]
         else:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=min(max_workers, len(variants))) as pool:
-                results = list(pool.map(run_variant, variants))
+            # The baseline fit+MAEs only feed the final row assembly, so
+            # they run IN the pool alongside the variants instead of
+            # sequentially before it (guide §2.6); one extra worker so
+            # the baseline never displaces a variant slot. Same jobs
+            # over the same persisted inputs — only submission order
+            # changes, so every number is unchanged.
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(variants)) + 1
+            ) as pool:
+                f_base = pool.submit(get_base)
+                f_vms = [pool.submit(variant_maes, v) for v in variants]
+                base = f_base.result()
+                results = [
+                    assemble(v, f.result(), base) for v, f in zip(variants, f_vms)
+                ]
         return results
 
     def evaluate_reference_keys(

@@ -144,38 +144,64 @@ def ratio_sweep_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").alias("value"),
         )
 
+    # The four generator fits are independent chains of Spark jobs over
+    # the shared persisted train split (eager aggregates + sorted
+    # collects inside fit); run them from driver threads so each
+    # chain's stragglers back-fill the others' idle executors (guide
+    # §2.6 — the same overlap the sweep itself and the m10/m11
+    # evaluators already use). Every fit consumes the same
+    # deterministically-ordered inputs, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit_bb(bs: int) -> BlockBootstrapGenerator:
+        return BlockBootstrapGenerator(block_size=bs).fit(
+            train, "value", ["ts", "event_id"]
+        )
+
+    def fit_gr():
+        # Part 3 — head-n subsample of a pre-generated set from another
+        # generator (run_ratio_sweep.py:130-152's TimeGAN part; O2
+        # truncate = orderBy + limit so "first n, they're sequential"
+        # is deterministic), rescaled to the real train's mean/std
+        # first the way the reference's augmentation protocol
+        # normalizes synthetic data before the augmented run
+        # (augmentation_evaluator.py — the same J4 step m13 applies)
+        gr = GrasyndaGenerator(n_states=8).fit(train, "value", ["ts", "event_id"])
+        # persist: the walk otherwise re-generates for the stat agg,
+        # the sweep's window build, and the union scan
+        cached = as_series(
+            gr.generate(spark, seed=42, n_samples=250, n_series=1)
+            .orderBy("series_id", "t")
+            .limit(100)
+        ).persist()
+        stat = cached.agg(
+            F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
+        ).first()
+        return cached, stat
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_bb25 = pool.submit(fit_bb, 25)
+        f_bb10 = pool.submit(fit_bb, 10)
+        f_bb40 = pool.submit(fit_bb, 40)
+        f_gr = pool.submit(fit_gr)
+        f_tstat = pool.submit(
+            lambda: train.agg(
+                F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
+            ).first()
+        )
+        bb25, bb10, bb40 = f_bb25.result(), f_bb10.result(), f_bb40.result()
+        sub_cached, gstat = f_gr.result()
+        tstat = f_tstat.result()
+
     variants: list[tuple[str, DataFrame, dict]] = []
     # Part 1 — ratio sweep at fixed block size (run_ratio_sweep.py:68-90)
-    bb25 = BlockBootstrapGenerator(block_size=25).fit(train, "value", ["ts", "event_id"])
     for n in (100, 250):
         syn = as_series(bb25.generate(spark, seed=42, n_samples=n, n_series=1))
         variants.append((f"bb_n{n}", syn, {"n_samples": n, "block_size": 25}))
     # Part 2 — block-size sweep at fixed n (run_ratio_sweep.py:99-121)
-    for bs in (10, 40):
-        g = BlockBootstrapGenerator(block_size=bs).fit(train, "value", ["ts", "event_id"])
+    for bs, g in ((10, bb10), (40, bb40)):
         syn = as_series(g.generate(spark, seed=42, n_samples=250, n_series=1))
         variants.append((f"bb_bs{bs}", syn, {"n_samples": 250, "block_size": bs}))
-    # Part 3 — head-n subsample of a pre-generated set from another
-    # generator (run_ratio_sweep.py:130-152's TimeGAN part; O2 truncate
-    # = orderBy + limit so "first n, they're sequential" is
-    # deterministic), rescaled to the real train's mean/std first the
-    # way the reference's augmentation protocol normalizes synthetic
-    # data before the augmented run (augmentation_evaluator.py — the
-    # same J4 step m13 applies)
-    gr = GrasyndaGenerator(n_states=8).fit(train, "value", ["ts", "event_id"])
-    # persist: the walk otherwise re-generates for the stat agg, the
-    # sweep's window build, and the union scan
-    sub_cached = as_series(
-        gr.generate(spark, seed=42, n_samples=250, n_series=1)
-        .orderBy("series_id", "t")
-        .limit(100)
-    ).persist()
-    tstat = train.agg(
-        F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
-    ).first()
-    gstat = sub_cached.agg(
-        F.mean("value").alias("m"), F.stddev_pop("value").alias("s")
-    ).first()
     gs = gstat["s"] or 1.0
     sub = sub_cached.withColumn(
         "value",
