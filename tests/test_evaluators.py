@@ -453,6 +453,32 @@ def test_augmentation_metrics_reference_formulas():
     }
 
 
+def test_sweep_pool_matches_sequential(spark, sf_smoke):
+    """r13-opt: the baseline fit+MAEs joined the variant thread pool
+    (instead of running sequentially before it). Pooled rows must be
+    BIT-identical to the sequential single-variant path — every leg is
+    a layout-deterministic decimal-summed aggregate over the same
+    persisted inputs, so submission order must not matter."""
+    ev = Catalog(spark, sf_smoke).table("events").filter(
+        F.col("event_type") == "view"
+    ).select("ts", "event_id", "value")
+    train, rest = TS.chrono_split(ev, 0.7, [], ["ts", "event_id"])
+    val, test = TS.chrono_split(rest, 0.5, [], ["ts", "event_id"])
+    variants = [
+        ("a", train.limit(60), {"n_samples": 60}),
+        ("b", train.limit(30), {"n_samples": 30}),
+    ]
+    e = PredictiveEvaluator(window=8)
+    rows_pool = e.sweep(
+        train, variants, val, test, "value", [], ["ts", "event_id"]
+    )
+    rows_seq = [
+        e.sweep(train, [v], val, test, "value", [], ["ts", "event_id"])[0]
+        for v in variants
+    ]
+    assert rows_pool == rows_seq  # dict equality: floats bit-identical
+
+
 def test_ratio_sweep_shares_baseline_and_matches_evaluate(spark, sf_smoke, tmp_path):
     """sweep() rows carry the reference's metric keys, every row shares
     ONE baseline (computed once, memoized to baseline_file — M12 /
