@@ -76,9 +76,15 @@ class ExternalPredictorEvaluator:
         ).first()
         return f"{r['n']}:{r['s']}:{r['lo']}:{r['hi']}"
 
-    def _run(self, train_csv: str, val_csv: str, test_csv: str, norm: dict, tmp: str) -> dict:
-        norm_path = os.path.join(tmp, "norm.json")
-        out_path = os.path.join(tmp, "metrics.json")
+    def _run(
+        self, train_csv: str, val_csv: str, test_csv: str, norm: dict, tmp: str,
+        tag: str = "m",
+    ) -> dict:
+        # per-run file names so the baseline and augmented runs can
+        # execute concurrently (the --norm/--out paths are explicit args
+        # in the child contract, so the names are not part of it)
+        norm_path = os.path.join(tmp, f"norm_{tag}.json")
+        out_path = os.path.join(tmp, f"metrics_{tag}.json")
         with open(norm_path, "w") as f:
             json.dump(norm, f)
         subprocess.run(
@@ -125,22 +131,42 @@ class ExternalPredictorEvaluator:
             a_csv = os.path.join(tmp, "train_aug.csv")
             v_csv = os.path.join(tmp, "val.csv")
             x_csv = os.path.join(tmp, "test.csv")
-            self._export_csv(real_train, t_csv, order_cols)
-            self._export_csv(
-                real_train.unionByName(syn_scaled), a_csv, order_cols
-            )
-            self._export_csv(val, v_csv, order_cols)
-            self._export_csv(test, x_csv, order_cols)
+            # the four exports are independent bounded collect jobs and
+            # the baseline/augmented predictor runs are pure functions of
+            # their (disjoint) files — overlap both phases on driver
+            # threads (guide §2.6); results are unchanged by submission
+            # order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(
+                    pool.map(
+                        lambda job: self._export_csv(*job),
+                        [
+                            (real_train, t_csv, order_cols),
+                            (real_train.unionByName(syn_scaled), a_csv, order_cols),
+                            (val, v_csv, order_cols),
+                            (test, x_csv, order_cols),
+                        ],
+                    )
+                )
 
             def run_baseline() -> dict:
-                return self._run(t_csv, v_csv, x_csv, norm, tmp)
+                return self._run(t_csv, v_csv, x_csv, norm, tmp, tag="base")
 
-            if self.memo_path:
-                key = json.dumps([self.cmd, self._fingerprint(real_train)])
-                base = json_memo(self.memo_path, key, run_baseline)
-            else:
-                base = run_baseline()
-            aug = self._run(a_csv, v_csv, x_csv, norm, tmp)
+            def run_baseline_memoized() -> dict:
+                if self.memo_path:
+                    key = json.dumps([self.cmd, self._fingerprint(real_train)])
+                    return json_memo(self.memo_path, key, run_baseline)
+                return run_baseline()
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_base = pool.submit(run_baseline_memoized)
+                f_aug = pool.submit(
+                    self._run, a_csv, v_csv, x_csv, norm, tmp, "aug"
+                )
+                base = f_base.result()
+                aug = f_aug.result()
 
         out = {
             "baseline_val_mae": float(base["val_mae"]),

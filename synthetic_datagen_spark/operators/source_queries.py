@@ -47,6 +47,31 @@ def _scratch(spark: SparkSession, kind: str, sf_dir: str) -> str:
     return f"{root}/{kind}/{os.path.basename(sf_dir.rstrip('/'))}"
 
 
+_STAGED_FEEDS: dict = {}
+
+
+def _staged_feed(spark: SparkSession, kind: str, sf_dir: str, build) -> str:
+    """Stage a deterministic replay-feed directory once per
+    (application, kind, sf_dir): the streaming parity harnesses that
+    read the SAME staged content (the unrepartitioned events copy ×3,
+    the docs copy ×2, the 4-file docs copy ×2) each re-wrote it every
+    run. One build per session, siblings read the shared directory
+    read-only — the `_time_sliced_feed` discipline (guide §2.4). The
+    feed content and file layout are identical to what each caller
+    wrote before (same lineage, same writer), so micro-batch structure
+    under maxFilesPerTrigger is unchanged. ``build`` writes the feed to
+    the path on miss; the applicationId-keyed scratch root means the
+    memo can never serve another session's dir."""
+    key = (spark.sparkContext.applicationId, kind, sf_dir)
+    hit = _STAGED_FEEDS.get(key)
+    if hit is not None:
+        return hit
+    base = _scratch(spark, kind, sf_dir)
+    build(base)
+    _STAGED_FEEDS[key] = base
+    return base
+
+
 @register(
     "s2_csv_union_dedup",
     oracle="""
@@ -133,8 +158,13 @@ def stream_batch_parity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource needs a directory; stage a normalized copy (this
     # also converts the testdata's ns timestamps to Spark-native µs).
     # count-only output so stream-vs-batch sum ordering cannot differ.
-    base = _scratch(spark, "stream", sf_dir)
-    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    base = _staged_feed(
+        spark, "stream", sf_dir,
+        lambda p: Catalog(spark, sf_dir)
+        .table("events")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     name = f"rollup_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
     q = (
@@ -162,9 +192,10 @@ GROUP BY event_type
 """,
     doc="S9 external-process escape hatch (reference: predictive_"
     "evaluator.py:370-394): every Arrow batch pipes through a subprocess "
-    "as CSV (here a python one-liner doubling `value`), one process per "
-    "batch across the cluster, Spark task retry as crash isolation. "
-    "Aggregates of the transformed stream match the in-engine oracle.",
+    "as CSV (here a stdlib-csv python script doubling `value`), one "
+    "process per batch across the cluster, Spark task retry as crash "
+    "isolation. Aggregates of the transformed stream match the in-engine "
+    "oracle.",
 )
 def s9_external_process_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import sys
@@ -172,9 +203,22 @@ def s9_external_process_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.external import pipe_through_process
 
     ev = Catalog(spark, sf_dir).table("events").select("event_id", "event_type", "value")
+    # stdlib-only child: the pipe spawns one process per Arrow batch, so
+    # a heavyweight import in the child is per-process init cost paid
+    # ~16x per run (guide §4.5) — measured ~1-4 s/spawn for pandas vs
+    # ~0.05 s for the bare interpreter. Doubling a float64 is exact and
+    # repr() round-trips, so the parent parses bit-identical values.
     script = (
-        "import sys, pandas as pd; d = pd.read_csv(sys.stdin); "
-        "d['value'] = d['value'] * 2; d.to_csv(sys.stdout, index=False)"
+        "import sys, csv\n"
+        "rows = csv.reader(sys.stdin)\n"
+        "out = csv.writer(sys.stdout, lineterminator='\\n')\n"
+        "header = next(rows)\n"
+        "i = header.index('value')\n"
+        "out.writerow(header)\n"
+        "for row in rows:\n"
+        "    if row[i]:\n"
+        "        row[i] = repr(2 * float(row[i]))\n"
+        "    out.writerow(row)\n"
     )
     out = pipe_through_process(
         ev.repartition(8),
@@ -225,8 +269,13 @@ def stream_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_session_stats
 
-    base = _scratch(spark, "stream", sf_dir)
-    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    base = _staged_feed(
+        spark, "stream", sf_dir,
+        lambda p: Catalog(spark, sf_dir)
+        .table("events")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     name = f"sess_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
     q = (
@@ -263,8 +312,13 @@ def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_dedup_keep_first
 
-    base = _scratch(spark, "stream", sf_dir)
-    Catalog(spark, sf_dir).table("events").write.mode("overwrite").parquet(base)
+    base = _staged_feed(
+        spark, "stream", sf_dir,
+        lambda p: Catalog(spark, sf_dir)
+        .table("events")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     stream = read_events_stream(spark, base)
     q = (
@@ -340,8 +394,10 @@ def stream_corpus_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     import uuid
 
     docs = Catalog(spark, sf_dir).table("documents")
-    base = _scratch(spark, "stream_docs", sf_dir)
-    docs.write.mode("overwrite").parquet(base)
+    base = _staged_feed(
+        spark, "stream_docs", sf_dir,
+        lambda p: docs.write.mode("overwrite").parquet(p),
+    )
     name = f"curate_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(docs.schema).parquet(base)
     curated = curated_doc_stream(stream)
@@ -577,8 +633,11 @@ def stream_decontamination_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from .text_queries import _decon_gram_frames
 
     docs = Catalog(spark, sf_dir).table("documents")
-    base = _scratch(spark, "stream_decon", sf_dir)
-    docs.write.mode("overwrite").parquet(base)
+    # same staged content as the curation twin — share its feed
+    base = _staged_feed(
+        spark, "stream_docs", sf_dir,
+        lambda p: docs.write.mode("overwrite").parquet(p),
+    )
 
     # static side: benchmark gram set from the batch reader
     _, bench = _decon_gram_frames(spark, sf_dir)
@@ -1073,9 +1132,12 @@ def stream_pii_scrub_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII = _PII
 
     docs = Catalog(spark, sf_dir).table("documents")
-    base = _scratch(spark, "stream_pii", sf_dir)
     # 4 files -> 4 micro-batches: parity must survive batch splits
-    docs.repartition(4).write.mode("overwrite").parquet(base)
+    # (shared with the quality-score twin: identical staged content)
+    base = _staged_feed(
+        spark, "stream_docs4", sf_dir,
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+    )
 
     stream = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", 1
@@ -1136,8 +1198,10 @@ def stream_quality_score_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prior, weights = QC.cached_fit(spark, sf_dir, train_base)
 
-    base = _scratch(spark, "stream_qscore", sf_dir)
-    docs.repartition(4).write.mode("overwrite").parquet(base)
+    base = _staged_feed(
+        spark, "stream_docs4", sf_dir,
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+    )
     stream = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(base)

@@ -911,3 +911,30 @@ def test_cep_state_carries_across_any_inorder_split():
             for a, b in itertools.pairwise([0, *cut, len(evs)]):
                 st = fold(evs[a:b], st)
             assert st == want, (trial, cut)
+
+
+def test_staged_feed_builds_once_per_session_and_kind(spark, tmp_path):
+    """_staged_feed: the parity harnesses that read the same staged
+    replay content must share ONE build per (app, kind, sf_dir) — a
+    second request returns the same directory without re-running the
+    writer, while a different kind or sf_dir builds fresh."""
+    import os
+
+    from synthetic_datagen_spark.operators.source_queries import _staged_feed
+
+    calls: list[str] = []
+
+    def build(p: str) -> None:
+        calls.append(p)
+        os.makedirs(p, exist_ok=True)
+
+    sf_a = str(tmp_path / "sfA")
+    sf_b = str(tmp_path / "sfB")
+    first = _staged_feed(spark, "test_feed_kind", sf_a, build)
+    second = _staged_feed(spark, "test_feed_kind", sf_a, build)
+    assert first == second
+    assert len(calls) == 1  # memo hit: writer not re-run
+    other_kind = _staged_feed(spark, "test_feed_kind2", sf_a, build)
+    other_sf = _staged_feed(spark, "test_feed_kind", sf_b, build)
+    assert len(calls) == 3
+    assert len({first, other_kind, other_sf}) == 3
