@@ -451,13 +451,13 @@ _PIN_M10_LSTM_PREDICTIVE_UTILITY = """
 SELECT * FROM (VALUES
   ('baseline_val_mae', CAST(36.88217660048204 AS DOUBLE)),
   ('baseline_test_mae', CAST(35.712577795655726 AS DOUBLE)),
-  ('augmented_val_mae', CAST(35.70105249219844 AS DOUBLE)),
+  ('augmented_val_mae', CAST(35.701052492198436 AS DOUBLE)),
   ('augmented_test_mae', CAST(35.009262946917055 AS DOUBLE)),
   ('baseline_train_mae', CAST(36.965984343469685 AS DOUBLE)),
   ('augmented_train_mae', CAST(35.52735145770733 AS DOUBLE)),
-  ('delta_val_mae', CAST(-1.1811241082835977 AS DOUBLE)),
+  ('delta_val_mae', CAST(-1.1811241082836048 AS DOUBLE)),
   ('delta_test_mae', CAST(-0.7033148487386711 AS DOUBLE)),
-  ('pct_val', CAST(-3.2024251742999374 AS DOUBLE)),
+  ('pct_val', CAST(-3.2024251742999565 AS DOUBLE)),
   ('helps', CAST(1.0 AS DOUBLE))
 ) AS t("metric", "value")
 """
