@@ -1393,9 +1393,13 @@ def _semdedup_labeled(
         # un-spread corpus hands MLlib k-means ONE partition — every
         # iteration runs single-threaded (the _docs_wide discipline,
         # applied to embeddings). Layout changes are inside the IVF
-        # path's per-layout determinism contract.
+        # path's per-layout determinism contract, and this branch only
+        # engages above the fixed-config cutoff — outside oracle
+        # territory — so the spread width scales with the cluster
+        # instead of pinning a local core count.
         idx = V.IvfIndex.build(
-            corpus.repartition(32), n_lists=max(64, n // 512), seed=42
+            corpus.repartition(spark.sparkContext.defaultParallelism),
+            n_lists=max(64, n // 512), seed=42,
         )
         labeled = idx.lists.select(
             F.col("neighbor_id").alias("vec_id"),
