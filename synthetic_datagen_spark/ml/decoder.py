@@ -43,6 +43,22 @@ def _splitmix_matrix(seed: int, rows: int, cols: int) -> np.ndarray:
     return out.reshape(rows, cols)
 
 
+def quantize_sig_digits(values: np.ndarray, sig: int) -> np.ndarray:
+    """Round each float to ``sig`` significant decimal digits via the
+    correctly-rounded decimal text round-trip (Python's own dtoa/strtod,
+    host- and libm-independent). Output boundary for the full-precision
+    float pins (r13 VERDICT item 2): the documented OpenBLAS
+    DYNAMIC_ARCH dispatch drift (≤ ~1.1e-14 relative on host migration)
+    cannot move a value across a significant-digit boundary at these
+    precisions except for the same measure-zero boundary coincidence
+    d8_composite_score already documents and accepts — so the pinned
+    oracles stop needing a recapture cycle per host move."""
+    return np.array(
+        [float(f"{v:.{sig}g}") for v in np.asarray(values, dtype=np.float64)],
+        dtype=np.float64,
+    )
+
+
 def windowed_generate_plan(
     spark: SparkSession,
     anchor_pool: np.ndarray,
@@ -51,6 +67,7 @@ def windowed_generate_plan(
     n_series: int,
     window_rows: int,
     make_rets,
+    quantize_sig: int | None = None,
 ) -> DataFrame:
     """Shared G1→G3 generate plan for every windowed generator
     (LinearDecoder, MlpDecoder, NumpyTimeGan): a (series, window) grid
@@ -69,6 +86,14 @@ def windowed_generate_plan(
     so every consumer keeps its historical same-seed outputs.
     ``make_rets`` must close over plain numpy arrays/dicts (it is
     pickled into the UDF), never over ``self``.
+
+    ``quantize_sig`` (opt-in, per query): quantize the output prices to
+    that many significant digits INSIDE the existing mapInPandas pass
+    (no extra plan node) — the pin-hardening boundary for queries whose
+    oracle is a full-precision float capture over BLAS-dispatched
+    training (see ``quantize_sig_digits``). Downstream consumers that
+    aggregate generated prices (m16, ratio_sweep, …) must NOT set it:
+    their own rounded summaries are pinned over full-precision inputs.
     """
     W = window_rows
     n_windows = int(np.ceil(n_samples / W))
@@ -91,6 +116,8 @@ def windowed_generate_plan(
                 rets = rets - rets.mean()                  # W11 zero-mean
                 anchor = float(pool[rng.integers(len(pool))])  # G3 anchor
                 prices = anchor * np.exp(np.cumsum(rets))
+                if quantize_sig is not None:
+                    prices = quantize_sig_digits(prices, quantize_sig)
                 frames.append(
                     pd.DataFrame(
                         {
@@ -138,6 +165,7 @@ class LinearDecoder:
         seed: int,
         n_samples: int,
         n_series: int = 1,
+        quantize_sig: int | None = None,
     ) -> DataFrame:
         """G1→G2→G3: returns (series_id, t, price) via the shared
         windowed_generate_plan (anchors per reference:
@@ -151,7 +179,7 @@ class LinearDecoder:
 
         return windowed_generate_plan(
             spark, anchor_pool, seed, n_samples, n_series,
-            self.window_rows, make_rets,
+            self.window_rows, make_rets, quantize_sig=quantize_sig,
         )
 
 
@@ -209,6 +237,7 @@ class MlpDecoder:
         n_series: int = 1,
         start_dt: str = "2020-01-01 00:00:00",
         interval_hours: int = 4,
+        quantize_sig: int | None = None,
     ) -> DataFrame:
         """G1→G2→G3 with the MLP forward pass per window; conditional
         models stamp each window with the cyclical features of its last
@@ -246,7 +275,8 @@ class MlpDecoder:
             return h @ out_head[0] + out_head[1]
 
         return windowed_generate_plan(
-            spark, anchor_pool, seed, n_samples, n_series, W, make_rets
+            spark, anchor_pool, seed, n_samples, n_series, W, make_rets,
+            quantize_sig=quantize_sig,
         )
 
 

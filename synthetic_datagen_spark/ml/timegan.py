@@ -527,6 +527,7 @@ class NumpyTimeGan:
         seed: int,
         n_samples: int,
         n_series: int = 1,
+        quantize_sig: int | None = None,
     ) -> DataFrame:
         """G11 distributed inference: broadcast the five weight sets,
         the shared windowed_generate_plan with the GRU chain z→G→S→R
@@ -553,7 +554,8 @@ class NumpyTimeGan:
             )
 
         return windowed_generate_plan(
-            spark, anchor_pool, seed, n_samples, n_series, Tn, make_rets
+            spark, anchor_pool, seed, n_samples, n_series, Tn, make_rets,
+            quantize_sig=quantize_sig,
         )
 
 

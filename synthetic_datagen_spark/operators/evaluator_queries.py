@@ -449,15 +449,15 @@ def d9_tolerance_v3_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIN_M10_LSTM_PREDICTIVE_UTILITY = """
 SELECT * FROM (VALUES
-  ('baseline_val_mae', CAST(36.88217660048204 AS DOUBLE)),
-  ('baseline_test_mae', CAST(35.712577795655726 AS DOUBLE)),
-  ('augmented_val_mae', CAST(35.701052492198436 AS DOUBLE)),
-  ('augmented_test_mae', CAST(35.009262946917055 AS DOUBLE)),
-  ('baseline_train_mae', CAST(36.965984343469685 AS DOUBLE)),
-  ('augmented_train_mae', CAST(35.52735145770733 AS DOUBLE)),
-  ('delta_val_mae', CAST(-1.1811241082836048 AS DOUBLE)),
-  ('delta_test_mae', CAST(-0.7033148487386711 AS DOUBLE)),
-  ('pct_val', CAST(-3.2024251742999565 AS DOUBLE)),
+  ('baseline_val_mae', CAST(36.8821766 AS DOUBLE)),
+  ('baseline_test_mae', CAST(35.7125778 AS DOUBLE)),
+  ('augmented_val_mae', CAST(35.7010525 AS DOUBLE)),
+  ('augmented_test_mae', CAST(35.0092629 AS DOUBLE)),
+  ('baseline_train_mae', CAST(36.9659843 AS DOUBLE)),
+  ('augmented_train_mae', CAST(35.5273515 AS DOUBLE)),
+  ('delta_val_mae', CAST(-1.18112411 AS DOUBLE)),
+  ('delta_test_mae', CAST(-0.703314849 AS DOUBLE)),
+  ('pct_val', CAST(-3.20242517 AS DOUBLE)),
   ('helps', CAST(1.0 AS DOUBLE))
 ) AS t("metric", "value")
 """
@@ -477,7 +477,10 @@ SELECT * FROM (VALUES
     # AVX-512 host and OpenBLAS DYNAMIC_ARCH kernel dispatch shifted
     # the numpy LSTM training arithmetic by ulps — layout-independent
     # as before, but microarchitecture-scoped (see OPTIMIZATION_r13.md
-    # "Inherited state").
+    # "Inherited state"). r14: the query output now quantizes to 9
+    # significant digits (the d8 boundary pattern) and the pin holds
+    # the quantized cells — the ulp drift class above can no longer
+    # reach the pinned values, retiring the per-host recapture cycle.
     pinned_sf="0.01",
     doc="M10/M11 predictive-utility A/B with the reference's predictor "
     "family: numpy LSTM(H) -> Dense(relu) -> Dense(1), adam, mse, early "
@@ -504,8 +507,14 @@ def m10_lstm_predictive_utility(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=8, horizon=1, predictor="lstm",
         hidden=12, dense=8, epochs=8, patience=3, max_train_rows=1200, seed=42,
     ).evaluate(train, syn, val, test, "value", [], ["ts", "event_id"])
+    # 9-significant-digit quantization at the output boundary (the d8
+    # pattern; r13 ADVICE): the LSTM training arithmetic is BLAS-
+    # dispatched, so full-precision cells drifted by ≤2e-14 on each
+    # host migration and forced a re-pin cycle. The metrics' meaning
+    # saturates far above 1e-9 relative.
     return spark.createDataFrame(
-        [(k, float(v)) for k, v in out.items()], ["metric", "value"]
+        [(k, float(f"{float(v):.9g}")) for k, v in out.items()],
+        ["metric", "value"],
     )
 
 

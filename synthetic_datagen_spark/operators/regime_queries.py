@@ -490,6 +490,9 @@ def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builder (32 shuffle partitions) vs plain-gate (200) layouts,
     # each run with an ISOLATED artifact cache so the cross-session
     # fit memo could not mask layout sensitivity in the fit itself.
+    # r14: prices quantize to 6 significant digits at the output
+    # boundary (pin-hardening, r13 VERDICT item 2; see
+    # g1_g3_latent_decode_generate).
     oracle=pinned_parquet_oracle("m9_regime_gan_generate"),
     pinned_sf="0.01",
     doc="M9/G10 per-regime generator training + regime-chained sampling: "
@@ -508,7 +511,9 @@ def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _fitted_model(spark, sf_dir)
     gan = RegimeGanTrainer(model, seq_len=32, latent_dim=8, epochs=20, seed=42).fit()
     p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
-    return regime_gan_generate(gan, spark, seed=42, n_samples=160, n_series=3, p0=p0)
+    return regime_gan_generate(
+        gan, spark, seed=42, n_samples=160, n_series=3, p0=p0, quantize_sig=6
+    )
 
 
 _PIN_M15_STAGED_OPTIMIZER = """

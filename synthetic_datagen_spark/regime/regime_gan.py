@@ -302,10 +302,13 @@ def generate(
     n_samples: int,
     n_series: int = 1,
     p0: float = 100.0,
+    quantize_sig: int | None = None,
 ) -> DataFrame:
     """Regime-chained sampling (reference regime_gan.py:339-380):
     per-series grouped-map walk; decoded windows for trained regimes,
-    parametric N(μ_k, σ_k) for fallback regimes."""
+    parametric N(μ_k, σ_k) for fallback regimes. ``quantize_sig``:
+    opt-in output quantization for the pinned-oracle boundary (see
+    ml/decoder.quantize_sig_digits)."""
     S, L, K = model.seq_len, model.latent_dim, model.n_regimes
     trans_cum = np.cumsum(model.trans, axis=1)
     start_cum = np.cumsum(model.start)
@@ -349,6 +352,10 @@ def generate(
                 )
             rr = np.concatenate(rets)[:n_samples]
             prices = np.exp(np.log(p0) + np.cumsum(rr))
+            if quantize_sig is not None:
+                from ..ml.decoder import quantize_sig_digits
+
+                prices = quantize_sig_digits(prices, quantize_sig)
             out.append(
                 pd.DataFrame(
                     {
