@@ -348,22 +348,37 @@ from synthetic_datagen_spark.multimodal.audio import (  # noqa: E402
     ulaw_encode,
 )
 
-try:
-    import audioop  # removed in Python 3.13; parity pins run where present
-except ImportError:  # pragma: no cover
-    audioop = None
+# audioop parity pins (PEP 594: the module is gone in Python 3.13).
+# The digests below were captured ONCE from CPython 3.11's audioop
+# (Sun g711.c / IMA ADPCM) over the exact inputs each test builds —
+# the tests still assert byte-for-byte parity with audioop's output,
+# via its frozen fingerprint instead of a live import.
+_AUDIOOP_ULAW_ENC_SHA256 = (
+    "81d633c9e6972a18c74a58720b96cb8ca0bdd096d4060b646dd708c3b846019a"
+)
+_AUDIOOP_ULAW_DEC_SHA256 = (
+    "3dab54339e520bb2c924826e3b72a917a2b612e9fd12fc867500f1d983a75827"
+)
+_AUDIOOP_ADPCM_SHA256 = (
+    "02ab272ea5469f8881f4770e04183f69a4ada0868de29f9945140c694e00463e"
+)
+_AUDIOOP_ADPCM_STATE = (2354, 41)
 
 
-@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
 def test_ulaw_bit_parity_with_audioop_exhaustive():
     """All 65536 encode inputs and all 256 decode codes match CPython's
-    audioop (Sun g711.c) byte-for-byte."""
+    audioop (Sun g711.c) byte-for-byte (frozen-digest pin)."""
+    import hashlib
+
     pcm = np.arange(-32768, 32768, dtype=np.int16)
-    assert ulaw_encode(pcm).tobytes() == audioop.lin2ulaw(pcm.tobytes(), 2)
+    assert (
+        hashlib.sha256(ulaw_encode(pcm).tobytes()).hexdigest()
+        == _AUDIOOP_ULAW_ENC_SHA256
+    )
     codes = np.arange(256, dtype=np.uint8)
-    assert np.array_equal(
-        ulaw_decode(codes),
-        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2"),
+    assert (
+        hashlib.sha256(ulaw_decode(codes).astype("<i2").tobytes()).hexdigest()
+        == _AUDIOOP_ULAW_DEC_SHA256
     )
 
 
@@ -377,20 +392,20 @@ def test_ulaw_roundtrip_error_bound():
     assert err[small].max() <= 19
 
 
-@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
 def test_adpcm_nibble_parity_with_audioop():
     """Identical IMA quantizer decisions and state as audioop; packing
     differs by convention only (WAV low-nibble-first vs audioop
-    high-first), asserted via nibble swap."""
+    high-first), asserted via nibble swap against the frozen digest."""
+    import hashlib
+
     rng = np.random.default_rng(0)
     sig = (3000 * np.sin(np.linspace(0, 40, 2000))
            + rng.normal(0, 300, 2000)).astype(np.int16)
     ours, state = adpcm_encode(sig)
-    ref, ref_state = audioop.lin2adpcm(sig.tobytes(), 2, None)
-    assert state == ref_state
+    assert state == _AUDIOOP_ADPCM_STATE
     a = np.frombuffer(ours, dtype=np.uint8)
-    assert np.array_equal(((a & 0x0F) << 4) | (a >> 4),
-                          np.frombuffer(ref, dtype=np.uint8))
+    swapped = (((a & 0x0F) << 4) | (a >> 4)).astype(np.uint8)
+    assert hashlib.sha256(swapped.tobytes()).hexdigest() == _AUDIOOP_ADPCM_SHA256
 
 
 def test_adpcm_roundtrip_snr_and_stream_continuation():
@@ -465,16 +480,22 @@ def test_mp3_frame_parse_rejects_garbage():
         mp3_frames(b"ID3\x04\x00\x00\x00\x00\x00\x10" + b"\x00" * 64)
 
 
-@pytest.mark.skipif(audioop is None, reason="audioop removed (PEP 594)")
 def test_alaw_bit_parity_with_audioop_exhaustive():
+    """Frozen-digest pin of CPython 3.11 audioop.lin2alaw/alaw2lin over
+    all 65536 encode inputs / 256 decode codes (see the pin block above)."""
+    import hashlib
+
     from synthetic_datagen_spark.multimodal.audio import alaw_decode, alaw_encode
 
     pcm = np.arange(-32768, 32768, dtype=np.int16)
-    assert alaw_encode(pcm).tobytes() == audioop.lin2alaw(pcm.tobytes(), 2)
+    assert (
+        hashlib.sha256(alaw_encode(pcm).tobytes()).hexdigest()
+        == "38488f6fd710f4686360edc4d38639f96c491595ef93f8eb8d62d5e07ca6ce7b"
+    )
     codes = np.arange(256, dtype=np.uint8)
-    assert np.array_equal(
-        alaw_decode(codes),
-        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2"),
+    assert (
+        hashlib.sha256(alaw_decode(codes).astype("<i2").tobytes()).hexdigest()
+        == "e04788d110e58ff8c70c93b8480190d973e3b67876b6119abbaec766cc75c174"
     )
 
 
