@@ -138,10 +138,18 @@ def _fitted_garch(
     "applyInPandas AR(1)+GARCH generation (G6/G7, W16).",
 )
 def g7_regime_garch_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     ev = _click_series(spark, sf_dir)
-    model = _fitted_model(spark, sf_dir)
-    garch = _fitted_garch(spark, sf_dir, model)
-    p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
+    # p0 (first click price) is independent of the fit chain — overlap
+    # its small sort-limit job with the model/GARCH fits (guide §2.6)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        p0_f = pool.submit(
+            lambda: ev.orderBy("ts", "event_id").select("value").first()[0]
+        )
+        model = _fitted_model(spark, sf_dir)
+        garch = _fitted_garch(spark, sf_dir, model)
+        p0 = p0_f.result()
     gen = RegimeGenerator(model, garch, p0=p0)
     return gen.generate(spark, seed=42, n_samples=150, n_series=3)
 
@@ -505,12 +513,19 @@ def m16_random_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "walks the transition chain per series in parallel.",
 )
 def m9_regime_gan_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..regime import RegimeGanTrainer, regime_gan_generate
 
     ev = _click_series(spark, sf_dir)
-    model = _fitted_model(spark, sf_dir)
-    gan = RegimeGanTrainer(model, seq_len=32, latent_dim=8, epochs=20, seed=42).fit()
-    p0 = ev.orderBy("ts", "event_id").select("value").first()[0]
+    # p0 overlaps the HMM + per-regime GAN fits (guide §2.6, as in g7)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        p0_f = pool.submit(
+            lambda: ev.orderBy("ts", "event_id").select("value").first()[0]
+        )
+        model = _fitted_model(spark, sf_dir)
+        gan = RegimeGanTrainer(model, seq_len=32, latent_dim=8, epochs=20, seed=42).fit()
+        p0 = p0_f.result()
     return regime_gan_generate(
         gan, spark, seed=42, n_samples=160, n_series=3, p0=p0, quantize_sig=6
     )

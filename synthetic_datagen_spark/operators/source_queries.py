@@ -448,10 +448,17 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.stateful import online_generate_batch, stream_online_generator
     from .regime_queries import _click_series, _fitted_garch, _fitted_model
 
-    model = _fitted_model(spark, sf_dir)
-    garch = _fitted_garch(spark, sf_dir, model)
+    from concurrent.futures import ThreadPoolExecutor
+
     ev = _click_series(spark, sf_dir)
-    p0 = float(ev.orderBy("ts", "event_id").select("value").first()[0])
+    # p0 overlaps the shared fit chain (guide §2.6, as in g7/m9)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        p0_f = pool.submit(
+            lambda: float(ev.orderBy("ts", "event_id").select("value").first()[0])
+        )
+        model = _fitted_model(spark, sf_dir)
+        garch = _fitted_garch(spark, sf_dir, model)
+        p0 = p0_f.result()
     trans_cum = np.cumsum(model.trans, axis=1)
     start_cum = np.cumsum(model.start)
     stats = model.stats
@@ -462,12 +469,15 @@ def stream_regime_generate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     # (every series' recursion crosses batch boundaries), but each
     # trigger is a full state-store commit cycle — the harness floor
     # (the r12 span-twin lesson, applied here in r13: 6→3 triggers).
-    base = _scratch(spark, "stream_ticks", sf_dir)
-    ticks = spark.createDataFrame(
-        [(int(s), int(t)) for s in range(n_series) for t in range(n_ticks)],
-        "series_id LONG, tick LONG",
-    )
-    ticks.repartition(3).write.mode("overwrite").parquet(base)
+    # staged once per session (r14): the tick grid is a constant —
+    # identical files either way, one staging write instead of one per run
+    def _write_ticks(p: str) -> None:
+        spark.createDataFrame(
+            [(int(s), int(t)) for s in range(n_series) for t in range(n_ticks)],
+            "series_id LONG, tick LONG",
+        ).repartition(3).write.mode("overwrite").parquet(p)
+
+    base = _staged_feed(spark, "stream_ticks", sf_dir, _write_ticks)
     stream = (
         spark.readStream.schema("series_id LONG, tick LONG")
         .option("maxFilesPerTrigger", 1)
@@ -841,12 +851,16 @@ def stream_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import read_events_stream, stream_funnel_stages
 
-    base = _scratch(spark, "stream_funnel", sf_dir)
     # 8 hash-shuffled files: each spans the full time range, so both
-    # intra-batch disorder and cross-batch late arrivals are exercised
-    Catalog(spark, sf_dir).table("events").repartition(8).write.mode(
-        "overwrite"
-    ).parquet(base)
+    # intra-batch disorder and cross-batch late arrivals are exercised.
+    # Staged once per session (r14, the _staged_feed discipline): the
+    # round-robin repartition(8) of the same input through the same
+    # writer is deterministic, so re-runs read the identical feed.
+    base = _staged_feed(
+        spark, "stream_funnel", sf_dir,
+        lambda p: Catalog(spark, sf_dir).table("events").repartition(8)
+        .write.mode("overwrite").parquet(p),
+    )
     name = f"funnel_{uuid.uuid4().hex[:8]}"
     # 8 files, 3 per trigger → 3 micro-batches (r13, the span-twin
     # trigger trim): cross-batch late arrivals are still exercised

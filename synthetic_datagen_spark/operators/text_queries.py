@@ -1670,7 +1670,13 @@ FROM packed GROUP BY lang, COALESCE(bin, 0) ORDER BY lang, bin
     "agg; a 100 TB corpus packs with a single shuffle on (lang).",
 )
 def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_wide(spark, sf_dir)
+    # r14 (guide §2.4): _docs, not _docs_wide — the round-robin spread
+    # fed straight into the (lang)-keyed running-sum window, so its
+    # exchange was pure overhead (the window re-shuffles anyway and the
+    # per-row token count is trivial). One exchange fewer; at 100 TB the
+    # scan splits natively and the (lang) shuffle is the only movement.
+    # Measured 5 jobs/0.45 s -> 4 jobs/0.39 s warm, rows identical.
+    d = _docs(spark, sf_dir)
     n_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )
@@ -2364,7 +2370,13 @@ def sql_udtf_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     spark.udtf.register("sdg_chunk", Chunker)
-    _docs(spark, sf_dir).createOrReplaceTempView("udtf_docs")
+    # r14: _docs_wide, not _docs — the single-row-group documents scan
+    # put the WHOLE per-row Python UDTF pass on one task (the
+    # documented single-row-group rule); the round-robin spread
+    # parallelizes the lateral chunker across cores. Per-row pure
+    # function + order-free aggregates, so rows are identical.
+    # Measured 3.94 s -> 1.65 s cold, 1.68 -> 1.13 warm at sf0.1.
+    _docs_wide(spark, sf_dir).createOrReplaceTempView("udtf_docs")
     return spark.sql(
         """
         SELECT d.lang, COUNT(*) AS n_chunks,

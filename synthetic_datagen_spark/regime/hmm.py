@@ -179,6 +179,67 @@ def fit_hmm_numpy(
 # --------------------------------------------------------------------------
 
 
+def _estep_rows(
+    pdf: pd.DataFrame,
+    feat_cols: list[str],
+    order_col: str,
+    trans: np.ndarray,
+    start: np.ndarray,
+    means: np.ndarray,
+    covs: np.ndarray,
+) -> pd.DataFrame:
+    """One sequence's E-step sufficient statistics as tiny (stat, i, j,
+    val) rows — THE shared kernel: the distributed grouped-map task and
+    the bounded driver loop below both call exactly this function, so
+    the two paths are bit-identical by construction."""
+    K, d = means.shape
+    pdf = pdf.sort_values(order_col)
+    X = pdf[feat_cols].to_numpy(dtype=float)
+    if len(X) < 2:
+        return pd.DataFrame({"stat": [], "i": [], "j": [], "val": []})
+    gamma, xi_sum, g0, ll_s = _forward_backward(X, trans, start, means, covs)
+    gs = gamma.sum(axis=0)
+    gx = gamma.T @ X                       # K×d
+    rows = []
+    for a in range(K):
+        for b in range(K):
+            rows.append(("xi", a, b, xi_sum[a, b]))
+        rows.append(("gs", a, 0, gs[a]))
+        rows.append(("g0", a, 0, g0[a]))
+        for b in range(d):
+            rows.append(("gx", a, b, gx[a, b]))
+        scat = (gamma[:, a, None] * X).T @ X   # d×d
+        for b in range(d):
+            for c in range(d):
+                rows.append(("gxx", a, b * d + c, scat[b, c]))
+    rows.append(("ll", 0, 0, ll_s))
+    rows.append(("nseq", 0, 0, 1.0))
+    return pd.DataFrame(rows, columns=["stat", "i", "j", "val"])
+
+
+def _mstep(
+    agg: dict, K: int, d: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """Close the M-step on aggregated sufficient stats — shared verbatim
+    by the distributed and driver paths."""
+    xi = np.array([[agg.get(("xi", a, b), 0.0) for b in range(K)] for a in range(K)])
+    gs = np.array([agg.get(("gs", a, 0), 0.0) for a in range(K)])
+    g0 = np.array([agg.get(("g0", a, 0), 0.0) for a in range(K)])
+    gx = np.array([[agg.get(("gx", a, b), 0.0) for b in range(d)] for a in range(K)])
+    trans = xi / np.maximum(xi.sum(axis=1, keepdims=True), 1e-300)
+    start = g0 / max(g0.sum(), 1e-300)
+    gs_safe = np.maximum(gs, 1e-300)
+    means = gx / gs_safe[:, None]
+    covs = np.empty((K, d, d))
+    for a in range(K):
+        scat = np.array(
+            [[agg.get(("gxx", a, b * d + c, ), 0.0) for c in range(d)] for b in range(d)]
+        )
+        covs[a] = scat / gs_safe[a] - np.outer(means[a], means[a])
+    ll = agg.get(("ll", 0, 0), float("nan"))
+    return trans, start, means, covs, ll
+
+
 def baum_welch(
     features: DataFrame,
     feat_cols: list[str],
@@ -198,9 +259,56 @@ def baum_welch(
     (hmmlearn's absolute-loglik convergence rule, default 1e-2).
 
     Parameters ship to executors as plan-captured numpy arrays (small:
-    K×K + 2·K·d + K·d² doubles — broadcast by closure)."""
+    K×K + 2·K·d + K·d² doubles — broadcast by closure).
+
+    SINGLE-SEQUENCE driver loop (r14, guide §1.2 — the r13
+    deterministic-kmeans precedent): when the frame holds exactly ONE
+    sequence and at most ``SPARK_GRAFT_HMM_DRIVER_MAX`` feature values
+    (default 2M ≈ 16 MB, far under driver limits), every EM iteration
+    is one single-task grouped-map + a tiny agg + a collect — pure
+    per-job protocol floor around the same numpy E-step. The loop then
+    runs driver-side on the ONE collected matrix instead: the E-step is
+    the SAME ``_estep_rows`` function, the per-stat "sum" over one
+    sequence is the identity (order-free — which is why the driver path
+    requires n_sequences == 1; multi-sequence float partials merge in
+    Spark's order and are left distributed), and the M-step is the same
+    ``_mstep``. Bit-identical by construction; pinned by
+    tests/test_regime.py::test_baum_welch_driver_twin_bit_identical.
+    The distributed loop remains the at-scale path."""
+    import os
+
     K, d = means.shape
     sel = features.select(*partition_cols, order_col, *feat_cols).persist()
+
+    driver_max = int(os.environ.get("SPARK_GRAFT_HMM_DRIVER_MAX", "2000000"))
+    pdf_all: pd.DataFrame | None = None
+    n_rows = sel.count()  # fills the persist; both paths need the pass
+    if n_rows * len(feat_cols) <= driver_max:
+        cand = sel.toPandas()
+        if len(cand.drop_duplicates(subset=list(partition_cols))) == 1:
+            pdf_all = cand
+
+    if pdf_all is not None:
+        sel.unpersist()
+        ll = float("nan")
+        prev_ll = None
+        for _ in range(n_iter):
+            stats = _estep_rows(
+                pdf_all, feat_cols, order_col, trans, start, means, covs
+            )
+            # one sequence -> one partial per stat: Spark's SUM of a
+            # single DOUBLE is the value itself, so a plain dict build
+            # replicates the distributed aggregation exactly
+            agg = {
+                (r.stat, int(r.i), int(r.j)): float(r.val)
+                for r in stats.itertuples(index=False)
+            }
+            trans, start, means, covs, ll = _mstep(agg, K, d)
+            if prev_ll is not None and abs(ll - prev_ll) < tol:
+                break
+            prev_ll = ll
+        return trans, start, means, covs, ll
+
     ll = float("nan")
     prev_ll = None
     try:
@@ -208,28 +316,7 @@ def baum_welch(
             t_c, s_c, m_c, c_c = trans.copy(), start.copy(), means.copy(), covs.copy()
 
             def estep(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values(order_col)
-                X = pdf[feat_cols].to_numpy(dtype=float)
-                if len(X) < 2:
-                    return pd.DataFrame({"stat": [], "i": [], "j": [], "val": []})
-                gamma, xi_sum, g0, ll_s = _forward_backward(X, t_c, s_c, m_c, c_c)
-                gs = gamma.sum(axis=0)
-                gx = gamma.T @ X                       # K×d
-                rows = []
-                for a in range(K):
-                    for b in range(K):
-                        rows.append(("xi", a, b, xi_sum[a, b]))
-                    rows.append(("gs", a, 0, gs[a]))
-                    rows.append(("g0", a, 0, g0[a]))
-                    for b in range(d):
-                        rows.append(("gx", a, b, gx[a, b]))
-                    scat = (gamma[:, a, None] * X).T @ X   # d×d
-                    for b in range(d):
-                        for c in range(d):
-                            rows.append(("gxx", a, b * d + c, scat[b, c]))
-                rows.append(("ll", 0, 0, ll_s))
-                rows.append(("nseq", 0, 0, 1.0))
-                return pd.DataFrame(rows, columns=["stat", "i", "j", "val"])
+                return _estep_rows(pdf, feat_cols, order_col, t_c, s_c, m_c, c_c)
 
             parts = (
                 sel.groupBy(*partition_cols)
@@ -239,21 +326,7 @@ def baum_welch(
                 .collect()
             )
             agg: dict[tuple, float] = {(r["stat"], r["i"], r["j"]): r["v"] for r in parts}
-            xi = np.array([[agg.get(("xi", a, b), 0.0) for b in range(K)] for a in range(K)])
-            gs = np.array([agg.get(("gs", a, 0), 0.0) for a in range(K)])
-            g0 = np.array([agg.get(("g0", a, 0), 0.0) for a in range(K)])
-            gx = np.array([[agg.get(("gx", a, b), 0.0) for b in range(d)] for a in range(K)])
-            trans = xi / np.maximum(xi.sum(axis=1, keepdims=True), 1e-300)
-            start = g0 / max(g0.sum(), 1e-300)
-            gs_safe = np.maximum(gs, 1e-300)
-            means = gx / gs_safe[:, None]
-            covs = np.empty((K, d, d))
-            for a in range(K):
-                scat = np.array(
-                    [[agg.get(("gxx", a, b * d + c, ), 0.0) for c in range(d)] for b in range(d)]
-                )
-                covs[a] = scat / gs_safe[a] - np.outer(means[a], means[a])
-            ll = agg.get(("ll", 0, 0), float("nan"))
+            trans, start, means, covs, ll = _mstep(agg, K, d)
             if prev_ll is not None and abs(ll - prev_ll) < tol:
                 break
             prev_ll = ll

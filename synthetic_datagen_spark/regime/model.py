@@ -105,23 +105,39 @@ class RegimeModel:
         self.start = s0 / s0.sum()
         w = Window.partitionBy(*partition_cols).orderBy("idx")
 
-        # A8 per-regime return stats with AR(1) via corr-with-lag
+        # A8 per-regime return stats with AR(1) via corr-with-lag.
+        # The per-regime panel and the global moments are independent
+        # aggregates over already-persisted frames — overlap them from
+        # driver threads (guide §2.6, the sweep/m10/d9 pattern) instead
+        # of serializing two small jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
         lag_r = F.lag("log_ret").over(w)
-        stats_rows = (
-            labeled.withColumn("_lr", lag_r)
-            .groupBy("regime")
-            .agg(
-                F.count("*").alias("n"),
-                F.mean("log_ret").alias("mu"),
-                F.stddev_pop("log_ret").alias("sigma"),
-                F.skewness("log_ret").alias("skew"),
-                F.corr("log_ret", "_lr").alias("ar1"),
+
+        def _stats_rows():
+            return (
+                labeled.withColumn("_lr", lag_r)
+                .groupBy("regime")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.mean("log_ret").alias("mu"),
+                    F.stddev_pop("log_ret").alias("sigma"),
+                    F.skewness("log_ret").alias("skew"),
+                    F.corr("log_ret", "_lr").alias("ar1"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        glob = features.agg(
-            F.mean("log_ret").alias("mu"), F.stddev_pop("log_ret").alias("sigma")
-        ).first()
+
+        def _glob():
+            return features.agg(
+                F.mean("log_ret").alias("mu"), F.stddev_pop("log_ret").alias("sigma")
+            ).first()
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            stats_f = pool.submit(_stats_rows)
+            glob_f = pool.submit(_glob)
+            stats_rows = stats_f.result()
+            glob = glob_f.result()
         for s in stats_rows:
             sparse = s["n"] < self.min_points
             self.stats[s["regime"]] = {

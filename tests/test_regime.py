@@ -396,3 +396,72 @@ def test_lloyd_driver_matches_distributed_bit_for_bit(spark, monkeypatch):
     lab_drv, cents_drv = run()
     assert cents_drv == cents_dist, "converged centroids drifted"
     assert lab_drv == lab_dist, "labels drifted"
+
+
+def test_baum_welch_driver_twin_bit_identical(spark, monkeypatch):
+    """r14: the bounded single-sequence driver loop must reproduce the
+    distributed Baum-Welch EXACTLY (same _estep_rows kernel, identity
+    aggregation over one sequence, same _mstep) — and a MULTI-sequence
+    frame must stay on the distributed path even when tiny."""
+    import numpy as np
+
+    from synthetic_datagen_spark.regime.hmm import baum_welch
+
+    rng = np.random.default_rng(7)
+    n = 400
+    prices = 1.3 + np.cumsum(rng.normal(0, 0.0005, n))
+    lr = np.diff(np.log(prices))
+    import pandas as pd
+
+    vol = pd.Series(lr).rolling(24, min_periods=1).std().bfill().to_numpy()
+    X = np.column_stack([lr, vol, np.abs(lr)])
+    X = (X - X.mean(axis=0)) / (X.std(axis=0) + 1e-10)
+    K, d = 3, 3
+    qs = np.quantile(X[:, 0], [0.2, 0.5, 0.8])
+    means0 = np.column_stack([qs, np.zeros(K), np.zeros(K)])
+    covs0 = np.array([np.eye(d) for _ in range(K)])
+    trans0 = np.full((K, K), 0.1) + 0.7 * np.eye(K)
+    trans0 /= trans0.sum(axis=1, keepdims=True)
+    start0 = np.full(K, 1.0 / K)
+
+    rows = [
+        ("s", int(i), float(a), float(b), float(c))
+        for i, (a, b, c) in enumerate(X)
+    ]
+    df = spark.createDataFrame(
+        rows, "series STRING, idx INT, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE"
+    )
+
+    def run(max_values: str):
+        monkeypatch.setenv("SPARK_GRAFT_HMM_DRIVER_MAX", max_values)
+        return baum_welch(
+            df, ["f1", "f2", "f3"], ["series"], "idx",
+            trans0.copy(), start0.copy(), means0.copy(), covs0.copy(),
+            n_iter=4, tol=0.0,
+        )
+
+    dist = run("0")          # force the distributed loop
+    drv = run("2000000")     # bounded driver loop (one sequence, tiny)
+    for a, b in zip(dist, drv):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (a, b)
+
+    # two sequences: the driver path must decline (float partials would
+    # merge in Spark's order); both calls run distributed and agree
+    rows2 = rows + [("t", int(i), float(a), float(b), float(c))
+                    for i, (a, b, c) in enumerate(X[::-1])]
+    df2 = spark.createDataFrame(
+        rows2, "series STRING, idx INT, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE"
+    )
+
+    def run2(max_values: str):
+        monkeypatch.setenv("SPARK_GRAFT_HMM_DRIVER_MAX", max_values)
+        return baum_welch(
+            df2, ["f1", "f2", "f3"], ["series"], "idx",
+            trans0.copy(), start0.copy(), means0.copy(), covs0.copy(),
+            n_iter=2, tol=0.0,
+        )
+
+    d2a = run2("0")
+    d2b = run2("2000000")
+    for a, b in zip(d2a, d2b):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0), (a, b)

@@ -21,7 +21,14 @@ import subprocess
 import sys
 
 _TRIAL_SRC = r"""
-import json, sys, time
+import json, os, sys, tempfile, time
+# artifact isolation per trial (same contract as bench.py): the regime/
+# SemDeDup fit caches must not leak a prior trial's warm fit into a
+# timed run on either side
+import atexit, shutil
+_adir = tempfile.mkdtemp(prefix="ab-probe-artifacts-")
+os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = _adir
+atexit.register(shutil.rmtree, _adir, ignore_errors=True)
 repo = sys.argv[1]
 names = sys.argv[2:]
 sys.path.insert(0, repo)
