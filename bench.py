@@ -42,6 +42,12 @@ MEMO_BUILDERS = (
     "multimodal_phash_neardup",
     "multimodal_audio_fingerprint_neardup",
     "multimodal_cross_dedup_clusters",
+    # r14: the two heaviest replay parities stage their feed once per
+    # session (_staged_feed) and share the regime-fit session memo, so
+    # cold - steady splits the one-time builds from the per-trigger
+    # availableNow floor (measured ~1.4 s/trigger on this host)
+    "stream_funnel_parity",
+    "stream_regime_generate_parity",
 )
 
 
