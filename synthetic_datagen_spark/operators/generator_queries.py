@@ -31,10 +31,20 @@ def _train_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "loop) — reference: block_bootstrap_generator.py:50-103.",
 )
 def g4_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gen = BlockBootstrapGenerator(block_size=25).fit(
-        _train_series(spark, sf_dir), "value", ["ts", "event_id"]
-    )
-    return gen.generate(spark, seed=42, n_samples=200, n_series=4)
+    # session memo (r14, guide §2.4 — the kNN-panel discipline): the
+    # walk is deterministic in (corpus, seed) and its summary twin
+    # re-ran the whole fit+generate chain; one checkpointed build per
+    # session serves both queries, and a memo hit returns the SAME
+    # checkpointed frame (identical rows, identical order).
+    from ..functions.vectors import cached_lsh_pairs
+
+    def build() -> DataFrame:
+        gen = BlockBootstrapGenerator(block_size=25).fit(
+            _train_series(spark, sf_dir), "value", ["ts", "event_id"]
+        )
+        return gen.generate(spark, seed=42, n_samples=200, n_series=4)
+
+    return cached_lsh_pairs(spark, ("gen_walk", "g4_bb25", sf_dir), build)
 
 
 @register(
@@ -52,10 +62,16 @@ def g4_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grasynda_generator.py:53-149.",
 )
 def g5_grasynda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    gen = GrasyndaGenerator(n_states=8).fit(
-        _train_series(spark, sf_dir), "value", ["ts", "event_id"]
-    )
-    return gen.generate(spark, seed=42, n_samples=200, n_series=4)
+    # session memo shared with g5_grasynda_summary (see g4 note)
+    from ..functions.vectors import cached_lsh_pairs
+
+    def build() -> DataFrame:
+        gen = GrasyndaGenerator(n_states=8).fit(
+            _train_series(spark, sf_dir), "value", ["ts", "event_id"]
+        )
+        return gen.generate(spark, seed=42, n_samples=200, n_series=4)
+
+    return cached_lsh_pairs(spark, ("gen_walk", "g5_gr8", sf_dir), build)
 
 
 # Pinned literal-VALUES oracles captured at sf0.01 by tools/pin_oracles.py

@@ -635,27 +635,37 @@ def m15_staged_optimizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stitch_variant_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared scaffold of the g9 family: one fitted regime-hybrid
     generator, the same seeded series under all four stitch variants,
-    with per-row log returns and consecutive-return differences."""
+    with per-row log returns and consecutive-return differences.
+
+    Session-memoized (r14, guide §2.4 — the kNN-panel discipline): the
+    frame is deterministic in (corpus, seed) and BOTH g9 queries ran
+    the whole fit + 4-variant generate + window chain from scratch; one
+    checkpointed build per session serves both, and a memo hit returns
+    the SAME checkpointed frame (identical rows, identical order)."""
+    from ..functions.vectors import cached_lsh_pairs
     from ..regime.hybrid import RegimeBootstrapHybrid
 
-    model = _fitted_model(spark, sf_dir)
-    hyb = RegimeBootstrapHybrid(model, min_block=4, lam=0.3, overlap=3).fit(["series"])
-    outs = []
-    for variant in ("none", "blend", "crossfade", "ar_bridge"):
-        hyb.smoothing = variant
-        outs.append(
-            hyb.generate(spark, seed=42, n_samples=150, n_series=3)
-            .withColumn("variant", F.lit(variant))
+    def build() -> DataFrame:
+        model = _fitted_model(spark, sf_dir)
+        hyb = RegimeBootstrapHybrid(model, min_block=4, lam=0.3, overlap=3).fit(["series"])
+        outs = []
+        for variant in ("none", "blend", "crossfade", "ar_bridge"):
+            hyb.smoothing = variant
+            outs.append(
+                hyb.generate(spark, seed=42, n_samples=150, n_series=3)
+                .withColumn("variant", F.lit(variant))
+            )
+        allv = outs[0]
+        for o in outs[1:]:
+            allv = allv.unionByName(o)
+        w = Window.partitionBy("variant", "series_id").orderBy("t")
+        return (
+            allv.withColumn("log_ret", F.log("price") - F.log(F.lag("price").over(w)))
+            .withColumn("ddiff", F.abs(F.col("log_ret") - F.lag("log_ret").over(w)))
+            .filter(F.col("log_ret").isNotNull())
         )
-    allv = outs[0]
-    for o in outs[1:]:
-        allv = allv.unionByName(o)
-    w = Window.partitionBy("variant", "series_id").orderBy("t")
-    return (
-        allv.withColumn("log_ret", F.log("price") - F.log(F.lag("price").over(w)))
-        .withColumn("ddiff", F.abs(F.col("log_ret") - F.lag("log_ret").over(w)))
-        .filter(F.col("log_ret").isNotNull())
-    )
+
+    return cached_lsh_pairs(spark, ("gen_walk", "g9_stitch", sf_dir), build)
 
 
 def g9_stitch_variants(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1107,9 +1107,18 @@ def boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), 5))).alias("g"),
     )
-    dfc = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("gdf"))
+    # r14 (guide §2.4): the gram document-frequency used to be a
+    # groupBy(g) aggregate shuffle-joined back onto grams — but the two
+    # gram subtrees could not share their exchange (partial agg below
+    # one of them), so the tokenize+5-gram+explode chain computed TWICE
+    # and the plan carried 11 jobs. Because grams is per-doc DISTINCT
+    # by construction, COUNT(*) OVER (PARTITION BY g) IS the document
+    # frequency — one linear shuffle on g, no join, one gram pass.
+    # Measured 11 jobs/1.63 s -> 8 jobs/0.98 s warm (6.4 -> 1.8 cold),
+    # rows identical; still never broadcasts a vocabulary-sized table.
+    wg = Window.partitionBy("g")
     per_doc = (
-        grams.join(dfc.hint("shuffle_hash"), "g")
+        grams.withColumn("gdf", F.count("*").over(wg))
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),

@@ -501,3 +501,29 @@ def test_summary_twins_bit_deterministic_across_partitioning(spark, sf_smoke):
     for n in names:
         assert a[n] == b[n], n
         assert a[n], f"{n}: empty summary"
+
+
+def test_generator_walk_memo_matches_fresh_build(spark, sf_smoke):
+    """r14: the session-memoized g4/g5 walks (shared with their summary
+    twins) must be row-identical to a fresh un-memoized build."""
+    from synthetic_datagen_spark.generators import (
+        BlockBootstrapGenerator,
+        GrasyndaGenerator,
+    )
+    from synthetic_datagen_spark.operators import REGISTRY
+    from synthetic_datagen_spark.operators.generator_queries import _train_series
+
+    src = _train_series(spark, sf_smoke)
+    fresh = {
+        "g4_block_bootstrap": BlockBootstrapGenerator(block_size=25)
+        .fit(src, "value", ["ts", "event_id"])
+        .generate(spark, seed=42, n_samples=200, n_series=4),
+        "g5_grasynda": GrasyndaGenerator(n_states=8)
+        .fit(src, "value", ["ts", "event_id"])
+        .generate(spark, seed=42, n_samples=200, n_series=4),
+    }
+    for name, f in fresh.items():
+        memo = REGISTRY[name].build(spark, sf_smoke)
+        a = sorted(map(tuple, f.collect()))
+        b = sorted(map(tuple, memo.collect()))
+        assert a == b, f"{name}: memoized walk differs from fresh build"
