@@ -566,8 +566,12 @@ def stream_pq_encode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import fit_pq_codebooks, pq_encode_frame
 
     emb = Catalog(spark, sf_dir).table("embeddings")
-    base = _scratch(spark, "stream_emb", sf_dir)
-    emb.write.mode("overwrite").parquet(base)
+    # staged once per session (r14, the _staged_feed discipline):
+    # identical writer, identical content, one staging write per session
+    base = _staged_feed(
+        spark, "stream_emb", sf_dir,
+        lambda p: emb.write.mode("overwrite").parquet(p),
+    )
 
     sample = emb.orderBy("vec_id").limit(4096).collect()
     x = np.array(
@@ -1020,13 +1024,19 @@ def stream_repeated_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", "text")
     )
-    base = _scratch(spark, "stream_spans", sf_dir)
     # 6 files, 2 per trigger -> 3 micro-batches: parity must stay a
     # multi-batch replay (hot grams straddle batches), but every extra
     # trigger is a full state-store commit cycle — the harness floor.
     # r12 measured the 4->3 trigger cut + 8 state partitions (below)
-    # at 7.9 -> 4.6 s warm at sf0.1 with parity unchanged.
-    docs.repartition(6, F.col("doc_id")).write.mode("overwrite").parquet(base)
+    # at 7.9 -> 4.6 s warm at sf0.1 with parity unchanged. Staged once
+    # per session (r14, the _staged_feed discipline): the hash
+    # repartition on doc_id through the same writer is deterministic,
+    # so re-runs read the identical 6-file feed.
+    base = _staged_feed(
+        spark, "stream_spans", sf_dir,
+        lambda p: docs.repartition(6, F.col("doc_id"))
+        .write.mode("overwrite").parquet(p),
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 2)
